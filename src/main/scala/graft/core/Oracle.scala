@@ -1,0 +1,138 @@
+package graft.core
+
+/** Single-JVM reference oracle: a direct, small port of the reference
+  * engine's query-processing semantics, used for differential testing of the
+  * distributed Spark pipeline (mirrors the reference's own engine-vs-engine
+  * differential tests, `tests_15.cc:158-211`).
+  *
+  * Semantics ported (reference `src/qq_mem/src/query_processing.h`):
+  *  - conjunctive k-way posting-list intersection by max-pivot leapfrog
+  *    (`ProcessMultipleTerms` `query_processing.h:710-728,810-852`)
+  *  - phrase match: adjusted-position leapfrog within a matched doc
+  *    (`PhraseQueryProcessor2` `query_processing.h:282-362`)
+  *  - lossy BM25 doc score (`CalcDocScoreLossy` `scoring.h:124-145`)
+  *  - bounded min-heap top-k: insert while size<k, then replace root only on
+  *    strictly greater score (`query_processing.h:914-932`) — with candidates
+  *    visited in ascending docId, the surviving set equals top-k by
+  *    (score desc, docId asc); we emit that order (SURVEY.md §8.4 pragmatic
+  *    tie rule, adopted engine-wide).
+  */
+object Oracle {
+
+  final case class Doc(docId: Int, content: String)
+  final case class Hit(docId: Int, score: Double)
+
+  final class Index(docs: Seq[Doc]) {
+    // term -> postings sorted by docId: (docId, tf, positions)
+    val postings: Map[String, Array[(Int, Int, Array[Int])]] = {
+      val m = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])]]
+      docs.sortBy(_.docId).foreach { d =>
+        Tokenizer.grouped(d.content).foreach { case (term, ps, _) =>
+          m.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty) +=
+            ((d.docId, ps.length, ps))
+        }
+      }
+      m.view.mapValues(_.toArray).toMap
+    }
+    val docLen: Map[Int, Int] =
+      docs.map(d => d.docId -> Tokenizer.terms(d.content).length).toMap
+    val nDocs: Long = docs.size.toLong
+    val avgLen: Double = if (nDocs == 0) 0.0 else docLen.values.map(_.toLong).sum.toDouble / nDocs
+    val lossyCache: Array[Double] = Bm25.lossyCache(avgLen)
+    def df(term: String): Long = postings.get(term).map(_.length.toLong).getOrElse(0L)
+  }
+
+  /** Conjunctive (optionally phrase) BM25 top-k. Empty if any term missing
+    * (`qq_mem_engine.h:345-347`). */
+  def search(ix: Index, queryTerms: Seq[String], k: Int, phrase: Boolean = false): Seq[Hit] = {
+    if (queryTerms.isEmpty || k <= 0) return Nil
+    val lists = queryTerms.map(t => ix.postings.getOrElse(t, return Nil))
+    val idfs = queryTerms.map(t => Bm25.idf(ix.nDocs, ix.df(t)))
+
+    // k-way max-pivot leapfrog over docId-sorted lists
+    val cursors = Array.fill(lists.size)(0)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Hit]
+    var done = false
+    while (!done) {
+      var maxDoc = -1
+      var allAligned = true
+      var i = 0
+      while (i < lists.size && !done) {
+        if (cursors(i) >= lists(i).length) done = true
+        else {
+          val d = lists(i)(cursors(i))._1
+          if (maxDoc == -1) maxDoc = d
+          else if (d != maxDoc) { allAligned = false; if (d > maxDoc) maxDoc = d }
+        }
+        i += 1
+      }
+      if (!done) {
+        if (allAligned) {
+          val docId = maxDoc
+          val matches = !phrase || phraseMatch(lists.indices.map(j => lists(j)(cursors(j))._3))
+          if (matches) {
+            val lenByte = LenByte.encode(ix.docLen(docId).toLong)
+            var score = 0.0
+            var j = 0
+            while (j < lists.size) {
+              score += idfs(j) * Bm25.tfNormLossy(lists(j)(cursors(j))._2.toLong, lenByte, ix.lossyCache)
+              j += 1
+            }
+            hits += Hit(docId, score)
+          }
+          var j = 0
+          while (j < lists.size) { cursors(j) += 1; j += 1 }
+        } else {
+          // skip-forward all lists to maxDoc (galloping not needed at oracle scale)
+          var j = 0
+          while (j < lists.size) {
+            while (cursors(j) < lists(j).length && lists(j)(cursors(j))._1 < maxDoc) cursors(j) += 1
+            j += 1
+          }
+        }
+      }
+    }
+    topK(hits, k)
+  }
+
+  /** Adjusted-position leapfrog: term i's positions shifted by -i must
+    * intersect (`query_processing.h:335-362`). Returns true if the phrase
+    * occurs at least once. */
+  def phraseMatch(positionLists: Seq[Array[Int]]): Boolean = {
+    if (positionLists.size <= 1) return positionLists.nonEmpty && positionLists.head.nonEmpty
+    var candidates: Set[Int] = positionLists.head.toSet
+    var i = 1
+    while (i < positionLists.size && candidates.nonEmpty) {
+      val shifted = positionLists(i).iterator.map(_ - i).toSet
+      candidates = candidates.intersect(shifted)
+      i += 1
+    }
+    candidates.nonEmpty
+  }
+
+  /** Bounded min-heap top-k with the deterministic tie rule.
+    *
+    * The reference inserts while size<k then replaces the root only on a
+    * strictly greater score (`query_processing.h:914-932`); with candidates
+    * fed in ascending docId this keeps, among equal-score docs at the
+    * boundary, the earliest-seen (lowest docId) ones — i.e. the surviving
+    * set is exactly top-k by (score desc, docId asc). We implement that
+    * deterministic rule directly (SURVEY.md §8.4 pragmatic tie rule) so
+    * oracle and distributed engine agree bit-for-bit even under ties.
+    */
+  def topK(candidates: Iterable[Hit], k: Int): Seq[Hit] = {
+    val heap = scala.collection.mutable.PriorityQueue.empty[Hit](
+      Ordering.by[Hit, (Double, Int)](h => (-h.score, h.docId))) // head = worst kept
+    candidates.foreach { h =>
+      if (heap.size < k) heap.enqueue(h)
+      else {
+        val worst = heap.head
+        if (h.score > worst.score || (h.score == worst.score && h.docId < worst.docId)) {
+          heap.dequeue(); heap.enqueue(h)
+        }
+      }
+    }
+    heap.toSeq.sortBy(h => (-h.score, h.docId))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.core
+
+/** Deterministic code tokenizer.
+  *
+  * The reference's analyzer is an external Elasticsearch pipeline
+  * (`scripts/tokenize_wiki_linedoc.py:21-57`), so tokenizer choice is ours;
+  * engine parity (Spark vs oracle) is defined on identical tokenizer output.
+  *
+  * Rules (documented in FIXTURES.md §4): lowercase; split on `[^a-z0-9_]+`;
+  * drop empty tokens. Positions are token indexes (0-based); offsets are
+  * [start,end) char spans in the original string; doc length = total token
+  * count (the BM25 length).
+  *
+  * The exact same semantics are expressed SQL-side for the DuckDB oracle as
+  * `list_filter(regexp_split_to_array(lower(text),'[^a-z0-9_]+'), x<>'')`.
+  */
+object Tokenizer {
+
+  final case class Token(term: String, position: Int, start: Int, end: Int)
+
+  @inline private def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+
+  /** All tokens in order, with positions and offsets. Single pass. */
+  def tokenize(text: String): Array[Token] = {
+    val lower = text.toLowerCase
+    val out = scala.collection.mutable.ArrayBuilder.make[Token]
+    var i = 0
+    var pos = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && !isWordChar(lower.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isWordChar(lower.charAt(i))) i += 1
+        out += Token(lower.substring(start, i), pos, start, i)
+        pos += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Just the term sequence (BM25 doc length = its size). */
+  def terms(text: String): Array[String] = tokenize(text).map(_.term)
+
+  /** Per-unique-term groups like the reference linedoc `WITH_POSITIONS`
+    * format: term -> (tf, positions, offsets), terms in first-seen order.
+    */
+  def grouped(text: String): Array[(String, Array[Int], Array[(Int, Int)])] = {
+    val toks = tokenize(text)
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, (scala.collection.mutable.ArrayBuilder[Int],
+                      scala.collection.mutable.ArrayBuilder.ofRef[(Int, Int)])]
+    toks.foreach { t =>
+      val (ps, os) = order.getOrElseUpdate(
+        t.term,
+        (scala.collection.mutable.ArrayBuilder.make[Int],
+         new scala.collection.mutable.ArrayBuilder.ofRef[(Int, Int)]))
+      ps += t.position
+      os += ((t.start, t.end))
+    }
+    order.iterator.map { case (term, (ps, os)) => (term, ps.result(), os.result()) }.toArray
+  }
+}

@@ -1,0 +1,187 @@
+package graft.index
+
+import graft.core.{LenByte, Tokenizer}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed inverted-index build — the Spark-native re-expression of the
+  * reference's ingest loop (`qq_mem_engine.h:271-305`) and offline dumper
+  * (`flash_engine_dumper.h:735-758`): one declarative pipeline instead of
+  * two binaries.
+  *
+  * Stages (each checkpointable via [[Manifest]]):
+  *   1. docids   — deterministic dense docId = global rank over (repo,path)
+  *   2. docstore — (docId, repo, path, commit, lang, sha256, content)
+  *   3. doclen   — (docId, len, lenByte) + avg scalar
+  *   4. postings — term-partitioned, salted for hot terms, block-encoded
+  *   5. termstats— (term, df, cf, nBlocks)
+  *
+  * Scale design: the only required shuffles are (a) the range-sort for docId
+  * assignment, (b) the term(+salt) repartition for posting-list grouping,
+  * and (c) the termstats partial+final aggregation. Hot terms ('if',
+  * 'return' — df ≈ corpus size) are salted into contiguous docId-range
+  * shards so no single task ever materializes a whole hot posting list
+  * (SURVEY.md §7.5.3-4); blocks are independently decodable so shards never
+  * need to see each other.
+  */
+object IndexBuilder {
+
+  final case class DocRow(docId: Int, repo: String, path: String, commit: String,
+                          lang: String, sha256: String, content: String)
+  final case class FlatPosting(term: String, docId: Int, tf: Int,
+                               positions: Array[Int], starts: Array[Int], ends: Array[Int])
+  final case class DocLen(docId: Int, len: Int, lenByte: Int)
+  final case class BlockRow(term: String, prevDocId: Int, firstDocId: Int, lastDocId: Int,
+                            n: Int, docIds: Array[Byte], tfs: Array[Byte],
+                            positions: Array[Byte], offsets: Array[Byte])
+
+  /** Max postings a salted (term, shard) group should hold; terms with
+    * df above this are split into contiguous docId ranges. */
+  val SaltTarget = 1 << 16
+
+  /** Deterministic dense docId: global rank over (repo, path).
+    *
+    * Two-pass over a range-partitioned sort: per-partition counts →
+    * prefix-sum offsets → local index + offset. The result is the global
+    * rank in the total order regardless of partition boundaries, so it is
+    * identical at any parallelism (N vs 4N executors) — SURVEY.md §7.5.5.
+    * The sorted dataset is persisted so both passes see one materialization.
+    */
+  def assignDocIds(spark: SparkSession, corpus: DataFrame, partitions: Int = 32): Dataset[DocRow] = {
+    import spark.implicits._
+    val sorted = corpus
+      .select("repo", "path", "commit", "lang", "sha256", "content")
+      .as[(String, String, String, String, String, String)]
+      .repartitionByRange(partitions, $"repo", $"path")
+      .sortWithinPartitions("repo", "path")
+      .persist()
+    val counts = sorted.mapPartitions { it =>
+      Iterator.single(org.apache.spark.TaskContext.getPartitionId() -> it.size)
+    }.collect().toMap
+    val nParts = counts.keys.max + 1
+    val offsets = new Array[Long](nParts)
+    var acc = 0L
+    (0 until nParts).foreach { p => offsets(p) = acc; acc += counts.getOrElse(p, 0) }
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.mapPartitions { it =>
+      val base = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.zipWithIndex.map { case ((repo, path, commit, lang, sha, content), i) =>
+        DocRow((base + i).toInt, repo, path, commit, lang, sha, content)
+      }
+    }
+  }
+
+  /** Tokenize → per-(doc, unique-term) flat postings with positions+offsets.
+    * The reference's `AddDocument` per-term loop (`qq_mem_engine.h:194-215`)
+    * as a flatMap — embarrassingly parallel, no shuffle. */
+  def flatPostings(docs: Dataset[DocRow]): Dataset[FlatPosting] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { d =>
+      Tokenizer.grouped(d.content).iterator.map { case (term, ps, os) =>
+        FlatPosting(term, d.docId, ps.length, ps, os.map(_._1), os.map(_._2))
+      }
+    }
+  }
+
+  /** (docId, rawLen, lossy 1-byte code) — `doc_length_store.h` analog. */
+  def docLengths(docs: Dataset[DocRow]): Dataset[DocLen] = {
+    import docs.sparkSession.implicits._
+    docs.map(d => {
+      val len = Tokenizer.terms(d.content).length
+      DocLen(d.docId, len, LenByte.encode(len.toLong))
+    })
+  }
+
+  /** Block-encode postings, salting hot terms into contiguous docId-range
+    * shards. Returns the block dataset (sorted by term within partitions so
+    * parquet row-group min/max prune term lookups). */
+  def buildBlocks(spark: SparkSession, flat: Dataset[FlatPosting], nDocs: Long,
+                  partitions: Int = 32): Dataset[BlockRow] = {
+    import spark.implicits._
+    // df per term; only hot terms (df > SaltTarget) need salting — by Zipf
+    // there are few of them, so the salt-span map broadcasts.
+    val hot = flat.groupBy("term").count()
+      .filter($"count" > SaltTarget)
+      .as[(String, Long)].collect()
+      .map { case (t, df) =>
+        val shards = math.ceil(df.toDouble / SaltTarget).toLong
+        t -> math.max(1L, math.ceil(nDocs.toDouble / shards).toLong) // docId span per shard
+      }.toMap
+    val bcHot = spark.sparkContext.broadcast(hot)
+    val salted = flat.map { p =>
+      val span = bcHot.value.getOrElse(p.term, Long.MaxValue)
+      (p.docId / span, p)
+    }
+    salted
+      .repartition(partitions, $"_1", $"_2.term")
+      .sortWithinPartitions($"_2.term", $"_1", $"_2.docId")
+      .mapPartitions { it =>
+        // stream: group consecutive (term, salt) runs, cut 128-posting blocks
+        new Iterator[BlockRow] {
+          private val in = it.buffered
+          private var pending: Iterator[BlockRow] = Iterator.empty
+          private def refill(): Unit = {
+            while (!pending.hasNext && in.hasNext) {
+              val (salt, head) = in.head
+              val group = scala.collection.mutable.ArrayBuffer.empty[PostingCodec.Posting]
+              while (in.hasNext && in.head._2.term == head.term && in.head._1 == salt) {
+                val p = in.next()._2
+                group += PostingCodec.Posting(p.docId, p.tf, p.positions,
+                  p.starts.zip(p.ends))
+              }
+              pending = PostingCodec.encode(head.term, group.iterator).map(b =>
+                BlockRow(b.term, b.prevDocId, b.firstDocId, b.lastDocId, b.n,
+                  b.docIds, b.tfs, b.positions, b.offsets))
+            }
+          }
+          def hasNext: Boolean = { refill(); pending.hasNext }
+          def next(): BlockRow = { refill(); pending.next() }
+        }
+      }
+  }
+
+  final case class TermStat(term: String, df: Long, cf: Long)
+
+  /** Per-term document frequency + collection frequency — partial+final
+    * (map-side combine) aggregation, no skew issue. */
+  def termStats(flat: Dataset[FlatPosting]): Dataset[TermStat] = {
+    import flat.sparkSession.implicits._
+    flat.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"))
+      .as[TermStat]
+  }
+
+  /** Full build: writes docstore/, doclen/, postings/, termstats/ under
+    * `indexDir`, with a manifest per stage + a snapshot manifest. Resumable:
+    * committed stages are skipped on re-run. */
+  def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
+            partitions: Int = 32): Unit = {
+    import spark.implicits._
+    val docs = assignDocIds(spark, corpus, partitions)
+
+    if (!Manifest.isCommitted(indexDir, "docstore")) {
+      docs.write.mode("overwrite").parquet(s"$indexDir/docstore")
+      Manifest.commit(spark, indexDir, "docstore")
+    }
+    val docstore = spark.read.parquet(s"$indexDir/docstore").as[DocRow]
+    val nDocs = docstore.count()
+
+    if (!Manifest.isCommitted(indexDir, "doclen")) {
+      docLengths(docstore).write.mode("overwrite").parquet(s"$indexDir/doclen")
+      Manifest.commit(spark, indexDir, "doclen")
+    }
+
+    val flat = flatPostings(docstore)
+    if (!Manifest.isCommitted(indexDir, "termstats")) {
+      termStats(flat).write.mode("overwrite").parquet(s"$indexDir/termstats")
+      Manifest.commit(spark, indexDir, "termstats")
+    }
+    if (!Manifest.isCommitted(indexDir, "postings")) {
+      buildBlocks(spark, flat, nDocs, partitions)
+        .write.mode("overwrite").parquet(s"$indexDir/postings")
+      Manifest.commit(spark, indexDir, "postings")
+    }
+    Manifest.commitSnapshot(spark, indexDir, nDocs)
+    docs.unpersist()
+  }
+}

@@ -1,0 +1,129 @@
+package graft.index
+
+import graft.core.{Delta, Varint}
+
+/** One encoded posting block: up to [[PostingCodec.BlockSize]] postings of a
+  * single term, in ascending docId, with the per-block skip metadata the
+  * reference keeps in its skip list (reference "cozy box" + skip entries:
+  * `flash_engine_dumper.h:51-119,331-525`, `flash_containers.h:236-308`;
+  * in-memory analog `posting_list_delta.h:397-570`).
+  *
+  * Columnar-per-term layout like the reference: four independent value
+  * streams (docids / tfs / positions / offsets) so non-phrase queries never
+  * touch positions ("read as needed" — parquet column pruning is the Spark
+  * analog of the reference's lazy offset decode `flash_iterators.h:711-769`).
+  *
+  *  - docIds: delta-gap vs `prevDocId` (the skip entry's prev-doc-id,
+  *    seeded 0 for the first block, `flash_containers.h:22`), varint.
+  *  - tfs: raw varint.
+  *  - positions: per posting `varint(n)` then within-posting delta varints
+  *    starting from 0 (`flash_engine_dumper.h:456-461`).
+  *  - offsets: per posting `varint(n)` then delta-encoded interleaved
+  *    (start,end) varints starting from 0.
+  */
+final case class PostingBlock(
+    term: String,
+    prevDocId: Int,   // skip metadata: last docId of the previous block (0 for first)
+    firstDocId: Int,  // skip metadata: block min docId
+    lastDocId: Int,   // skip metadata: block max docId
+    n: Int,
+    docIds: Array[Byte],
+    tfs: Array[Byte],
+    positions: Array[Byte],
+    offsets: Array[Byte])
+
+object PostingCodec {
+
+  /** Postings per block — the reference's vacuum pack/skip interval
+    * (`packed_value.h:13`, PACK_ITEM_CNT=128). */
+  val BlockSize = 128
+
+  final case class Posting(docId: Int, tf: Int, positions: Array[Int], offsets: Array[(Int, Int)])
+
+  /** Encode one term's postings (ascending docId, strictly increasing —
+    * `posting_list_delta.h:412-415`) into blocks. `prevDocId` seeds the
+    * first block's delta base (0 at list start; when a hot term is salted
+    * into docId-range shards, the shard's base is the previous shard's last
+    * docId — callers pass it in). */
+  def encode(term: String, postings: Iterator[Posting], basePrevDocId: Int = 0): Iterator[PostingBlock] = {
+    val grouped = postings.grouped(BlockSize)
+    var prev = basePrevDocId
+    grouped.map { group =>
+      val arr = group.toArray
+      val ids = arr.map(_.docId)
+      require(ids.length == 1 || ids.sliding(2).forall(p => p(1) > p(0)),
+        s"postings for '$term' not strictly increasing")
+      val docIdBytes = Varint.encodeAll(Delta.encode(ids, prev))
+      val tfBytes = Varint.encodeAll(arr.map(_.tf))
+      val posB = scala.collection.mutable.ArrayBuilder.make[Byte]
+      val offB = scala.collection.mutable.ArrayBuilder.make[Byte]
+      arr.foreach { p =>
+        Varint.encode(p.positions.length, posB)
+        Delta.encode(p.positions).foreach(Varint.encode(_, posB))
+        Varint.encode(p.offsets.length, offB)
+        var prevS = 0
+        var prevE = 0
+        p.offsets.foreach { case (s, e) =>
+          Varint.encode(s - prevS, offB); Varint.encode(e - prevE, offB)
+          prevS = s; prevE = e
+        }
+      }
+      val blk = PostingBlock(term, prev, ids.head, ids.last, arr.length,
+        docIdBytes, tfBytes, posB.result(), offB.result())
+      prev = ids.last
+      blk
+    }
+  }
+
+  /** Decode only (docId, tf) — the scoring path; positions/offsets untouched. */
+  def decodeDocIdTf(prevDocId: Int, n: Int, docIds: Array[Byte], tfs: Array[Byte]): Array[(Int, Int)] = {
+    val ids = Delta.decode(Varint.decodeAll(docIds, n), prevDocId)
+    val tf = Varint.decodeAll(tfs, n)
+    Array.tabulate(n)(i => (ids(i), tf(i)))
+  }
+
+  /** Decode per-posting position lists (phrase path only). */
+  def decodePositions(n: Int, positions: Array[Byte]): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](n)
+    var off = 0
+    var i = 0
+    while (i < n) {
+      val (np, o1) = Varint.decodeOne(positions, off)
+      off = o1
+      val deltas = new Array[Int](np)
+      var j = 0
+      while (j < np) {
+        val (d, o2) = Varint.decodeOne(positions, off)
+        deltas(j) = d; off = o2; j += 1
+      }
+      out(i) = Delta.decode(deltas)
+      i += 1
+    }
+    out
+  }
+
+  /** Decode per-posting offset pair lists (snippet path only). */
+  def decodeOffsets(n: Int, offsets: Array[Byte]): Array[Array[(Int, Int)]] = {
+    val out = new Array[Array[(Int, Int)]](n)
+    var off = 0
+    var i = 0
+    while (i < n) {
+      val (np, o1) = Varint.decodeOne(offsets, off)
+      off = o1
+      val pairs = new Array[(Int, Int)](np)
+      var prevS = 0
+      var prevE = 0
+      var j = 0
+      while (j < np) {
+        val (ds, o2) = Varint.decodeOne(offsets, off)
+        val (de, o3) = Varint.decodeOne(offsets, o2)
+        prevS += ds; prevE += de
+        pairs(j) = (prevS, prevE)
+        off = o3; j += 1
+      }
+      out(i) = pairs
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,203 @@
+package graft.query
+
+import graft.core.{Bm25, LenByte}
+import graft.index.PostingCodec
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BM25 top-k serving over the block-encoded index — the Spark
+  * re-expression of the reference's query path
+  * (`vacuum_engine.h:201-258` → `query_processing.h:956-979` dispatch →
+  * k-way leapfrog → lossy BM25 → bounded heap).
+  *
+  * Plan shape (all Catalyst-planned):
+  *   1. term lookup (P1): `postings.filter(term IN queryTerms)` — pushed to
+  *     the parquet scan; blocks are written term-sorted so row-group min/max
+  *     prune everything else. Query terms are broadcast, never shuffled.
+  *   2. skip pruning (J3 analog): block rows are pruned by
+  *     [firstDocId,lastDocId] overlap with the rarest term's block ranges
+  *     before any payload decode.
+  *   3. decode (P3): only (docIds, tfs) columns decoded for scoring;
+  *     `positions` is touched only by the phrase path — parquet column
+  *     pruning keeps it unread ("read as needed").
+  *   4. conjunctive intersection (J2): groupBy(docId) with count(distinct
+  *     term) == nTerms — an equi-join on docId realized as one hash
+  *     aggregation, partial/final, no join ordering issue at any arity.
+  *   5. lossy BM25 (F5-F7): join with the (docId, lenByte) table, sum of
+  *     idf·tfNormLossy per doc.
+  *   6. exact global top-k (A5/O2/O3): orderBy(score desc, docId asc)
+  *     limit k — Spark plans TakeOrderedAndProject: per-partition bounded
+  *     heaps merged on the driver, the same partial/final shape as the
+  *     reference's per-query heap (tie rule per SURVEY.md §8.4).
+  */
+object Searcher {
+
+  final case class Hit(docId: Int, score: Double, rank: Int)
+
+  final case class LoadedIndex(spark: SparkSession, indexDir: String, nDocs: Long,
+                               avgLen: Double, lossyCache: Array[Double]) {
+    def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
+    def termstats: DataFrame = spark.read.parquet(s"$indexDir/termstats")
+    def doclen: DataFrame = spark.read.parquet(s"$indexDir/doclen")
+    def docstore: DataFrame = spark.read.parquet(s"$indexDir/docstore")
+  }
+
+  def load(spark: SparkSession, indexDir: String): LoadedIndex = {
+    import spark.implicits._
+    // nDocs and exact avg: integer sum / count — deterministic at any
+    // parallelism (no FP accumulation-order dependence).
+    val (n, sumLen) = spark.read.parquet(s"$indexDir/doclen")
+      .agg(count(lit(1)), sum($"len").cast("long")).as[(Long, Long)].head()
+    val avg = if (n == 0) 0.0 else sumLen.toDouble / n
+    LoadedIndex(spark, indexDir, n, avg, Bm25.lossyCache(avg))
+  }
+
+  /** Conjunctive (optionally phrase) BM25 top-k for one query.
+    * Returns (docId, score, rank), rank 1-based. */
+  def search(ix: LoadedIndex, queryTerms: Seq[String], k: Int,
+             phrase: Boolean = false): Dataset[Hit] = {
+    val spark = ix.spark
+    import spark.implicits._
+    val terms = queryTerms.distinct
+    if (terms.isEmpty || k <= 0) return spark.emptyDataset[Hit]
+
+    // (P1/P2) df per query term from the broadcast-sized termstats; empty
+    // result if any term is absent (`qq_mem_engine.h:345-347`).
+    val dfs: Map[String, Long] = ix.termstats
+      .filter($"term".isin(terms: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    if (terms.exists(t => !dfs.contains(t))) return spark.emptyDataset[Hit]
+    val idfs: Map[String, Double] = dfs.map { case (t, df) => t -> Bm25.idf(ix.nDocs, df) }
+
+    // (J3 skip analog) rarest term's block ranges bound the candidate docId
+    // space; other terms' blocks outside those ranges are pruned pre-decode.
+    val rarest = dfs.minBy(_._2)._1
+    val blocks = ix.postings.filter($"term".isin(terms: _*))
+    val rarestRanges: Array[(Int, Int)] =
+      if (terms.size > 1)
+        blocks.filter($"term" === rarest).select("firstDocId", "lastDocId")
+          .as[(Int, Int)].collect().sortBy(_._1)
+      else Array.empty
+    val bcRanges = spark.sparkContext.broadcast(rarestRanges)
+    val pruned =
+      if (terms.size > 1) {
+        val overlaps = udf { (first: Int, last: Int) =>
+          val r = bcRanges.value
+          // binary search: any range overlapping [first,last]?
+          var lo = 0; var hi = r.length - 1; var found = false
+          while (lo <= hi && !found) {
+            val mid = (lo + hi) >>> 1
+            if (r(mid)._2 < first) lo = mid + 1
+            else if (r(mid)._1 > last) hi = mid - 1
+            else found = true
+          }
+          found
+        }
+        blocks.filter($"term" === rarest || overlaps($"firstDocId", $"lastDocId"))
+      } else blocks
+
+    // (P3) decode scoring columns only; positions stay unread unless phrase.
+    val posting: Dataset[(String, Int, Int)] = // (term, docId, tf)
+      pruned.select("term", "prevDocId", "n", "docIds", "tfs")
+        .as[(String, Int, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs) =>
+          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
+        }
+
+    val nTerms = terms.size
+    val bcIdf = spark.sparkContext.broadcast(idfs)
+
+    // (J2) conjunctive AND + per-term partial scores in one aggregation.
+    val cache = ix.lossyCache
+    val bcCache = spark.sparkContext.broadcast(cache)
+    val lenByteOf = ix.doclen.select($"docId", $"lenByte")
+
+    val matched =
+      if (!phrase) posting
+      else {
+        // (J4) phrase path: decode positions for candidate docs and keep
+        // only docs where adjusted positions intersect.
+        val termIdx: Map[String, Int] = queryTerms.zipWithIndex.toMap
+        val bcTermIdx = spark.sparkContext.broadcast(termIdx)
+        val withPos = pruned
+          .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
+          .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+          .flatMap { case (t, prev, n, ids, tfs, pos) =>
+            val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+            val ps = PostingCodec.decodePositions(n, pos)
+            dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i)) }
+          }
+        withPos.groupByKey(_._2)
+          .flatMapGroups { (docId, rows) =>
+            val byTerm = rows.toArray.groupBy(_._1)
+            if (byTerm.size == bcTermIdx.value.size) {
+              val ordered = bcTermIdx.value.toSeq.sortBy(_._2)
+                .map { case (t, _) => byTerm(t).head }
+              if (graft.core.Oracle.phraseMatch(ordered.map(_._4)))
+                ordered.iterator.map(r => (r._1, r._2, r._3))
+              else Iterator.empty
+            } else Iterator.empty
+          }
+      }
+
+    val scoreUdf = udf { (term: String, tf: Int, lenByte: Int) =>
+      bcIdf.value(term) * Bm25.tfNormLossy(tf.toLong, lenByte, bcCache.value)
+    }
+    // one hash aggregation does both the conjunctive AND (count of distinct
+    // matched terms — posting lists carry one row per (term,doc)) and the
+    // score sum; then TakeOrderedAndProject = partial heaps + driver merge.
+    matched.toDF("term", "docId", "tf")
+      .join(lenByteOf, "docId")
+      .withColumn("partScore", scoreUdf($"term", $"tf", $"lenByte"))
+      .groupBy($"docId")
+      .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
+      .filter($"nMatched" === nTerms)
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+      .select($"docId".cast("int"), $"score")
+      .as[(Int, Double)]
+      .collect()
+      .zipWithIndex
+      .map { case ((d, s), i) => Hit(d, s, i + 1) }
+      .toSeq.toDS()
+  }
+
+  /** Batch search: many queries at once — one Spark job for the whole query
+    * set (queryId, terms). Used by the bench. */
+  def searchAll(ix: LoadedIndex, queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    val spark = ix.spark
+    import spark.implicits._
+    val allTerms = queries.flatMap(_._2).distinct
+    val dfs: Map[String, Long] = ix.termstats
+      .filter($"term".isin(allTerms: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val idfs = dfs.map { case (t, d) => t -> Bm25.idf(ix.nDocs, d) }
+    val bcIdf = spark.sparkContext.broadcast(idfs)
+    val bcCache = spark.sparkContext.broadcast(ix.lossyCache)
+    // only queries whose terms all exist can match (P2 guard)
+    val live = queries.filter(_._2.forall(dfs.contains))
+    val q = live.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t, ts.distinct.size)) }
+      .toDF("queryId", "term", "nTerms")
+    val posting = ix.postings.filter($"term".isin(allTerms: _*))
+      .select("term", "prevDocId", "n", "docIds", "tfs")
+      .as[(String, Int, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (t, prev, n, ids, tfs) =>
+        PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
+      }.toDF("term", "docId", "tf")
+    val scoreUdf = udf { (term: String, tf: Int, lenByte: Int) =>
+      bcIdf.value(term) * Bm25.tfNormLossy(tf.toLong, lenByte, bcCache.value)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"queryId").orderBy(desc("score"), asc("docId"))
+    posting
+      .join(broadcast(q), "term")
+      .join(ix.doclen.select("docId", "lenByte"), "docId")
+      .withColumn("partScore", scoreUdf($"term", $"tf", $"lenByte"))
+      .groupBy($"queryId", $"docId", $"nTerms")
+      .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
+      .filter($"nMatched" === $"nTerms")
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"queryId", $"rank", $"docId", $"score")
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import graft.core._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style sweeps are seeded-random (scalatestplus bridge is not in
+  * the offline cache; plain deterministic sweeps serve the same purpose). */
+class CodecSpec extends AnyFunSuite {
+  private def randomArrays(seed: Long, rounds: Int, maxVal: Int): Seq[Array[Int]] = {
+    val r = new scala.util.Random(seed)
+    (0 until rounds).map(_ => Array.fill(r.nextInt(300))(r.nextInt(maxVal) & Int.MaxValue))
+  }
+
+  test("varint roundtrip sweep (tests_4.cc analog)") {
+    val vals = Array(0, 1, 127, 128, 300, 16383, 16384, 1 << 20, Int.MaxValue)
+    assert(Varint.decodeAll(Varint.encodeAll(vals), vals.length).sameElements(vals))
+    randomArrays(1L, 50, Int.MaxValue).foreach { a =>
+      assert(Varint.decodeAll(Varint.encodeAll(a), a.length).sameElements(a))
+    }
+  }
+
+  test("delta roundtrip on sorted sequences") {
+    randomArrays(2L, 50, 1 << 30).foreach { a0 =>
+      val sorted = a0.distinct.sorted
+      assert(Delta.decode(Delta.encode(sorted)).sameElements(sorted))
+      assert(Delta.decode(Delta.encode(sorted, 7), 7).sameElements(sorted))
+    }
+  }
+
+  test("bitpack roundtrip (tests_9/tests_16 analog)") {
+    val groups = Seq(
+      Array.fill(128)(0), Array.fill(128)(1), Array.tabulate(128)(i => i * 3),
+      Array.fill(5)(Int.MaxValue), Array(0, 1 << 30, 5), Array.empty[Int])
+    (groups ++ randomArrays(3L, 50, Int.MaxValue)).foreach { g =>
+      assert(BitPack.unpack(BitPack.pack(g)).sameElements(g))
+    }
+  }
+
+  test("length byte goldens (tests_8.cc:25-49)") {
+    assert(LenByte.encode(0L) == 0)
+    assert(LenByte.encode(7L) == 7)
+    assert(LenByte.encode(8L) == 0x08)
+    assert(LenByte.encode(0x80L) == 0x28)
+    assert(LenByte.encode(0xffffffffL) == ((29 << 3) | 7))
+    assert(LenByte.decode(0x28) == 0x80L)
+    assert(LenByte.decode((29 << 3) | 7) == 0xf0000000L)
+  }
+
+  test("length byte lossy is idempotent and bounded") {
+    val r = new scala.util.Random(4L)
+    val vs = (0L to 300L) ++ Seq.fill(500)(r.nextLong() & 0xffffffffL)
+    vs.foreach { v =>
+      val l = LenByte.lossy(v)
+      assert(LenByte.lossy(l) == l)
+      assert(l <= v)
+    }
+  }
+
+  test("sha256 known vector") {
+    assert(Sha256.hex("abc") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+  }
+}
+
+class Bm25Spec extends AnyFunSuite {
+  private def f3(d: Double): String = { // reference's 3-sig-fig format_double
+    val bd = BigDecimal(d).round(new java.math.MathContext(3))
+    bd.toString
+  }
+
+  test("idf goldens vs Elasticsearch (tests_8.cc:65-122)") {
+    assert(f3(Bm25.idf(1, 1)) == "0.288")
+    assert(f3(Bm25.idf(3, 1)) == "0.981")
+  }
+
+  test("tfnorm goldens") {
+    assert(math.abs(Bm25.tfNorm(1, 3, 3.0) - 1.0) < 1e-9)
+    assert(f3(Bm25.tfNorm(1, 2, 8.0 / 3.0)) == "1.11")
+  }
+
+  test("whole-doc score goldens (tests_2.cc:162-245)") {
+    val docs = Seq(
+      Oracle.Doc(0, "hello world"),
+      Oracle.Doc(1, "hello wisconsin"),
+      Oracle.Doc(2, "hello world big world"))
+    val ix = new Oracle.Index(docs)
+    val wis = Oracle.search(ix, Seq("wisconsin"), 10)
+    assert(wis.map(_.docId) == Seq(1))
+    assert(f3(wis.head.score) == "1.09")
+    val hello = Oracle.search(ix, Seq("hello"), 10)
+    assert(math.abs(hello.find(_.docId == 0).get.score - 0.149) < 0.001)
+    val hw = Oracle.search(ix, Seq("hello", "world"), 10)
+    assert(math.abs(hw.find(_.docId == 0).get.score - 0.672) < 0.001)
+  }
+
+  test("lossy cache matches direct lossy tfnorm") {
+    val cache = Bm25.lossyCache(42.5)
+    (0 until 256).foreach { b =>
+      assert(math.abs(Bm25.tfNormLossy(3, b, cache) - Bm25.tfNormLossy(3, b, 42.5)) < 1e-12)
+    }
+  }
+}
+
+class OracleSpec extends AnyFunSuite {
+
+  test("top-k with length-skewed docs (tests_5.cc:26-53)") {
+    // 5 docs, same tf=3 for term 'x', lengths (5-i)*10 for doc i:
+    // shorter doc => higher score => order {4,3,2,1,0}; top-2 => {4,3}
+    val docs = (0 until 5).map { i =>
+      val len = (5 - i) * 10
+      Oracle.Doc(i, (Seq.fill(3)("x") ++ Seq.fill(len - 3)(s"pad$i")).mkString(" "))
+    }
+    val ix = new Oracle.Index(docs)
+    assert(Oracle.search(ix, Seq("x"), 5).map(_.docId) == Seq(4, 3, 2, 1, 0))
+    assert(Oracle.search(ix, Seq("x"), 2).map(_.docId) == Seq(4, 3))
+  }
+
+  test("phrase position tables (tests_5.cc:56-115)") {
+    // hello=[1,5,11,19], world=[2,8,20] => adjacent at 1 and 19
+    assert(Oracle.phraseMatch(Seq(Array(1, 5, 11, 19), Array(2, 8, 20))))
+    // "world again" with no adjacency => no match
+    assert(!Oracle.phraseMatch(Seq(Array(2, 8, 20), Array(0, 5, 10))))
+  }
+
+  test("missing term => empty (conjunctive guard)") {
+    val ix = new Oracle.Index(Seq(Oracle.Doc(0, "a b c")))
+    assert(Oracle.search(ix, Seq("a", "zzz"), 5).isEmpty)
+  }
+
+  test("posting iteration golden (iter_test_3_docs_tf)") {
+    val docs = Seq(Oracle.Doc(0, "a"), Oracle.Doc(1, "a a b"), Oracle.Doc(2, "a b c"))
+    val ix = new Oracle.Index(docs)
+    assert(ix.postings("a").map(p => (p._1, p._2)).toSeq == Seq((0, 1), (1, 2), (2, 1)))
+    assert(ix.df("a") == 3 && ix.df("b") == 2 && ix.df("c") == 1)
+  }
+
+  test("tokenizer semantics") {
+    val toks = Tokenizer.tokenize("Foo(bar, baz_2); if x>1 return")
+    assert(toks.map(_.term).toSeq == Seq("foo", "bar", "baz_2", "if", "x", "1", "return"))
+    assert(toks.head.position == 0 && toks.head.start == 0 && toks.head.end == 3)
+    val g = Tokenizer.grouped("a b a")
+    assert(g.map(_._1).toSeq == Seq("a", "b"))
+    assert(g(0)._2.toSeq == Seq(0, 2)) // positions of 'a'
+  }
+}
