@@ -96,15 +96,15 @@ object IndexBuilder {
     * shards. Returns the block dataset (sorted by term within partitions so
     * parquet row-group min/max prune term lookups). */
   def buildBlocks(spark: SparkSession, flat: Dataset[FlatPosting], nDocs: Long,
-                  partitions: Int = 32): Dataset[BlockRow] = {
+                  partitions: Int = 32, saltTarget: Int = SaltTarget): Dataset[BlockRow] = {
     import spark.implicits._
-    // df per term; only hot terms (df > SaltTarget) need salting — by Zipf
+    // df per term; only hot terms (df > saltTarget) need salting — by Zipf
     // there are few of them, so the salt-span map broadcasts.
     val hot = flat.groupBy("term").count()
-      .filter($"count" > SaltTarget)
+      .filter($"count" > saltTarget)
       .as[(String, Long)].collect()
       .map { case (t, df) =>
-        val shards = math.ceil(df.toDouble / SaltTarget).toLong
+        val shards = math.ceil(df.toDouble / saltTarget).toLong
         t -> math.max(1L, math.ceil(nDocs.toDouble / shards).toLong) // docId span per shard
       }.toMap
     val bcHot = spark.sparkContext.broadcast(hot)

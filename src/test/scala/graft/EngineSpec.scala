@@ -1,0 +1,185 @@
+package graft
+
+import graft.core.Oracle
+import graft.corpus.CorpusGen
+import graft.index.{IndexBuilder, PostingCodec}
+import graft.query.Searcher
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end differential test: the distributed Spark pipeline must be
+  * rank-identical (docIds exact, scores within the reference's own 0.001
+  * tolerance — `types.h:287-289`; we assert a much tighter 1e-9) against the
+  * single-JVM oracle port, mirroring the reference's engine-vs-engine
+  * differential tests (`tests_15.cc:158-211`).
+  */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val tmp = java.nio.file.Files.createTempDirectory("graft_ix").toString
+  private val NDocs = 1000L
+
+  private lazy val built: Unit = {
+    val corpus = CorpusGen.generate(spark, NDocs, seed = 42L, partitions = 8)
+    IndexBuilder.build(spark, corpus, tmp, partitions = 8)
+  }
+  private lazy val ix = { built; Searcher.load(spark, tmp) }
+
+  /** Oracle over the same docs with the same docIds (rank over repo,path). */
+  private lazy val oracle: Oracle.Index = {
+    val rows = (0L until NDocs).map(id => CorpusGen.row(42L, id))
+    val sorted = rows.sortBy(r => (r._1, r._2)) // (repo, path)
+    new Oracle.Index(sorted.zipWithIndex.map { case (r, i) => Oracle.Doc(i, r._5) })
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+  }
+
+  test("index stats match oracle") {
+    import spark.implicits._
+    assert(ix.nDocs == NDocs)
+    assert(math.abs(ix.avgLen - oracle.avgLen) < 1e-9)
+    val sparkStats = ix.termstats.select("term", "df").as[(String, Long)].collect().toMap
+    val oracleDf = oracle.postings.view.mapValues(_.length.toLong).toMap
+    assert(sparkStats.size == oracleDf.size)
+    // spot-check hot + rare terms
+    Seq("if", "return", "int", "val").foreach { t =>
+      assert(sparkStats(t) == oracleDf(t), s"df mismatch for '$t'")
+    }
+    assert(sparkStats == oracleDf)
+  }
+
+  test("posting blocks decode to the oracle's posting lists (incl. salted hot terms)") {
+    import spark.implicits._
+    for (term <- Seq("if", "return", "epsilon", "fn_5_0")) {
+      val blocks = ix.postings.filter($"term" === term)
+        .select("prevDocId", "n", "docIds", "tfs", "firstDocId")
+        .as[(Int, Int, Array[Byte], Array[Byte], Int)]
+        .collect().sortBy(_._5)
+      val decoded = blocks.flatMap { case (prev, n, ids, tfs, _) =>
+        PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+      }
+      val expected = oracle.postings.getOrElse(term, Array.empty).map(p => (p._1, p._2))
+      assert(decoded.toSeq == expected.toSeq, s"postings mismatch for '$term'")
+    }
+  }
+
+  test("doc lengths and sha256 invariant") {
+    import spark.implicits._
+    val lens = ix.doclen.select("docId", "len").as[(Int, Int)].collect().toMap
+    assert(lens.size == NDocs)
+    oracle.docLen.foreach { case (d, l) => assert(lens(d) == l, s"len mismatch doc $d") }
+    // sha256(content) recomputed over the docstore equals the stored ingest sha
+    val bad = ix.docstore
+      .withColumn("recomputed", org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.col("content"), 256))
+      .filter("recomputed <> sha256").count()
+    assert(bad == 0)
+  }
+
+  test("BM25 top-10 rank-identical vs oracle on the reference-style query mix") {
+    val queries = TestQueries.mix
+    var checked = 0
+    queries.foreach { q =>
+      val got = Searcher.search(ix, q, 10).collect().sortBy(_.rank)
+      val want = Oracle.search(oracle, q, 10)
+      assert(got.length == want.length, s"result size mismatch for $q: ${got.toSeq} vs $want")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.docId == w.docId, s"docId mismatch for $q at rank ${g.rank}: ${got.toSeq} vs $want")
+        assert(math.abs(g.score - w.score) < 1e-9, s"score mismatch for $q")
+      }
+      checked += 1
+    }
+    assert(checked == queries.size)
+  }
+
+  test("phrase query matches oracle") {
+    // 'return' followed by a zipf word occurs in many docs; also a never-
+    // adjacent pair must return empty.
+    val phrases = Seq(Seq("if", "return"), Seq("return", "val"), Seq("int", "fn_0_0"))
+    phrases.foreach { p =>
+      val got = Searcher.search(ix, p, 10, phrase = true).collect().sortBy(_.rank)
+      val want = Oracle.search(oracle, p, 10, phrase = true)
+      assert(got.map(_.docId).toSeq == want.map(_.docId),
+        s"phrase $p: ${got.toSeq} vs $want")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+  }
+
+  test("batch searchAll agrees with per-query search") {
+    import spark.implicits._
+    val queries = TestQueries.mix.zipWithIndex.map { case (q, i) => (i, q) }
+    val all = Searcher.searchAll(ix, queries, 10)
+      .as[(Int, Int, Int, Double)].collect()
+      .groupBy(_._1)
+    queries.foreach { case (qid, terms) =>
+      val want = Oracle.search(oracle, terms, 10)
+      val got = all.getOrElse(qid, Array.empty).sortBy(_._2)
+      assert(got.map(_._3).toSeq == want.map(_.docId), s"batch mismatch q$qid $terms")
+    }
+  }
+
+  test("docId assignment is identical at different parallelism (N vs 4N)") {
+    import spark.implicits._
+    val corpus = CorpusGen.generate(spark, 500, seed = 7L, partitions = 4)
+    val a = IndexBuilder.assignDocIds(spark, corpus, partitions = 2)
+      .select("docId", "path").as[(Int, String)].collect().toMap
+    val b = IndexBuilder.assignDocIds(spark, corpus, partitions = 8)
+      .select("docId", "path").as[(Int, String)].collect().toMap
+    assert(a == b)
+    assert(a.keys.min == 0 && a.keys.max == 499 && a.size == 500) // dense, no holes
+  }
+
+  test("hot-term salting shards blocks by docId range and decodes in order") {
+    import spark.implicits._
+    built
+    val docstore = spark.read.parquet(s"$tmp/docstore").as[IndexBuilder.DocRow]
+    val flat = IndexBuilder.flatPostings(docstore)
+    // force salting: everything with df > 64 gets sharded
+    val blocks = IndexBuilder.buildBlocks(spark, flat, NDocs, partitions = 8, saltTarget = 64)
+    val ifBlocks = blocks.filter($"term" === "if")
+      .select("prevDocId", "n", "docIds", "tfs", "firstDocId", "lastDocId")
+      .as[(Int, Int, Array[Byte], Array[Byte], Int, Int)]
+      .collect().sortBy(_._5)
+    assert(ifBlocks.length > 1, "expected 'if' to be split into multiple blocks")
+    // shards are disjoint ascending ranges; concatenated decode == oracle list
+    ifBlocks.sliding(2).foreach { w =>
+      if (w.length == 2) assert(w(0)._6 < w(1)._5 || w(0)._6 < w(1)._6)
+    }
+    val decoded = ifBlocks.flatMap { case (prev, n, ids, tfs, _, _) =>
+      PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+    }
+    val expected = oracle.postings("if").map(p => (p._1, p._2))
+    assert(decoded.toSeq == expected.toSeq)
+  }
+
+  test("build is resumable: committed stages are skipped") {
+    // second build over the same dir must not fail and must keep results
+    val corpus = CorpusGen.generate(spark, NDocs, seed = 42L, partitions = 8)
+    IndexBuilder.build(spark, corpus, tmp, partitions = 8)
+    assert(Searcher.load(spark, tmp).nDocs == NDocs)
+  }
+}
+
+object TestQueries {
+  /** Deterministic query mix mirroring the AOL arity stats
+    * (`data/AOL_QueryLog_analysis/stat.txt`): 1–4 terms, hot/medium/rare,
+    * plus an absent term (empty result expected). */
+  val mix: Seq[Seq[String]] = Seq(
+    Seq("if"), Seq("return"), Seq("epsilon"), Seq("posting"),
+    Seq("if", "return"), Seq("val", "index"), Seq("score", "rank"),
+    Seq("if", "return", "int"), Seq("hash", "seed", "mask"),
+    Seq("if", "val", "def", "for"),
+    Seq("fn_1_0"), Seq("fn_10_0", "if"),
+    Seq("if", "nosuchterm_xyz"))
+}
