@@ -267,14 +267,16 @@ object SparkEntry {
       docs(s, dir).select((col("doc_id") +: cols): _*).orderBy("doc_id")
     },
 
-    // minhash LSH candidate pairs (4 bands of 2)
+    // minhash LSH candidate pairs (4 bands of 2). The signature table is
+    // cached: the md5-heavy sig expression is evaluated once per doc, not
+    // once per band per join side.
     "dedup_minhash_pairs" -> { (s, dir) =>
       val sig = Dedup.minhashSig(col("text"), n = 3, sigLen = 8)
-      val base = docs(s, dir).select(col("doc_id"), sig.as("sig"))
-      val bands = (0 until 4).map { b =>
-        base.select(col("doc_id"), lit(b.toLong).as("band"),
-          md5(concat_ws("|", slice(col("sig"), lit(b * 2 + 1), lit(2)))).as("bkey"))
-      }.reduce(_ unionAll _)
+      val base = docs(s, dir).select(col("doc_id"), sig.as("sig")).cache()
+      val bands = base.select(col("doc_id"), posexplode(
+        array((0 until 4).map(b =>
+          md5(concat_ws("|", slice(col("sig"), lit(b * 2 + 1), lit(2))))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
       bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
         .filter(col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

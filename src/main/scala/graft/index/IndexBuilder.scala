@@ -35,9 +35,18 @@ object IndexBuilder {
                             n: Int, docIds: Array[Byte], tfs: Array[Byte],
                             positions: Array[Byte], offsets: Array[Byte])
 
-  /** Max postings a salted (term, shard) group should hold; terms with
-    * df above this are split into contiguous docId ranges. */
-  val SaltTarget = 1 << 16
+  /** Max postings a salted (term, shard) group should hold; terms with df
+    * above this are split into contiguous docId ranges. This is the
+    * work-quantum of the encode stage: smaller shards → better balance
+    * (a hot term's list is encoded by many tasks in parallel), at the cost
+    * of a larger broadcast span map (|terms with df>target| ≤
+    * totalPostings/target, so the map stays bounded). 8K postings ≈ 64
+    * blocks per shard. */
+  val SaltTarget = 1 << 13
+
+  /** Target flat postings per encode-stage shuffle partition (sized so the
+    * per-task sort stays in memory). */
+  val PostingsPerPartition = 300000L
 
   /** Deterministic dense docId: global rank over (repo, path).
     *
@@ -107,6 +116,13 @@ object IndexBuilder {
         val shards = math.ceil(df.toDouble / saltTarget).toLong
         t -> math.max(1L, math.ceil(nDocs.toDouble / shards).toLong) // docId span per shard
       }.toMap
+    buildBlocksWithSpans(spark, flat, hot, partitions)
+  }
+
+  /** Block encode given a precomputed hot-term docId-span map. */
+  def buildBlocksWithSpans(spark: SparkSession, flat: Dataset[FlatPosting],
+                           hot: Map[String, Long], partitions: Int): Dataset[BlockRow] = {
+    import spark.implicits._
     val bcHot = spark.sparkContext.broadcast(hot)
     val salted = flat.map { p =>
       val span = bcHot.value.getOrElse(p.term, Long.MaxValue)
@@ -151,37 +167,73 @@ object IndexBuilder {
       .as[TermStat]
   }
 
-  /** Full build: writes docstore/, doclen/, postings/, termstats/ under
-    * `indexDir`, with a manifest per stage + a snapshot manifest. Resumable:
-    * committed stages are skipped on re-run. */
+  /** Full build: writes docstore/, tokenized/, doclen/, termstats/,
+    * postings/ under `indexDir`, with a manifest per stage + a snapshot
+    * manifest. Resumable: committed stages are skipped on re-run.
+    *
+    * Single-tokenize design: the corpus is tokenized exactly once (the
+    * `tokenized/` stage); doc lengths (Σ tf per doc = total token count),
+    * term stats, and the salted block encode all derive from that
+    * materialized stage — no repeated tokenize passes, and each stage is a
+    * resume point (the reference's two-binary QQ-dump → Vacuum-convert
+    * pipeline collapsed into checkpointed Spark stages, SURVEY.md §3.3). */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
             partitions: Int = 32): Unit = {
     import spark.implicits._
-    val docs = assignDocIds(spark, corpus, partitions)
 
     if (!Manifest.isCommitted(indexDir, "docstore")) {
-      docs.write.mode("overwrite").parquet(s"$indexDir/docstore")
+      val docs = assignDocIds(spark, corpus, partitions)
+      docs.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore")
+      docs.unpersist()
       Manifest.commit(spark, indexDir, "docstore")
     }
     val docstore = spark.read.parquet(s"$indexDir/docstore").as[DocRow]
-    val nDocs = docstore.count()
+
+    if (!Manifest.isCommitted(indexDir, "tokenized")) {
+      flatPostings(docstore).write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/tokenized")
+      Manifest.commit(spark, indexDir, "tokenized")
+    }
+    // scoring path never needs positions/offsets — column pruning applies
+    val flat = spark.read.parquet(s"$indexDir/tokenized").as[FlatPosting]
 
     if (!Manifest.isCommitted(indexDir, "doclen")) {
-      docLengths(docstore).write.mode("overwrite").parquet(s"$indexDir/doclen")
+      // doc length = total token count = Σ tf over the doc's terms
+      flat.groupBy("docId").agg(sum($"tf").cast("int").as("len"))
+        .withColumn("lenByte", udf((l: Int) => LenByte.encode(l.toLong)).apply($"len"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/doclen")
       Manifest.commit(spark, indexDir, "doclen")
     }
 
-    val flat = flatPostings(docstore)
     if (!Manifest.isCommitted(indexDir, "termstats")) {
-      termStats(flat).write.mode("overwrite").parquet(s"$indexDir/termstats")
+      flat.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats")
       Manifest.commit(spark, indexDir, "termstats")
     }
+
+    val nDocs = Manifest.stageRows(indexDir, "doclen")
+      .getOrElse(spark.read.parquet(s"$indexDir/doclen").count())
     if (!Manifest.isCommitted(indexDir, "postings")) {
-      buildBlocks(spark, flat, nDocs, partitions)
-        .write.mode("overwrite").parquet(s"$indexDir/postings")
+      // hot-term spans come from the committed termstats — no extra df pass
+      val stats = spark.read.parquet(s"$indexDir/termstats")
+      val hot = stats
+        .filter($"df" > SaltTarget).select("term", "df").as[(String, Long)].collect()
+        .map { case (t, df) =>
+          val shards = math.ceil(df.toDouble / SaltTarget).toLong
+          t -> math.max(1L, math.ceil(nDocs.toDouble / shards).toLong)
+        }.toMap
+      // partition count sized by data, not cores: each sort partition holds
+      // ~PostingsPerPartition postings so the per-task sort never spills and
+      // cores stay saturated with 2-4 waves (the 100 TB knob — at cluster
+      // scale this grows into the tens of thousands of partitions)
+      val totalPostings = Manifest.stageRows(indexDir, "tokenized")
+        .getOrElse(stats.agg(sum($"df")).as[Long].head())
+      val blockParts = math.min(4096L,
+        math.max(partitions.toLong, totalPostings / PostingsPerPartition)).toInt
+      buildBlocksWithSpans(spark, flat, hot, blockParts)
+        .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings")
       Manifest.commit(spark, indexDir, "postings")
     }
     Manifest.commitSnapshot(spark, indexDir, nDocs)
-    docs.unpersist()
   }
 }

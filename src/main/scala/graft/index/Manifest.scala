@@ -33,8 +33,11 @@ object Manifest {
       try s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toList
       finally s.close()
     } else Nil
+    // per-file row counts straight from parquet footers on the driver —
+    // zero Spark jobs (manifest commits must not add fixed overhead that
+    // caps scaling efficiency)
     val entries = files.map { f =>
-      val rows = try spark.read.parquet(f.toString).count() catch { case _: Throwable => -1L }
+      val rows = parquetRowCount(f)
       s"""{"file":"${f.getFileName}","rows":$rows,"bytes":${Files.size(f)}}"""
     }
     val json =
@@ -44,6 +47,30 @@ object Manifest {
     Files.writeString(tmp, json)
     Files.move(tmp, manifestPath(indexDir, stage), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Row count from the parquet footer (driver-side, no job). */
+  def parquetRowCount(f: java.nio.file.Path): Long = {
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.hadoop.conf.Configuration
+    import scala.jdk.CollectionConverters._
+    try {
+      val in = HadoopInputFile.fromPath(new HPath(f.toString), new Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally r.close()
+    } catch { case _: Throwable => -1L }
+  }
+
+  /** Total committed rows of a stage, from its manifest (no job). */
+  def stageRows(indexDir: String, stage: String): Option[Long] = {
+    if (!isCommitted(indexDir, stage)) None
+    else {
+      val json = Files.readString(manifestPath(indexDir, stage))
+      val rows = """"rows":(-?\d+)""".r.findAllMatchIn(json).map(_.group(1).toLong).toSeq
+      if (rows.isEmpty || rows.contains(-1L)) None else Some(rows.sum)
+    }
   }
 
   /** Top-level snapshot manifest once all stages are committed. */

@@ -51,7 +51,10 @@ object Dedup {
                         n: Int = 3, sigLen: Int = 8, bands: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
     val rows = sigLen / bands
+    // cache: the sig expression is md5-heavy; evaluate once per doc, not per
+    // band per join side
     val withSig = df.select(col(idCol).as("id"), minhashSig(col(textCol), n, sigLen).as("sig"))
+      .cache()
     val banded = withSig.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
