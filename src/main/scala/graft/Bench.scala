@@ -20,11 +20,17 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = SparkSession.builder()
+  private def session(cpus: Int, aqe: Boolean = true): SparkSession = SparkSession.builder()
     .master(s"local[$cpus]")
     .appName(s"graft-bench-$cpus")
     .config("spark.sql.shuffle.partitions", cpus.toString)
-    .config("spark.sql.adaptive.enabled", "true")
+    // AQE off for the build: partition counts are already data-sized by the
+    // builder, and AQE's per-stage re-planning barriers add fixed latency
+    // that caps scaling efficiency at bench scale
+    .config("spark.sql.adaptive.enabled", aqe.toString)
+    // read-split size small enough that parallelism never degenerates to
+    // the input file count
+    .config("spark.sql.files.maxPartitionBytes", "33554432")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
@@ -47,7 +53,7 @@ object Bench {
     * materialized parquet corpus (the north rule measures indexing an
     * existing source table; corpus synthesis is not part of the job). */
   private def indexRun(cpus: Int, corpusDir: String, dir: String): Double = {
-    val spark = session(cpus)
+    val spark = session(cpus, aqe = false)
     try {
       spark.sparkContext.setLogLevel("WARN")
       val corpus = spark.read.parquet(corpusDir)
@@ -119,23 +125,85 @@ object Bench {
     }
     val qps = queryMix.size / searchSec
 
-    // oracle match rate (top-10 rank-identical, score tol 0.001)
-    val oracleDocs = {
-      val rows = (0L until benchDocs).map(id => CorpusGen.row(42L, id))
-      rows.sortBy(r => (r._1, r._2)).zipWithIndex
-        .map { case (r, i) => Oracle.Doc(i, r._5) }
-    }
-    val oix = new Oracle.Index(oracleDocs)
-    val byQ = batch.groupBy(_._1)
-    val matches = queryMix.count { case (qid, terms) =>
-      val want = Oracle.search(oix, terms, 10)
-      val got = byQ.getOrElse(qid, Array.empty).sortBy(_._2)
-      got.length == want.length &&
-        got.zip(want).forall { case (g, w) =>
-          g._3 == w.docId && math.abs(g._4 - w.score) <= 0.001
+    // oracle match rate (top-10 rank-identical, score tol 0.001): a lean
+    // single-JVM oracle tracking only the query-mix terms (thread-parallel
+    // tokenize; full corpus lengths + per-doc tfs for those terms)
+    val matchRate = {
+      val qTerms = queryMix.flatMap(_._2).distinct
+      val qIdx = qTerms.zipWithIndex.toMap
+      val nT = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nT)
+      try {
+        val rows = {
+          val out = new Array[(String, String, String)](benchDocs.toInt) // (repo, path, content)
+          val futs = (0 until nT).map { t =>
+            pool.submit(new Runnable {
+              def run(): Unit = {
+                var id = t.toLong
+                while (id < benchDocs) {
+                  val r = CorpusGen.row(42L, id)
+                  out(id.toInt) = (r._1, r._2, r._5)
+                  id += nT
+                }
+              }
+            })
+          }
+          futs.foreach(_.get())
+          out.sortBy(r => (r._1, r._2))
         }
+        val lens = new Array[Int](rows.length)
+        val tfs = Array.fill(qTerms.size)(new java.util.concurrent.ConcurrentHashMap[Int, Int]())
+        val futs2 = (0 until nT).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var d = t
+              while (d < rows.length) {
+                val terms = graft.core.Tokenizer.terms(rows(d)._3)
+                lens(d) = terms.length
+                terms.foreach { w =>
+                  qIdx.get(w).foreach(i => tfs(i).merge(d, 1, (a, b) => a + b))
+                }
+                d += nT
+              }
+            }
+          })
+        }
+        futs2.foreach(_.get())
+        val nDocs = rows.length.toLong
+        val avg = lens.map(_.toLong).sum.toDouble / nDocs
+        val cache = graft.core.Bm25.lossyCache(avg)
+        def oracleTopK(terms: Seq[String], k: Int): Seq[Oracle.Hit] = {
+          val maps = terms.map(t => tfs(qIdx(t)))
+          if (maps.exists(_.isEmpty)) return Nil
+          val smallest = maps.minBy(_.size)
+          val idfs = terms.map(t => graft.core.Bm25.idf(nDocs, tfs(qIdx(t)).size.toLong))
+          import scala.jdk.CollectionConverters._
+          val hits = smallest.keySet.asScala.toArray.sorted.flatMap { d =>
+            if (maps.forall(_.containsKey(d))) {
+              val lb = graft.core.LenByte.encode(lens(d).toLong)
+              var s = 0.0
+              var i = 0
+              while (i < maps.size) {
+                s += idfs(i) * graft.core.Bm25.tfNormLossy(maps(i).get(d).toLong, lb, cache)
+                i += 1
+              }
+              Some(Oracle.Hit(d, s))
+            } else None
+          }
+          Oracle.topK(hits, k)
+        }
+        val byQ = batch.groupBy(_._1)
+        val matches = queryMix.count { case (qid, terms) =>
+          val want = oracleTopK(terms, 10)
+          val got = byQ.getOrElse(qid, Array.empty).sortBy(_._2)
+          got.length == want.length &&
+            got.zip(want).forall { case (g, w) =>
+              g._3 == w.docId && math.abs(g._4 - w.score) <= 0.001
+            }
+        }
+        matches.toDouble / queryMix.size
+      } finally pool.shutdown()
     }
-    val matchRate = matches.toDouble / queryMix.size
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

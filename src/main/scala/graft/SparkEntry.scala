@@ -47,7 +47,9 @@ object SparkEntry {
       .as[(Int, String)]
       .flatMap { case (id, text) =>
         Tokenizer.grouped(text).iterator.map { case (term, ps, os) =>
-          IndexBuilder.FlatPosting(term, id, ps.length, ps, os.map(_._1), os.map(_._2))
+          IndexBuilder.FlatPosting(term, id, ps.length,
+            PostingCodec.encodePositionsBlob(ps),
+            PostingCodec.encodeOffsetsBlob(os.map(_._1), os.map(_._2)))
         }
       }
     IndexBuilder.buildBlocks(s, flat, n, partitions = 8).toDF()

@@ -29,7 +29,7 @@ object IndexBuilder {
   final case class DocRow(docId: Int, repo: String, path: String, commit: String,
                           lang: String, sha256: String, content: String)
   final case class FlatPosting(term: String, docId: Int, tf: Int,
-                               positions: Array[Int], starts: Array[Int], ends: Array[Int])
+                               posBlob: Array[Byte], offBlob: Array[Byte])
   final case class DocLen(docId: Int, len: Int, lenByte: Int)
   final case class BlockRow(term: String, prevDocId: Int, firstDocId: Int, lastDocId: Int,
                             n: Int, docIds: Array[Byte], tfs: Array[Byte],
@@ -72,12 +72,15 @@ object IndexBuilder {
     var acc = 0L
     (0 until nParts).foreach { p => offsets(p) = acc; acc += counts.getOrElse(p, 0) }
     val bc = spark.sparkContext.broadcast(offsets)
-    sorted.mapPartitions { it =>
+    val docs = sorted.mapPartitions { it =>
       val base = bc.value(org.apache.spark.TaskContext.getPartitionId())
       it.zipWithIndex.map { case ((repo, path, commit, lang, sha, content), i) =>
         DocRow((base + i).toInt, repo, path, commit, lang, sha, content)
       }
-    }
+    }.persist()
+    docs.count() // materialize from the sorted cache, then release it
+    sorted.unpersist()
+    docs
   }
 
   /** Tokenize → per-(doc, unique-term) flat postings with positions+offsets.
@@ -87,7 +90,9 @@ object IndexBuilder {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
       Tokenizer.grouped(d.content).iterator.map { case (term, ps, os) =>
-        FlatPosting(term, d.docId, ps.length, ps, os.map(_._1), os.map(_._2))
+        FlatPosting(term, d.docId, ps.length,
+          PostingCodec.encodePositionsBlob(ps),
+          PostingCodec.encodeOffsetsBlob(os.map(_._1), os.map(_._2)))
       }
     }
   }
@@ -142,8 +147,7 @@ object IndexBuilder {
               val group = scala.collection.mutable.ArrayBuffer.empty[PostingCodec.Posting]
               while (in.hasNext && in.head._2.term == head.term && in.head._1 == salt) {
                 val p = in.next()._2
-                group += PostingCodec.Posting(p.docId, p.tf, p.positions,
-                  p.starts.zip(p.ends))
+                group += PostingCodec.Posting(p.docId, p.tf, p.posBlob, p.offBlob)
               }
               pending = PostingCodec.encode(head.term, group.iterator).map(b =>
                 BlockRow(b.term, b.prevDocId, b.firstDocId, b.lastDocId, b.n,
@@ -180,40 +184,48 @@ object IndexBuilder {
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
             partitions: Int = 32): Unit = {
     import spark.implicits._
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      if (profile) println(f"BUILD_STAGE $name%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
 
-    if (!Manifest.isCommitted(indexDir, "docstore")) {
+    var docsInMem: Option[Dataset[DocRow]] = None
+    timed("docstore") { if (!Manifest.isCommitted(indexDir, "docstore")) {
       val docs = assignDocIds(spark, corpus, partitions)
       docs.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore")
-      docs.unpersist()
+      docsInMem = Some(docs) // still persisted — tokenize reuses it
       Manifest.commit(spark, indexDir, "docstore")
-    }
-    val docstore = spark.read.parquet(s"$indexDir/docstore").as[DocRow]
+    }}
+    val docstore = docsInMem.getOrElse(spark.read.parquet(s"$indexDir/docstore").as[DocRow])
 
-    if (!Manifest.isCommitted(indexDir, "tokenized")) {
+    timed("tokenized") { if (!Manifest.isCommitted(indexDir, "tokenized")) {
       flatPostings(docstore).write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/tokenized")
       Manifest.commit(spark, indexDir, "tokenized")
-    }
+    }}
+    docsInMem.foreach(_.unpersist())
     // scoring path never needs positions/offsets — column pruning applies
     val flat = spark.read.parquet(s"$indexDir/tokenized").as[FlatPosting]
 
-    if (!Manifest.isCommitted(indexDir, "doclen")) {
+    timed("doclen") { if (!Manifest.isCommitted(indexDir, "doclen")) {
       // doc length = total token count = Σ tf over the doc's terms
       flat.groupBy("docId").agg(sum($"tf").cast("int").as("len"))
         .withColumn("lenByte", udf((l: Int) => LenByte.encode(l.toLong)).apply($"len"))
         .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/doclen")
       Manifest.commit(spark, indexDir, "doclen")
-    }
+    }}
 
-    if (!Manifest.isCommitted(indexDir, "termstats")) {
+    timed("termstats") { if (!Manifest.isCommitted(indexDir, "termstats")) {
       flat.groupBy("term")
         .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"))
         .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats")
       Manifest.commit(spark, indexDir, "termstats")
-    }
+    }}
 
     val nDocs = Manifest.stageRows(indexDir, "doclen")
       .getOrElse(spark.read.parquet(s"$indexDir/doclen").count())
-    if (!Manifest.isCommitted(indexDir, "postings")) {
+    timed("postings") { if (!Manifest.isCommitted(indexDir, "postings")) {
       // hot-term spans come from the committed termstats — no extra df pass
       val stats = spark.read.parquet(s"$indexDir/termstats")
       val hot = stats
@@ -233,7 +245,7 @@ object IndexBuilder {
       buildBlocksWithSpans(spark, flat, hot, blockParts)
         .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings")
       Manifest.commit(spark, indexDir, "postings")
-    }
+    }}
     Manifest.commitSnapshot(spark, indexDir, nDocs)
   }
 }

@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.corpus.CorpusGen
+import graft.index.IndexBuilder
+import org.apache.spark.sql.SparkSession
+
+/** Dev: `GenCorpus n dir` writes a corpus parquet; `BuildProfile cpus
+  * corpusDir ixDir` times build() from it (set SPARK_GRAFT_PROFILE=1 for
+  * stage times). */
+object GenCorpus {
+  def main(args: Array[String]): Unit = {
+    val n = args(0).toLong
+    val dir = args(1)
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    CorpusGen.generate(spark, n, 42L, 32).write.mode("overwrite").parquet(dir)
+    spark.stop()
+  }
+}
+
+object BuildProfile {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val corpusDir = args(1)
+    val ixDir = args(2)
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t0 = System.nanoTime()
+    IndexBuilder.build(spark, spark.read.parquet(corpusDir), ixDir, cpus)
+    println(f"BUILD_TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
