@@ -1,0 +1,78 @@
+package graft.query
+
+import graft.core.{Bm25, Tokenizer}
+
+/** Snippet generation — the analog of the reference's `SimpleHighlighter`
+  * (A6/F11: `highlighter.h:303-434`, sentence break `highlighter.h:118-196`):
+  * split the doc into sentence passages, score each by a BM25-ish
+  * `tfNorm(freq, len)` summed over matched query terms and damped by a
+  * passage-start norm (earlier passages preferred), keep the top
+  * `maxPassages` by bounded heap, and wrap matched terms in <b></b>.
+  *
+  * The exact passage-norm constants are not contractual (the reference's own
+  * numbers are heuristic); the structure — sentence segmentation, per-passage
+  * bounded-heap top-k, lazy offsets — is. Deterministic by construction.
+  */
+object Highlighter {
+
+  final case class Passage(start: Int, end: Int, score: Double)
+
+  /** Sentence boundaries: split after [.!?;] runs or newlines (F11 analog).
+    * Returns [start, end) char spans covering the whole text. */
+  def sentences(text: String): Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[(Int, Int)]
+    var start = 0
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (c == '.' || c == '!' || c == '?' || c == ';' || c == '\n') {
+        var j = i + 1
+        while (j < n && (text.charAt(j) == ' ' || text.charAt(j) == '\n')) j += 1
+        if (i + 1 > start) out += ((start, i + 1))
+        start = j
+        i = j
+      } else i += 1
+    }
+    if (start < n) out += ((start, n))
+    val res = out.result()
+    if (res.isEmpty) Array((0, n)) else res
+  }
+
+  /** Top-`maxPassages` scored passages for the query terms. */
+  def topPassages(text: String, queryTerms: Set[String],
+                  maxPassages: Int = 3, avgPassageLen: Double = 20.0): Seq[Passage] = {
+    val spans = sentences(text)
+    val scored = spans.flatMap { case (s, e) =>
+      val toks = Tokenizer.tokenize(text.substring(s, e))
+      val freqs = toks.iterator.map(_.term).filter(queryTerms.contains)
+        .foldLeft(Map.empty[String, Int]) { (m, t) => m.updated(t, m.getOrElse(t, 0) + 1) }
+      if (freqs.isEmpty) None
+      else {
+        val len = math.max(1, toks.length)
+        val tfScore = freqs.valuesIterator.map(f => Bm25.tfNorm(f.toLong, len.toLong, avgPassageLen)).sum
+        val passageNorm = 1.0 + 1.0 / math.log(math.E + s / 64.0) // earlier passages slightly preferred
+        Some(Passage(s, e, tfScore * passageNorm))
+      }
+    }
+    // bounded-heap top-k, ties to earlier passage (A5 semantics)
+    scored.sortBy(p => (-p.score, p.start)).take(maxPassages).sortBy(_.start)
+  }
+
+  /** Snippet string: top passages joined with " … ", matched terms bolded. */
+  def snippet(text: String, queryTerms: Set[String], maxPassages: Int = 3): String = {
+    val ps = topPassages(text, queryTerms, maxPassages)
+    ps.map { p =>
+      val seg = text.substring(p.start, p.end)
+      val toks = Tokenizer.tokenize(seg).filter(t => queryTerms.contains(t.term))
+      val sb = new StringBuilder
+      var last = 0
+      toks.foreach { t =>
+        sb.append(seg.substring(last, t.start)).append("<b>")
+          .append(seg.substring(t.start, t.end)).append("</b>")
+        last = t.end
+      }
+      sb.append(seg.substring(last)).toString
+    }.mkString(" … ")
+  }
+}

@@ -119,7 +119,7 @@ object Searcher {
         // only docs where adjusted positions intersect.
         val termIdx: Map[String, Int] = queryTerms.zipWithIndex.toMap
         val bcTermIdx = spark.sparkContext.broadcast(termIdx)
-        val withPos = pruned
+        val withPos0 = pruned
           .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
           .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
           .flatMap { case (t, prev, n, ids, tfs, pos) =>
@@ -127,6 +127,32 @@ object Searcher {
             val ps = PostingCodec.decodePositions(n, pos)
             dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i)) }
           }
+        // (J5) bloom semi-join: if the two-way bloom store exists, prune
+        // docs whose per-(term,doc) "end" filters rule out an adjacent pair
+        // — lossy-positive, so the positional check below stays exact.
+        val bloomPath = s"${ix.indexDir}/bloom"
+        val withPos =
+          if (queryTerms.size > 1 &&
+              java.nio.file.Files.exists(java.nio.file.Paths.get(bloomPath))) {
+            val pairs = queryTerms.sliding(2).map(p => (p.head, p(1))).toSeq
+            val bcPairs = spark.sparkContext.broadcast(pairs)
+            val passing = spark.read.parquet(bloomPath)
+              .filter($"term".isin(pairs.map(_._1).distinct: _*))
+              .select("term", "docId", "endBits", "k")
+              .as[(String, Int, Array[Byte], Int)]
+              .groupByKey(_._2)
+              .flatMapGroups { (docId, rows) =>
+                val m = rows.map(r => r._1 -> new graft.index.Bloom.Filter(r._3, r._4)).toMap
+                val ok = bcPairs.value.forall { case (a, b) =>
+                  m.get(a).exists(_.mightContain(b))
+                }
+                if (ok) Iterator.single(docId) else Iterator.empty
+              }.toDF("docId")
+            withPos0.toDF("term", "docId", "tf", "pos")
+              .join(passing, "docId")
+              .select($"term", $"docId", $"tf", $"pos")
+              .as[(String, Int, Int, Array[Int])]
+          } else withPos0
         withPos.groupByKey(_._2)
           .flatMapGroups { (docId, rows) =>
             val byTerm = rows.toArray.groupBy(_._1)

@@ -163,6 +163,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(decoded.toSeq == expected.toSeq)
   }
 
+  test("bloom-pruned phrase path returns identical results (J5 lossy-safe)") {
+    built
+    graft.index.Bloom.buildStage(spark, tmp) // adds bloom/ to the index
+    val phrases = Seq(Seq("if", "return"), Seq("return", "val"), Seq("val", "def", "for"))
+    phrases.foreach { p =>
+      val got = Searcher.search(ix, p, 10, phrase = true).collect().sortBy(_.rank)
+      val want = Oracle.search(oracle, p, 10, phrase = true)
+      assert(got.map(_.docId).toSeq == want.map(_.docId), s"bloom phrase $p mismatch")
+    }
+  }
+
+  test("Engine facade: search with snippets and doc freqs") {
+    built
+    val eng = Engine.load(spark, tmp)
+    assert(eng.nDocs == NDocs)
+    val res = eng.search(Engine.SearchQuery(Seq("if", "return"), nResults = 5,
+      returnSnippets = true))
+    assert(res.entries.size == 5)
+    assert(res.docFreqs.contains("if") && res.docFreqs("if") > 0)
+    assert(res.entries.head.snippet.contains("<b>"))
+    val want = Oracle.search(oracle, Seq("if", "return"), 5)
+    assert(res.entries.map(_.docId) == want.map(_.docId))
+    // k=0 short-circuit (`qq_mem_engine.h:338-340`)
+    assert(eng.search(Engine.SearchQuery(Seq("if"), nResults = 0)).entries.isEmpty)
+  }
+
   test("build is resumable: committed stages are skipped") {
     // second build over the same dir must not fail and must keep results
     val corpus = CorpusGen.generate(spark, NDocs, seed = 42L, partitions = 8)

@@ -1,0 +1,186 @@
+package graft
+
+import graft.index.Bloom
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.query.Highlighter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class BloomSpec extends AnyFunSuite {
+  test("sizing matches standard formulas") {
+    val (m, k) = Bloom.sizing(5, 0.0009)
+    assert(m > 5 && k >= 1 && k <= 16)
+  }
+
+  test("no false negatives; fp rate sane") {
+    val f = Bloom.newFilter()
+    val in = Seq("if", "return", "foo_bar", "x1")
+    in.foreach(f.add)
+    in.foreach(t => assert(f.mightContain(t)))
+    val probes = (0 until 2000).map(i => s"absent_$i")
+    val fps = probes.count(f.mightContain)
+    assert(fps < 100, s"fp count $fps too high") // ~0.09% expected, allow slack
+  }
+
+  test("murmur2 is deterministic and spreads") {
+    val h1 = Bloom.murmur2("hello".getBytes, 1)
+    assert(h1 == Bloom.murmur2("hello".getBytes, 1))
+    assert(h1 != Bloom.murmur2("hellp".getBytes, 1))
+  }
+}
+
+class HighlighterSpec extends AnyFunSuite {
+  test("sentence segmentation covers text") {
+    val t = "One two. Three four! Five"
+    val s = Highlighter.sentences(t)
+    assert(s.length == 3)
+    assert(s.head == (0, 8))
+    assert(t.substring(s(2)._1, s(2)._2) == "Five")
+  }
+
+  test("snippet bolds matched terms and picks matching passages") {
+    val t = "nothing here. the quick fox jumps. unrelated tail."
+    val sn = Highlighter.snippet(t, Set("fox", "quick"), 1)
+    assert(sn.contains("<b>quick</b>"))
+    assert(sn.contains("<b>fox</b>"))
+    assert(!sn.contains("nothing"))
+  }
+
+  test("passage scoring prefers denser match, ties to earlier") {
+    val t = "fox alone in a long sentence with many words here. fox fox dense."
+    val ps = Highlighter.topPassages(t, Set("fox"), 1)
+    assert(t.substring(ps.head.start, ps.head.end).contains("dense"))
+  }
+}
+
+class SimhashSpec extends AnyFunSuite {
+  test("simhash is deterministic, near-dup similar, distinct different") {
+    val a = graft.core.Tokenizer.terms("the quick brown fox jumps over the lazy dog repeatedly")
+    val b = graft.core.Tokenizer.terms("the quick brown fox jumps over the lazy cat repeatedly")
+    val c = graft.core.Tokenizer.terms("completely unrelated content about spark query engines")
+    val (ha, hb, hc) = (Dedup.simhash60(a), Dedup.simhash60(b), Dedup.simhash60(c))
+    assert(ha == Dedup.simhash60(a))
+    assert(Dedup.hamming60(ha, hb) < Dedup.hamming60(ha, hc))
+  }
+
+  test("winnowing fingerprints overlap for shared content") {
+    val base = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+    val a = TextOps.winnowingFingerprints(graft.core.Tokenizer.terms(base + " tail one"))
+    val b = TextOps.winnowingFingerprints(graft.core.Tokenizer.terms(base + " other end"))
+    assert(a.intersect(b).nonEmpty)
+    val c = TextOps.winnowingFingerprints(graft.core.Tokenizer.terms(
+      "nothing shared at all between these two documents right"))
+    assert(a.intersect(c).isEmpty)
+  }
+}
+
+class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (2L, "spark sql engines compile queries into whole stage generated java code"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+      (4L, "unrelated short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups duplicates") {
+    import spark.implicits._
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .filter($"n_dups" > 1).as[(String, Long, Long, Seq[Long])].collect()
+    assert(g.length == 1)
+    assert(g.head._3 == 0L && g.head._4 == Seq(0L, 3L))
+  }
+
+  test("minhash LSH finds near-dup pair, jaccard confirms") {
+    import spark.implicits._
+    val cand = Dedup.minhashCandidates(docs, "text", "doc_id", n = 3, sigLen = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cand.contains((0L, 3L))) // exact dups always collide
+    assert(cand.contains((0L, 1L)) || cand.contains((1L, 3L)), s"near-dup missed: $cand")
+    val j = Dedup.ngramJaccard(cand.toSeq.toDF("id_a", "id_b"), docs, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((0L, 3L)) == 1000000L)
+  }
+
+  test("simhash candidates include exact dups at hamming 0") {
+    import spark.implicits._
+    val c = Dedup.simhashCandidates(docs, "text", "doc_id")
+      .as[(Long, Long, Int)].collect()
+    assert(c.exists(r => r._1 == 0L && r._2 == 3L && r._3 == 0))
+  }
+
+  test("brute-force ANN self-similarity is 1.0") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e, "embedding", "vec_id",
+      Array(1.0, 0.0, 0.0), 3).as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(top.head._1 == 0L && top.head._2 == 1000000L)
+    assert(top(1)._1 == 1L)
+    assert(top(2)._1 == 2L && top(2)._2 == 0L)
+  }
+
+  test("LSH near-dup finds close vectors without all-pairs") {
+    import spark.implicits._
+    val vecs = (0 until 50).map { i =>
+      val base = if (i % 2 == 0) Array.fill(8)(1.0f) else Array.tabulate(8)(j => if (j == i % 8) 1.0f else -1.0f)
+      (i.toLong, base.zipWithIndex.map { case (v, j) => v + 0.01f * ((i * 7 + j) % 3) })
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.exactNearDup(vecs, "embedding", "vec_id", 990000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val lsh = Similarity.nearDupPairs(vecs, "embedding", "vec_id", 8, 990000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // LSH recall on this clustered data should be total (identical cluster)
+    assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
+  }
+
+  test("language id picks the marker-dominant language") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "the cat and the dog of the house"),
+      (1L, "le chat et la maison les arbres des idees"),
+      (2L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = TextOps.langId(d, "text", "doc_id")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out(0L) == "en" && out(1L) == "fr" && out(2L) == "unknown")
+  }
+
+  test("multimodal extract: plumbing real, decode stub deterministic") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", "fakejpegbytes".getBytes),
+      Multimodal.MediaRow(2L, "video", Array[Byte](1, 2, 3, 4, 5))).toDS()
+    val out = Multimodal.extract(rows).collect().sortBy(_.media_id)
+    assert(out.length == 2)
+    assert(out(0).n_bytes == 13)
+    assert(out(0).sha256 == graft.core.Sha256.hex("fakejpegbytes"))
+    assert(out(0).feature.length == 8)
+    assert(math.abs(out(0).feature.sum - 1.0f) < 1e-5) // L1-normalized histogram
+    val again = Multimodal.extract(rows).collect().sortBy(_.media_id)
+    assert(out(0).width == again(0).width && out(1).n_frames == again(1).n_frames)
+  }
+
+  test("quality features: exact integer semantics") {
+    import spark.implicits._
+    val d = Seq((0L, "Hello, world! the end")).toDF("doc_id", "text")
+    val r = TextOps.qualityFeatures(d, "text", "doc_id").collect().head
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Long]("stopword_ratio_micro") == 250000L) // 'the' 1/4
+  }
+}
