@@ -1,6 +1,6 @@
 package graft.index
 
-import graft.core.{Delta, Varint}
+import graft.core.{BitPack, Delta, Varint}
 
 /** One encoded posting block: up to [[PostingCodec.BlockSize]] postings of a
   * single term, in ascending docId, with the per-block skip metadata the
@@ -77,6 +77,24 @@ object PostingCodec {
     * first block's delta base (0 at list start; when a hot term is salted
     * into docId-range shards, the shard's base is the previous shard's last
     * docId — callers pass it in). */
+  /** Value-stream framing: full 128-posting blocks are bit-packed at the
+    * group's max width (the reference's pack format, `packed_value.h:87-128`,
+    * width rule `utils.h:286-294`); partial tail blocks stay varint (the
+    * reference's "vints tail", `flash_engine_dumper.h:78-104`). First byte
+    * tags the framing. */
+  private val TagVarint: Byte = 0
+  private val TagPacked: Byte = 1
+
+  private def frame(vals: Array[Int]): Array[Byte] =
+    if (vals.length == BlockSize) TagPacked +: BitPack.pack(vals)
+    else TagVarint +: Varint.encodeAll(vals)
+
+  private def unframe(bytes: Array[Byte], n: Int): Array[Int] = {
+    val body = java.util.Arrays.copyOfRange(bytes, 1, bytes.length)
+    if (bytes(0) == TagPacked) BitPack.unpack(body)
+    else Varint.decodeAll(body, n)
+  }
+
   def encode(term: String, postings: Iterator[Posting], basePrevDocId: Int = 0): Iterator[PostingBlock] = {
     val grouped = postings.grouped(BlockSize)
     var prev = basePrevDocId
@@ -85,8 +103,8 @@ object PostingCodec {
       val ids = arr.map(_.docId)
       require(ids.length == 1 || ids.sliding(2).forall(p => p(1) > p(0)),
         s"postings for '$term' not strictly increasing")
-      val docIdBytes = Varint.encodeAll(Delta.encode(ids, prev))
-      val tfBytes = Varint.encodeAll(arr.map(_.tf))
+      val docIdBytes = frame(Delta.encode(ids, prev))
+      val tfBytes = frame(arr.map(_.tf))
       val posB = scala.collection.mutable.ArrayBuilder.make[Byte]
       val offB = scala.collection.mutable.ArrayBuilder.make[Byte]
       arr.foreach { p => posB ++= p.posBlob; offB ++= p.offBlob }
@@ -99,8 +117,8 @@ object PostingCodec {
 
   /** Decode only (docId, tf) — the scoring path; positions/offsets untouched. */
   def decodeDocIdTf(prevDocId: Int, n: Int, docIds: Array[Byte], tfs: Array[Byte]): Array[(Int, Int)] = {
-    val ids = Delta.decode(Varint.decodeAll(docIds, n), prevDocId)
-    val tf = Varint.decodeAll(tfs, n)
+    val ids = Delta.decode(unframe(docIds, n), prevDocId)
+    val tf = unframe(tfs, n)
     Array.tabulate(n)(i => (ids(i), tf(i)))
   }
 
