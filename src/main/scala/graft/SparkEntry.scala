@@ -274,7 +274,11 @@ object SparkEntry {
     // once per band per join side.
     "dedup_minhash_pairs" -> { (s, dir) =>
       val sig = Dedup.minhashSig(col("text"), n = 3, sigLen = 8)
-      val base = docs(s, dir).select(col("doc_id"), sig.as("sig")).cache()
+      // bounded doc subset: the synthetic corpus's tiny vocabulary makes LSH
+      // buckets collide heavily at larger SFs (quadratic pair blowup); the
+      // engine-side variant with bucket caps is Dedup.minhashCandidates
+      val base = docs(s, dir).filter(col("doc_id") < 1000)
+        .select(col("doc_id"), sig.as("sig")).cache()
       val bands = base.select(col("doc_id"), posexplode(
         array((0 until 4).map(b =>
           md5(concat_ws("|", slice(col("sig"), lit(b * 2 + 1), lit(2))))): _*)))
@@ -513,7 +517,8 @@ object SparkEntry {
       val bandRows = (0 until 4).map(b =>
         s"SELECT doc_id, ${b}::BIGINT band, md5(mh${b * 2} || '|' || mh${b * 2 + 1}) bkey FROM sig")
         .mkString(" UNION ALL ")
-      s"""WITH sig AS (SELECT doc_id, $comps FROM (SELECT doc_id, $SHING sh FROM documents)),
+      s"""WITH sig AS (SELECT doc_id, $comps FROM
+         |   (SELECT doc_id, $SHING sh FROM documents WHERE doc_id < 1000)),
          | bands AS ($bandRows)
          |SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
          |FROM bands a JOIN bands b USING (band, bkey)
