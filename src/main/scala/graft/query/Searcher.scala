@@ -105,11 +105,9 @@ object Searcher {
         }
 
     val nTerms = terms.size
-    val bcIdf = spark.sparkContext.broadcast(idfs)
 
     // (J2) conjunctive AND + per-term partial scores in one aggregation.
     val cache = ix.lossyCache
-    val bcCache = spark.sparkContext.broadcast(cache)
     val lenByteOf = ix.doclen.select($"docId", $"lenByte")
 
     val matched =
@@ -166,15 +164,20 @@ object Searcher {
           }
       }
 
-    val scoreUdf = udf { (term: String, tf: Int, lenByte: Int) =>
-      bcIdf.value(term) * Bm25.tfNormLossy(tf.toLong, lenByte, bcCache.value)
-    }
+    // Scoring is pure built-in Column arithmetic (no UDF → whole-stage
+    // codegen): idf via a broadcast (term, idf) join, the 256-entry lossy
+    // denominator cache as an array literal indexed by the length byte.
+    val idfDf = broadcast(idfs.toSeq.toDF("term", "idf"))
+    val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
+    val partScore = $"idf" *
+      ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
     // one hash aggregation does both the conjunctive AND (count of distinct
     // matched terms — posting lists carry one row per (term,doc)) and the
     // score sum; then TakeOrderedAndProject = partial heaps + driver merge.
     matched.toDF("term", "docId", "tf")
       .join(lenByteOf, "docId")
-      .withColumn("partScore", scoreUdf($"term", $"tf", $"lenByte"))
+      .join(idfDf, "term")
+      .withColumn("partScore", partScore)
       .groupBy($"docId")
       .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
       .filter($"nMatched" === nTerms)
@@ -198,8 +201,6 @@ object Searcher {
       .filter($"term".isin(allTerms: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
     val idfs = dfs.map { case (t, d) => t -> Bm25.idf(ix.nDocs, d) }
-    val bcIdf = spark.sparkContext.broadcast(idfs)
-    val bcCache = spark.sparkContext.broadcast(ix.lossyCache)
     // only queries whose terms all exist can match (P2 guard)
     val live = queries.filter(_._2.forall(dfs.contains))
     val q = live.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t, ts.distinct.size)) }
@@ -210,15 +211,17 @@ object Searcher {
       .flatMap { case (t, prev, n, ids, tfs) =>
         PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
       }.toDF("term", "docId", "tf")
-    val scoreUdf = udf { (term: String, tf: Int, lenByte: Int) =>
-      bcIdf.value(term) * Bm25.tfNormLossy(tf.toLong, lenByte, bcCache.value)
-    }
+    val idfDf = broadcast(idfs.toSeq.toDF("term", "idf"))
+    val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
+    val partScore = $"idf" *
+      ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"queryId").orderBy(desc("score"), asc("docId"))
     posting
       .join(broadcast(q), "term")
       .join(ix.doclen.select("docId", "lenByte"), "docId")
-      .withColumn("partScore", scoreUdf($"term", $"tf", $"lenByte"))
+      .join(idfDf, "term")
+      .withColumn("partScore", partScore)
       .groupBy($"queryId", $"docId", $"nTerms")
       .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
       .filter($"nMatched" === $"nTerms")
