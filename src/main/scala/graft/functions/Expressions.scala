@@ -1,0 +1,101 @@
+package graft.functions
+
+import graft.core.{Bm25, LenByte}
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the engine's scalar kernels — preferred
+  * over Scala UDFs because they participate in whole-stage codegen
+  * (`doGenCode` emits straight-line Java into the generated stage, no
+  * boxing/closure dispatch).
+  *
+  * - [[LenByteEncode]]: the reference's lossy 1-byte doc-length code (F4,
+  *   `utils.h:301-329`) as `int -> int` bit arithmetic.
+  * - [[Bm25Idf]]: `ln(1 + (N - df + 0.5)/(df + 0.5))` (F5, `scoring.h:21-25`).
+  *
+  * Registered for SQL via [[GraftExtensions]]
+  * (`SparkSession.builder.withExtensions(new GraftExtensions)`), or use the
+  * [[functions]] Column wrappers directly.
+  */
+case class LenByteEncode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_len_byte requires BIGINT, got ${child.dataType.simpleString}")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = LenByte.encode(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val nb = ctx.freshName("numBits")
+      val sh = ctx.freshName("shift")
+      s"""
+         |long v = $c & 0xffffffffL;
+         |int $nb = 64 - java.lang.Long.numberOfLeadingZeros(v);
+         |if ($nb < 4) {
+         |  ${ev.value} = (int) v;
+         |} else {
+         |  int $sh = $nb - 4;
+         |  ${ev.value} = (int) (((((v >>> $sh) & 0x07L) | ((long)($sh + 1) << 3)) & 0xffL));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LenByteEncode =
+    copy(child = newChild)
+}
+
+case class Bm25Idf(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_bm25_idf requires (BIGINT, BIGINT)")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(n: Any, df: Any): Any =
+    Bm25.idf(n.asInstanceOf[Long], df.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (n, df) =>
+      s"${ev.value} = java.lang.Math.log(1.0d + ($n - $df + 0.5d) / ($df + 0.5d));")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Bm25Idf =
+    copy(left = l, right = r)
+}
+
+/** Column wrappers via the public `call_function` API — requires
+  * [[GraftFunctions.register]] (or [[GraftExtensions]]) on the session. */
+object functions {
+  import org.apache.spark.sql.functions.call_function
+  def len_byte(c: Column): Column = call_function("graft_len_byte", c)
+  def bm25_idf(nDocs: Column, df: Column): Column =
+    call_function("graft_bm25_idf", nDocs, df)
+}
+
+/** SQL-side registration: `graft_len_byte(len)`, `graft_bm25_idf(n, df)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_len_byte"),
+        new ExpressionInfo(classOf[LenByteEncode].getName, "graft_len_byte"),
+        (args: Seq[Expression]) => LenByteEncode(args.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bm25_idf"),
+        new ExpressionInfo(classOf[Bm25Idf].getName, "graft_bm25_idf"),
+        (args: Seq[Expression]) => Bm25Idf(args(0), args(1))))
+  }
+}
+
+/** Imperative registration for an existing session (tests, REPL). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_len_byte", args => LenByteEncode(args.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bm25_idf", args => Bm25Idf(args(0), args(1)), "built-in")
+  }
+}
