@@ -37,7 +37,11 @@ object Searcher {
   final case class LoadedIndex(spark: SparkSession, indexDir: String, nDocs: Long,
                                avgLen: Double, lossyCache: Array[Double]) {
     def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
+    /** Aggregated across segments: an incrementally-built index (streaming
+      * appends) has one stats row per (term, segment). */
     def termstats: DataFrame = spark.read.parquet(s"$indexDir/termstats")
+      .groupBy("term")
+      .agg(sum("df").as("df"), sum("cf").as("cf"))
     def doclen: DataFrame = spark.read.parquet(s"$indexDir/doclen")
     def docstore: DataFrame = spark.read.parquet(s"$indexDir/docstore")
   }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.core.Oracle
+import graft.corpus.CorpusGen
+import graft.query.Searcher
+import graft.streaming.StreamingIndexer
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental (Structured Streaming) indexing: two micro-batches become two
+  * segments; the loaded index must behave exactly like a single-JVM oracle
+  * over the same docs in arrival order. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val root = java.nio.file.Files.createTempDirectory("graft_stream").toString
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("streamed segments equal oracle over arrival-ordered docs") {
+    import spark.implicits._
+    val in = s"$root/in"
+    val ix = s"$root/ix"
+    val cp = s"$root/cp"
+    // batch 1: docs 0..299 of the seed-42 corpus; batch 2: docs 300..499
+    val all = (0L until 500L).map(id => CorpusGen.row(42L, id))
+    def write(range: Seq[(String, String, String, String, String)], part: Int): Unit =
+      range.toDF("repo", "path", "commit", "lang", "content")
+        .withColumn("sha256", org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.col("content"), 256))
+        .coalesce(1).write.mode("append").parquet(in)
+
+    write(all.take(300), 1)
+    val q = StreamingIndexer.start(spark, in, ix, cp, partitions = 4)
+    q.processAllAvailable()
+    val mid = StreamingIndexer.committedDocs(ix)
+    assert(mid == 300)
+
+    write(all.drop(300), 2)
+    q.processAllAvailable()
+    q.stop()
+    assert(StreamingIndexer.committedDocs(ix) == 500)
+
+    // oracle: same docs, arrival order = batch1 sorted(repo,path) then batch2
+    val ordered =
+      all.take(300).sortBy(r => (r._1, r._2)) ++ all.drop(300).sortBy(r => (r._1, r._2))
+    val oracle = new Oracle.Index(ordered.zipWithIndex.map { case (r, i) => Oracle.Doc(i, r._5) })
+
+    val loaded = Searcher.load(spark, ix)
+    assert(loaded.nDocs == 500)
+    assert(math.abs(loaded.avgLen - oracle.avgLen) < 1e-9)
+    Seq(Seq("if"), Seq("if", "return"), Seq("hash", "seed", "mask")).foreach { terms =>
+      val got = Searcher.search(loaded, terms, 10).collect().sortBy(_.rank)
+      val want = Oracle.search(oracle, terms, 10)
+      assert(got.map(_.docId).toSeq == want.map(_.docId), s"mismatch for $terms")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+  }
+
+  test("re-running a committed segment is a no-op (idempotent)") {
+    import spark.implicits._
+    val ixDir = s"$root/ix"
+    val before = StreamingIndexer.committedDocs(ixDir)
+    val dummy = Seq(("r", "p", "c", "scala", "if return")).toDF("repo", "path", "commit", "lang", "content")
+    StreamingIndexer.appendSegment(spark, dummy, ixDir, segId = 0) // seg 0 already committed
+    assert(StreamingIndexer.committedDocs(ixDir) == before)
+  }
+}
