@@ -39,8 +39,15 @@ object SparkEntry {
 
   private val lossyLenUdf = udf { len: Long => LenByte.lossy(len) }
 
-  /** Engine posting blocks built over the documents table (docId = doc_id). */
-  private def docBlocks(s: SparkSession, dir: String): DataFrame = {
+  /** Engine posting blocks built over the documents table (docId = doc_id).
+    * Memoized per (session, dir): j3/s6/p1 all derive from the same blocks,
+    * so Verify/Bench build them once. */
+  private val blockCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def docBlocks(s: SparkSession, dir: String): DataFrame =
+    blockCache.getOrElseUpdate((s, dir), buildDocBlocks(s, dir).cache())
+
+  private def buildDocBlocks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = docs(s, dir).count()
     val flat = docs(s, dir).select(col("doc_id").cast("int").as("doc_id"), col("text"))

@@ -37,11 +37,24 @@ object Searcher {
   final case class LoadedIndex(spark: SparkSession, indexDir: String, nDocs: Long,
                                avgLen: Double, lossyCache: Array[Double]) {
     def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
-    /** Aggregated across segments: an incrementally-built index (streaming
-      * appends) has one stats row per (term, segment). */
-    def termstats: DataFrame = spark.read.parquet(s"$indexDir/termstats")
-      .groupBy("term")
-      .agg(sum("df").as("df"), sum("cf").as("cf"))
+    private def hasSegments: Boolean = {
+      val d = java.nio.file.Paths.get(indexDir, "termstats")
+      java.nio.file.Files.exists(d) && {
+        val s = java.nio.file.Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.exists(_.getFileName.toString.startsWith("seg="))
+        } finally s.close()
+      }
+    }
+    /** For an incrementally-built index (streaming segments) stats rows are
+      * per (term, segment) and need summing; a batch index skips the extra
+      * aggregation. */
+    def termstats: DataFrame = {
+      val raw = spark.read.parquet(s"$indexDir/termstats")
+      if (hasSegments) raw.groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
+      else raw
+    }
     def doclen: DataFrame = spark.read.parquet(s"$indexDir/doclen")
     def docstore: DataFrame = spark.read.parquet(s"$indexDir/docstore")
   }
