@@ -132,8 +132,6 @@ object Searcher {
       else {
         // (J4) phrase path: decode positions for candidate docs and keep
         // only docs where adjusted positions intersect.
-        val termIdx: Map[String, Int] = queryTerms.zipWithIndex.toMap
-        val bcTermIdx = spark.sparkContext.broadcast(termIdx)
         val withPos0 = pruned
           .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
           .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
@@ -168,14 +166,18 @@ object Searcher {
               .select($"term", $"docId", $"tf", $"pos")
               .as[(String, Int, Int, Array[Int])]
           } else withPos0
+        val bcQTerms = spark.sparkContext.broadcast(queryTerms)
         withPos.groupByKey(_._2)
           .flatMapGroups { (docId, rows) =>
             val byTerm = rows.toArray.groupBy(_._1)
-            if (byTerm.size == bcTermIdx.value.size) {
-              val ordered = bcTermIdx.value.toSeq.sortBy(_._2)
-                .map { case (t, _) => byTerm(t).head }
-              if (graft.core.Oracle.phraseMatch(ordered.map(_._4)))
-                ordered.iterator.map(r => (r._1, r._2, r._3))
+            val qts = bcQTerms.value
+            if (qts.distinct.forall(byTerm.contains)) {
+              // one position list per query SLOT (repeated terms reuse the
+              // same list at different adjusted shifts — `query_processing.h`
+              // leapfrogs per-slot, not per-unique-term)
+              val posLists = qts.map(t => byTerm(t).head._4)
+              if (graft.core.Oracle.phraseMatch(posLists))
+                byTerm.valuesIterator.map(_.head).map(r => (r._1, r._2, r._3))
               else Iterator.empty
             } else Iterator.empty
           }
@@ -184,7 +186,11 @@ object Searcher {
     // Scoring is pure built-in Column arithmetic (no UDF → whole-stage
     // codegen): idf via a broadcast (term, idf) join, the 256-entry lossy
     // denominator cache as an array literal indexed by the length byte.
-    val idfDf = broadcast(idfs.toSeq.toDF("term", "idf"))
+    // A repeated query term scores once PER SLOT (the reference walks one
+    // iterator per query term, `scoring.h:133-142`) — fold the multiplicity
+    // into the idf weight.
+    val idfDf = broadcast(
+      idfs.toSeq.map { case (t, v) => (t, v * queryTerms.count(_ == t)) }.toDF("term", "idf"))
     val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
     val partScore = $"idf" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
@@ -218,10 +224,14 @@ object Searcher {
       .filter($"term".isin(allTerms: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
     val idfs = dfs.map { case (t, d) => t -> Bm25.idf(ix.nDocs, d) }
-    // only queries whose terms all exist can match (P2 guard)
+    // only queries whose terms all exist can match (P2 guard); a repeated
+    // term scores once per slot → carry its multiplicity as a weight
     val live = queries.filter(_._2.forall(dfs.contains))
-    val q = live.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t, ts.distinct.size)) }
-      .toDF("queryId", "term", "nTerms")
+    val q = live.flatMap { case (qid, ts) =>
+      ts.groupBy(identity).toSeq.map { case (t, occ) =>
+        (qid, t, ts.distinct.size, occ.size)
+      }
+    }.toDF("queryId", "term", "nTerms", "w")
     val posting = ix.postings.filter($"term".isin(allTerms: _*))
       .select("term", "prevDocId", "n", "docIds", "tfs")
       .as[(String, Int, Int, Array[Byte], Array[Byte])]
@@ -230,9 +240,9 @@ object Searcher {
       }.toDF("term", "docId", "tf")
     val idfDf = broadcast(idfs.toSeq.toDF("term", "idf"))
     val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
-    val partScore = $"idf" *
+    val partScore = $"idf" * $"w" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
-    val w = org.apache.spark.sql.expressions.Window
+    val win = org.apache.spark.sql.expressions.Window
       .partitionBy($"queryId").orderBy(desc("score"), asc("docId"))
     posting
       .join(broadcast(q), "term")
@@ -242,7 +252,7 @@ object Searcher {
       .groupBy($"queryId", $"docId", $"nTerms")
       .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
       .filter($"nMatched" === $"nTerms")
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(win))
       .filter($"rank" <= k)
       .select($"queryId", $"rank", $"docId", $"score")
   }

@@ -105,8 +105,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("phrase query matches oracle") {
     // 'return' followed by a zipf word occurs in many docs; also a never-
-    // adjacent pair must return empty.
-    val phrases = Seq(Seq("if", "return"), Seq("return", "val"), Seq("int", "fn_0_0"))
+    // adjacent pair must return empty; repeated terms use per-slot shifts.
+    val phrases = Seq(Seq("if", "return"), Seq("return", "val"),
+      Seq("int", "fn_0_0"), Seq("if", "if"), Seq("val", "val"))
     phrases.foreach { p =>
       val got = Searcher.search(ix, p, 10, phrase = true).collect().sortBy(_.rank)
       val want = Oracle.search(oracle, p, 10, phrase = true)
