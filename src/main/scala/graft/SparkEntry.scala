@@ -158,10 +158,11 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // A2: posting-list build (term -> ascending doc ids)
+    // A2: posting-list build (term -> ascending doc ids; string-joined so
+    // the cross-engine hash never depends on array-type canonicalization)
     "a2_postings" -> ((s, dir) => tfTable(s, dir)
       .groupBy("term")
-      .agg(sort_array(collect_list(col("doc_id"))).as("doc_ids"),
+      .agg(concat_ws(",", sort_array(collect_list(col("doc_id")))).as("doc_ids"),
         count(lit(1)).cast("long").as("df"))
       .orderBy("term")),
 
@@ -441,7 +442,8 @@ object SparkEntry {
       s"SELECT doc_id, len, len AS roundtrip_len FROM $LEN ORDER BY doc_id",
 
     "a2_postings" ->
-      s"""SELECT term, array_agg(doc_id ORDER BY doc_id) doc_ids, count(*)::BIGINT df
+      s"""SELECT term, array_to_string(array_agg(doc_id ORDER BY doc_id), ',') doc_ids,
+         | count(*)::BIGINT df
          |FROM $TF GROUP BY term ORDER BY term""".stripMargin,
 
     "f2_delta_gap" ->
