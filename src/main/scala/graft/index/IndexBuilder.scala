@@ -72,15 +72,16 @@ object IndexBuilder {
     var acc = 0L
     (0 until nParts).foreach { p => offsets(p) = acc; acc += counts.getOrElse(p, 0) }
     val bc = spark.sparkContext.broadcast(offsets)
-    val docs = sorted.mapPartitions { it =>
+    // lazy view over the persisted sort — downstream stages (docstore write,
+    // tokenize) re-read the cache, not the source. The cache entry lives
+    // until session stop / LRU eviction: one sorted corpus per build,
+    // intentionally kept hot for the whole stage chain.
+    sorted.mapPartitions { it =>
       val base = bc.value(org.apache.spark.TaskContext.getPartitionId())
       it.zipWithIndex.map { case ((repo, path, commit, lang, sha, content), i) =>
         DocRow((base + i).toInt, repo, path, commit, lang, sha, content)
       }
-    }.persist()
-    docs.count() // materialize from the sorted cache, then release it
-    sorted.unpersist()
-    docs
+    }
   }
 
   /** Tokenize → per-(doc, unique-term) flat postings with positions+offsets.
@@ -204,14 +205,13 @@ object IndexBuilder {
       flatPostings(docstore).write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/tokenized")
       Manifest.commit(spark, indexDir, "tokenized")
     }}
-    docsInMem.foreach(_.unpersist())
     // scoring path never needs positions/offsets — column pruning applies
     val flat = spark.read.parquet(s"$indexDir/tokenized").as[FlatPosting]
 
     timed("doclen") { if (!Manifest.isCommitted(indexDir, "doclen")) {
-      // doc length = total token count = Σ tf over the doc's terms
-      flat.groupBy("docId").agg(sum($"tf").cast("int").as("len"))
-        .withColumn("lenByte", udf((l: Int) => LenByte.encode(l.toLong)).apply($"len"))
+      // map-only over the (cached) docstore — no shuffle; a second tokenize
+      // pass scales with cores, a 15M-row groupBy shuffle does not
+      docLengths(docstore)
         .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/doclen")
       Manifest.commit(spark, indexDir, "doclen")
     }}

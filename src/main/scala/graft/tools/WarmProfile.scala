@@ -14,6 +14,11 @@ object WarmProfile {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.io.compression.codec",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.local.dir",
+          sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
