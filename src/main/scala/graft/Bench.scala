@@ -102,24 +102,24 @@ object Bench {
     // sync barriers and the per-level minimum is reported — min-of-k is the
     // standard robust estimator of attainable throughput under one-sided
     // noise, and interleaving keeps slow host phases from biasing one level.
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
-    val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "330").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "4").toInt
+    val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "300").toInt
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
-    var bestN = Double.MaxValue
-    var best4N = Double.MaxValue
+    val timesN = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val times4N = scala.collection.mutable.ArrayBuffer.empty[Double]
     var trial = 0
     while (trial < trials && (trial == 0 || elapsed < maxIndexSec)) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$tmpRoot/ixN"))
       settle()
-      bestN = math.min(bestN, indexRun(nCores, s"$tmpRoot/corpus", s"$tmpRoot/ixN"))
+      timesN += indexRun(nCores, s"$tmpRoot/corpus", s"$tmpRoot/ixN")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$tmpRoot/ix4N"))
       settle()
-      best4N = math.min(best4N, indexRun(n4Cores, s"$tmpRoot/corpus", s"$tmpRoot/ix4N"))
+      times4N += indexRun(n4Cores, s"$tmpRoot/corpus", s"$tmpRoot/ix4N")
       trial += 1
     }
-    val secN = bestN
-    val sec4N = best4N
+    val secN = timesN.min
+    val sec4N = times4N.min
     val tputN = benchDocs / secN
     val tput4N = benchDocs / sec4N
     val eff = tput4N / (4.0 * tputN)
@@ -236,6 +236,8 @@ object Bench {
     val indexing =
       s"""{"docs":$benchDocs,"n_cores":$nCores,"n4_cores":$n4Cores,""" +
       s""""sec_localN":$secN,"sec_local4N":$sec4N,""" +
+      s""""trials_localN":[${timesN.mkString(",")}],""" +
+      s""""trials_local4N":[${times4N.mkString(",")}],""" +
       s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
       s""""scaling_efficiency":$eff}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps},"match_rate":$matchRate}""")
