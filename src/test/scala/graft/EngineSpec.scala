@@ -190,6 +190,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eng.search(Engine.SearchQuery(Seq("if"), nResults = 0)).entries.isEmpty)
   }
 
+  test("plans: term filter pushed to scan, positions column pruned, top-k via TakeOrdered") {
+    import spark.implicits._
+    built
+    // P1: term lookup — filter must reach the parquet scan
+    val scanPlan = ix.postings.filter($"term".isin("if", "return"))
+      .select("term", "prevDocId", "n", "docIds", "tfs")
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PushedFilters: [In(term"), s"no pushdown in:\n$scanPlan")
+    // P3: scoring path must not read the positions/offsets columns
+    assert(scanPlan.contains("ReadSchema") && !scanPlan.contains("positions"),
+      "positions column not pruned from the scoring scan")
+    // A5/O2/O3: global top-k must plan as TakeOrderedAndProject (partial
+    // per-partition heaps + driver merge), not a global sort
+    val topkPlan = ix.doclen.orderBy($"len".desc, $"docId".asc).limit(10)
+      .queryExecution.executedPlan.toString
+    assert(topkPlan.contains("TakeOrderedAndProject"), topkPlan)
+  }
+
   test("build is resumable: committed stages are skipped") {
     // second build over the same dir must not fail and must keep results
     val corpus = CorpusGen.generate(spark, NDocs, seed = 42L, partitions = 8)
