@@ -242,8 +242,9 @@ object Searcher {
     val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
     val partScore = $"idf" * $"w" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy($"queryId").orderBy(desc("score"), asc("docId"))
+    // per-query exact top-k via the bounded-heap Aggregator (A5): partial
+    // per-partition heaps + pairwise merge — no per-query full sort (a
+    // window row_number would sort every matched doc)
     posting
       .join(broadcast(q), "term")
       .join(ix.doclen.select("docId", "lenByte"), "docId")
@@ -252,8 +253,14 @@ object Searcher {
       .groupBy($"queryId", $"docId", $"nTerms")
       .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
       .filter($"nMatched" === $"nTerms")
-      .withColumn("rank", row_number().over(win))
-      .filter($"rank" <= k)
-      .select($"queryId", $"rank", $"docId", $"score")
+      .select($"queryId", $"docId".cast("int"), $"score")
+      .as[(Int, Int, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((d, s), i) => (qid, i + 1, d, s) }
+      }
+      .toDF("queryId", "rank", "docId", "score")
   }
 }
