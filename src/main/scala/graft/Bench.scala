@@ -78,7 +78,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "1000000").toLong
+    val benchDocs = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
     // N vs 4N parallelism. Default 2 vs 8: this sandbox VM's per-core
     // throughput degrades sharply past ~8 runnable threads (kernel sys-time
     // blowup, see BASELINE.md), so 8 vs 32 measures host contention, not the
@@ -103,7 +103,7 @@ object Bench {
     // standard robust estimator of attainable throughput under one-sided
     // noise, and interleaving keeps slow host phases from biasing one level.
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "4").toInt
-    val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "300").toInt
+    val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "240").toInt
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val timesN = scala.collection.mutable.ArrayBuffer.empty[Double]
