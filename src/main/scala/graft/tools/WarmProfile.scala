@@ -33,7 +33,7 @@ object WarmProfile {
       }
       spark.stop()
     }
-    run(2, "a")
-    run(8, "b")
+    val lv = sys.env.getOrElse("SPARK_GRAFT_WARM_LEVELS", "2,8").split(",").map(_.toInt)
+    lv.zipWithIndex.foreach { case (c, i) => run(c, ('a' + i).toChar.toString) }
   }
 }
