@@ -153,8 +153,9 @@ object Bench {
 
     // oracle match rate (top-10 rank-identical, score tol 0.001): a lean
     // single-JVM oracle tracking only the query-mix terms (thread-parallel
-    // tokenize; full corpus lengths + per-doc tfs for those terms)
-    val matchRate = {
+    // tokenize; full corpus lengths + per-doc tfs for those terms).
+    // Defensive: the bench line must be emitted even if this phase dies.
+    val matchRate = try {
       val qTerms = queryMix.flatMap(_._2).distinct
       val qIdx = qTerms.zipWithIndex.toMap
       val nT = 8
@@ -229,7 +230,7 @@ object Bench {
         }
         matches.toDouble / queryMix.size
       } finally pool.shutdown()
-    }
+    } catch { case _: Throwable => -1.0 }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
