@@ -73,21 +73,47 @@ object SparkEntry {
       }.toDF("term", "doc_id", "tf")
   }
 
+  /** Rank the survivors of a `orderBy(...).limit(k)` top-k without any
+    * window: rank(a) = 1 + |rows strictly better than a|, computed by a
+    * k×k self-join — k is tiny, and no WindowExec (partitioned or not)
+    * appears anywhere in the plan. `better(b, a)` must be a strict total
+    * order (ties broken by a unique id). */
+  private def rankTopK(top0: DataFrame, better: (DataFrame, DataFrame) => Column): DataFrame = {
+    val top = top0.cache() // <=k rows; keeps the self-join from re-running the scan
+    val a = top.as("a")
+    val b = top.as("b")
+    a.join(b, better(b, a), "left")
+      .groupBy(top.columns.map(c => col("a." + c)): _*)
+      .agg((count(col("b." + top.columns.head)) + 1).as("rank"))
+  }
+
   /** Lossy-BM25 conjunctive top-10 for fixed query terms, as one
     * deterministic expression tree (score summed left-to-right in query-term
-    * order like the reference, `scoring.h:133-142`). */
+    * order like the reference, `scoring.h:133-142`).
+    *
+    * One tokenize pass serves all query terms: the per-term tf columns are
+    * pivoted out of a single filtered aggregation (never a scan per term),
+    * and the per-term document frequencies come from the same pass as a
+    * 1-row conditional aggregate. Global exact top-k is orderBy+limit
+    * (TakeOrderedAndProject: per-partition bounded heaps merged on the
+    * driver), with ranks assigned to the <=k survivors by [[rankTopK]]. */
   private def bm25TopK(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
-    val tf = tfTable(s, dir)
+    val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
+    val pivoted = tfq.groupBy("doc_id")
+      .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("tf"))).as(s"tf${i + 1}")
+        }: _*)
+      .filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
+    val dfs = tfq.agg(
+      count(when(col("term") === terms.head, lit(1))).cast("long").as("df0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        count(when(col("term") === t, lit(1))).cast("long").as(s"df${i + 1}")
+      }: _*)
     val len = lenTable(s, dir)
     val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
       sum("len").cast("long").as("sum_len"))
-    val base = terms.zipWithIndex.foldLeft(len.crossJoin(stats)) { case (acc, (t, i)) =>
-      val ti = tf.filter(col("term") === t)
-        .select(col("doc_id"), col("tf").as(s"tf$i"))
-      val dfi = tf.filter(col("term") === t)
-        .agg(count(lit(1)).cast("long").as(s"df$i"))
-      acc.join(ti, "doc_id").crossJoin(dfi)
-    }
+    val base = len.join(pivoted, "doc_id").crossJoin(dfs).crossJoin(stats)
     val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
     val lossy = lossyLenUdf(col("len")).cast("double")
     val score = terms.indices.map { i =>
@@ -96,9 +122,13 @@ object SparkEntry {
         (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * lossy / avg))
       idf * tfn
     }.reduceLeft(_ + _)
-    base.withColumn("score", score)
-      .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
-      .filter(col("rank") <= k)
+    val top = base.withColumn("score", score)
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+    rankTopK(top, (b, a) =>
+        col("b.score") > col("a.score") ||
+          (col("b.score") === col("a.score") && col("b.doc_id") < col("a.doc_id")))
       .select(col("rank").cast("long").as("rank"), col("doc_id"),
         round(col("score") * 1e6).cast("long").as("score_micro"))
       .orderBy("rank")
@@ -225,12 +255,31 @@ object SparkEntry {
         .filter(col("n") === 3).select("doc_id").orderBy("doc_id")
     },
 
-    // J4: phrase match via positional adjacency
-    "j4_phrase" -> ((s, dir) => docs(s, dir)
-      .withColumn("t", toks)
-      .filter(exists(sequence(lit(0), size(col("t")) - 2),
-        i => col("t").getItem(i) === "table" && element_at(col("t"), i + 2) === "scan"))
-      .select("doc_id").orderBy("doc_id")),
+    // J4: phrase match driven by the positional index — decode positions for
+    // the two query terms' blocks only, then adjusted-position intersection
+    // per doc (`Oracle.phraseMatch`, reference `query_processing.h:282-362`)
+    "j4_phrase" -> { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("table", "scan")
+      val perTerm = docBlocks(s, dir)
+        .filter(col("term").isin(terms: _*))
+        .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
+        .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs, pos) =>
+          val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+          val ps = PostingCodec.decodePositions(n, pos)
+          dt.iterator.zipWithIndex.map { case ((d, _), i) => (t, d, ps(i)) }
+        }
+      perTerm.groupByKey(_._2)
+        .flatMapGroups { (docId, rows) =>
+          val byTerm = rows.map(r => r._1 -> r._3).toMap
+          if (terms.forall(byTerm.contains) &&
+              graft.core.Oracle.phraseMatch(terms.map(byTerm)))
+            Iterator.single(docId.toLong)
+          else Iterator.empty
+        }
+        .toDF("doc_id").orderBy("doc_id")
+    },
 
     // A5/O2/O3 + F5-F7: the flagship lossy-BM25 conjunctive top-k
     "a5_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10)),
@@ -270,23 +319,32 @@ object SparkEntry {
         col("keep_id").cast("long").as("keep_id"))
       .orderBy("digest")),
 
-    // minhash signatures (md5-based, 8 components as columns)
+    // minhash signatures: ONE md5 per shingle, 8 rotation-derived components.
+    // Staged selects: tokens -> shingles -> digests are materialized column
+    // by column, so the tokenizer split runs once per doc (embedding the
+    // token expression inside the shingle lambda would re-evaluate it per
+    // shingle index — quadratic per doc)
     "dedup_minhash_sig" -> { (s, dir) =>
-      val sig = Dedup.minhashSig(col("text"), n = 3, sigLen = 8)
+      val withHs = docs(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), TextOps.shingles(col("t"), 3).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), md5 _).as("hs"))
+      val sig = Dedup.minhashSigFromHashes(col("hs"), sigLen = 8)
       val cols = (0 until 8).map(i => element_at(sig, i + 1).as(s"mh$i"))
-      docs(s, dir).select((col("doc_id") +: cols): _*).orderBy("doc_id")
+      withHs.select((col("doc_id") +: cols): _*).orderBy("doc_id")
     },
 
-    // minhash LSH candidate pairs (4 bands of 2). The signature table is
-    // cached: the md5-heavy sig expression is evaluated once per doc, not
-    // once per band per join side.
+    // minhash LSH candidate pairs (4 bands of 2) over the FULL documents
+    // table — the rotation-derived signature keeps buckets small (no doc_id
+    // cap, no bucket cap needed at this scale; the engine-side variant with
+    // sub-bucket splitting for pathological skew is Dedup.minhashCandidates)
     "dedup_minhash_pairs" -> { (s, dir) =>
-      val sig = Dedup.minhashSig(col("text"), n = 3, sigLen = 8)
-      // bounded doc subset: the synthetic corpus's tiny vocabulary makes LSH
-      // buckets collide heavily at larger SFs (quadratic pair blowup); the
-      // engine-side variant with bucket caps is Dedup.minhashCandidates
-      val base = docs(s, dir).filter(col("doc_id") < 1000)
-        .select(col("doc_id"), sig.as("sig")).cache()
+      val base = docs(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), TextOps.shingles(col("t"), 3).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), md5 _).as("hs"))
+        .select(col("doc_id"), Dedup.minhashSigFromHashes(col("hs"), sigLen = 8).as("sig"))
+        .cache()
       val bands = base.select(col("doc_id"), posexplode(
         array((0 until 4).map(b =>
           md5(concat_ws("|", slice(col("sig"), lit(b * 2 + 1), lit(2))))): _*)))
@@ -325,12 +383,17 @@ object SparkEntry {
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") === 0)
         .select(Similarity.quantize(col("embedding")).as("qv"))
-      e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("ev"))
+      // one scan vs the broadcast query vector; global top-10 via
+      // TakeOrderedAndProject, ranks assigned windowless over the survivors
+      val top = e.select(col("vec_id"), Similarity.quantize(col("embedding")).as("ev"))
         .crossJoin(q)
         .select(col("vec_id"), Similarity.cosineMicro(col("ev"), col("qv")).as("cos_micro"))
-        .withColumn("rank", row_number()
-          .over(Window.orderBy(desc("cos_micro"), asc("vec_id"))).cast("long"))
-        .filter(col("rank") <= 10)
+        .orderBy(desc("cos_micro"), asc("vec_id"))
+        .limit(10)
+      rankTopK(top, (b, a) =>
+          col("b.cos_micro") > col("a.cos_micro") ||
+            (col("b.cos_micro") === col("a.cos_micro") && col("b.vec_id") < col("a.vec_id")))
+        .select(col("vec_id"), col("cos_micro"), col("rank").cast("long").as("rank"))
         .orderBy("rank")
     },
 
@@ -515,19 +578,27 @@ object SparkEntry {
          |FROM documents GROUP BY digest ORDER BY digest""".stripMargin,
 
     "dedup_minhash_sig" -> {
-      val comps = (0 until 8).map(i =>
-        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s))) mh$i").mkString(", ")
-      s"SELECT doc_id, $comps FROM (SELECT doc_id, $SHING sh FROM documents) ORDER BY doc_id"
+      val comps = (0 until 8).map { i =>
+        val rot = 4 * i
+        if (rot == 0) s"list_min(hs) mh$i"
+        else s"list_min(list_transform(hs, h -> substr(h, ${rot + 1}) || substr(h, 1, $rot))) mh$i"
+      }.mkString(", ")
+      s"""SELECT doc_id, $comps FROM
+         | (SELECT doc_id, list_transform($SHING, s -> md5(s)) hs FROM documents)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "dedup_minhash_pairs" -> {
-      val comps = (0 until 8).map(i =>
-        s"list_min(list_transform(sh, s -> md5('$i' || ':' || s))) mh$i").mkString(", ")
+      val comps = (0 until 8).map { i =>
+        val rot = 4 * i
+        if (rot == 0) s"list_min(hs) mh$i"
+        else s"list_min(list_transform(hs, h -> substr(h, ${rot + 1}) || substr(h, 1, $rot))) mh$i"
+      }.mkString(", ")
       val bandRows = (0 until 4).map(b =>
         s"SELECT doc_id, ${b}::BIGINT band, md5(mh${b * 2} || '|' || mh${b * 2 + 1}) bkey FROM sig")
         .mkString(" UNION ALL ")
       s"""WITH sig AS (SELECT doc_id, $comps FROM
-         |   (SELECT doc_id, $SHING sh FROM documents WHERE doc_id < 1000)),
+         |   (SELECT doc_id, list_transform($SHING, s -> md5(s)) hs FROM documents)),
          | bands AS ($bandRows)
          |SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
          |FROM bands a JOIN bands b USING (band, bkey)

@@ -56,7 +56,15 @@ object IndexBuilder {
     * identical at any parallelism (N vs 4N executors) — SURVEY.md §7.5.5.
     * The sorted dataset is persisted so both passes see one materialization.
     */
-  def assignDocIds(spark: SparkSession, corpus: DataFrame, partitions: Int = 32): Dataset[DocRow] = {
+  def assignDocIds(spark: SparkSession, corpus: DataFrame, partitions: Int = 32): Dataset[DocRow] =
+    assignDocIdsPersisted(spark, corpus, partitions)._1
+
+  /** As [[assignDocIds]], but also returns the unpersist handle for the
+    * internally-cached sorted corpus, so callers (streaming micro-batches
+    * especially) can release it once downstream writes complete instead of
+    * leaking one cached copy per batch. */
+  def assignDocIdsPersisted(spark: SparkSession, corpus: DataFrame,
+                            partitions: Int = 32): (Dataset[DocRow], () => Unit) = {
     import spark.implicits._
     val sorted = corpus
       .select("repo", "path", "commit", "lang", "sha256", "content")
@@ -73,15 +81,15 @@ object IndexBuilder {
     (0 until nParts).foreach { p => offsets(p) = acc; acc += counts.getOrElse(p, 0) }
     val bc = spark.sparkContext.broadcast(offsets)
     // lazy view over the persisted sort — downstream stages (docstore write,
-    // tokenize) re-read the cache, not the source. The cache entry lives
-    // until session stop / LRU eviction: one sorted corpus per build,
-    // intentionally kept hot for the whole stage chain.
-    sorted.mapPartitions { it =>
+    // tokenize) re-read the cache, not the source. The returned handle
+    // unpersists it once the caller's stage chain is done.
+    val docs = sorted.mapPartitions { it =>
       val base = bc.value(org.apache.spark.TaskContext.getPartitionId())
       it.zipWithIndex.map { case ((repo, path, commit, lang, sha, content), i) =>
         DocRow((base + i).toInt, repo, path, commit, lang, sha, content)
       }
     }
+    (docs, () => { sorted.unpersist(); () })
   }
 
   /** Tokenize → per-(doc, unique-term) flat postings with positions+offsets.
@@ -193,10 +201,12 @@ object IndexBuilder {
     }
 
     var docsInMem: Option[Dataset[DocRow]] = None
+    var docsRelease: () => Unit = () => ()
     timed("docstore") { if (!Manifest.isCommitted(indexDir, "docstore")) {
-      val docs = assignDocIds(spark, corpus, partitions)
+      val (docs, release) = assignDocIdsPersisted(spark, corpus, partitions)
       docs.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore")
       docsInMem = Some(docs) // still persisted — tokenize reuses it
+      docsRelease = release
       Manifest.commit(spark, indexDir, "docstore")
     }}
     val docstore = docsInMem.getOrElse(spark.read.parquet(s"$indexDir/docstore").as[DocRow])
@@ -215,6 +225,7 @@ object IndexBuilder {
         .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/doclen")
       Manifest.commit(spark, indexDir, "doclen")
     }}
+    docsRelease() // last consumer of the cached sorted corpus
 
     timed("termstats") { if (!Manifest.isCommitted(indexDir, "termstats")) {
       flat.groupBy("term")

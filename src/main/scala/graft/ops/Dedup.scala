@@ -33,50 +33,116 @@ object Dedup {
            sort_array(collect_list(col(idCol))).as("members"))
   }
 
-  /** md5-hex minhash signature over word `n`-gram shingles, `sigLen` seeds.
-    * Each component is `min over shingles of md5(seed || ':' || shingle)` —
-    * a string min, identical in any engine with md5. */
-  def minhashSig(textCol: Column, n: Int = 3, sigLen: Int = 8): Column = {
-    val sh = TextOps.shingles(TextOps.tokens(textCol), n)
-    val comps = (0 until sigLen).map { seed =>
-      array_min(transform(sh, s => md5(concat(lit(seed.toString), lit(":"), s))))
+  /** One md5 hex digest per shingle — the single expensive hash pass; all
+    * signature components derive from it (see [[minhashSigFromHashes]]). */
+  def shingleHashes(textCol: Column, n: Int = 3): Column =
+    transform(TextOps.shingles(TextOps.tokens(textCol), n), s => md5(s))
+
+  /** Minhash signature from precomputed shingle digests: component `i` is
+    * `min over shingles of rotate(md5hex, 4*i hex chars)` — a hex-string
+    * rotation puts a different 16-bit window of the digest in front per
+    * component, so the per-component minima select near-independent shingles
+    * while md5 runs ONCE per shingle (not once per seed). String min is
+    * engine-portable (lexicographic over lowercase hex). */
+  def minhashSigFromHashes(hashes: Column, sigLen: Int = 8): Column = {
+    val comps = (0 until sigLen).map { i =>
+      val rot = 4 * i
+      if (rot == 0) array_min(hashes)
+      else array_min(transform(hashes, h =>
+        concat(substring(h, rot + 1, 32 - rot), substring(h, 1, rot))))
     }
     array(comps: _*)
   }
 
+  /** md5-rotation minhash signature over word `n`-gram shingles (one digest
+    * per shingle, `sigLen` derived components). Prefer materializing
+    * [[shingleHashes]] as a column first so the digest pass is evaluated
+    * once, then [[minhashSigFromHashes]] over it. */
+  def minhashSig(textCol: Column, n: Int = 3, sigLen: Int = 8): Column =
+    minhashSigFromHashes(shingleHashes(textCol, n), sigLen)
+
   /** LSH candidate pairs: signature split into `bands` bands; docs sharing
-    * any band key are candidates. Output: (id_a, id_b, band) distinct pairs,
-    * id_a < id_b. */
+    * any band key are candidates. Output: (id_a, id_b) distinct pairs,
+    * id_a < id_b.
+    *
+    * Skew handling (no silent recall loss):
+    *  1. exact-digest pre-collapse — byte-identical (post-normalization)
+    *    docs are collapsed to one representative before banding, so
+    *    boilerplate clusters (the classic oversized-bucket cause) cost one
+    *    row each; each group re-enters the output as |group|-1 linear
+    *    rep<->member pairs (connected-component equivalent, never the
+    *    quadratic within-group pair set).
+    *  2. buckets still larger than `maxBucket` are SUB-SPLIT by a secondary
+    *    hash of the full signature (docs with identical signatures — the
+    *    highest-confidence near-dups — always co-locate), never dropped;
+    *    the split count is reported via `splitCounter` when provided.
+    */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         n: Int = 3, sigLen: Int = 8, bands: Int = 4,
-                        maxBucket: Int = 1000): DataFrame = {
+                        maxBucket: Int = 1000,
+                        splitCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val rows = sigLen / bands
-    // cache: the sig expression is md5-heavy; evaluate once per doc, not per
-    // band per join side
-    val withSig = df.select(col(idCol).as("id"), minhashSig(col(textCol), n, sigLen).as("sig"))
+    // exact-digest pre-collapse: one representative (min id) per normalized
+    // content digest — the skew guard for byte-identical boilerplate
+    val withDigest = df
+      .select(col(idCol).as("id"), TextOps.contentFingerprint(col(textCol)).as("digest"),
+        col(textCol).as("_text"))
+      .withColumn("rid", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+      .cache()
+    val reps = withDigest
+      .filter(col("id") === col("rid"))
+      .select(col("id"), col("_text").as("text_rep"))
+    // linear rep<->member pairs keep exact-dup groups connected in the
+    // candidate graph (|group|-1 pairs, not |group|^2): downstream
+    // union-find links member -> rep -> any near-dup of the rep
+    val exactPairs = withDigest
+      .filter(col("id") =!= col("rid"))
+      .select(col("rid").as("id_a"), col("id").as("id_b"))
+    // staged selects: tokens -> shingles -> digests -> signature, each at a
+    // projection boundary so the tokenizer split runs once per doc and md5
+    // once per shingle (embedding the whole chain in one expression would
+    // re-evaluate the token split per shingle index — quadratic per doc)
+    val withSig = reps
+      .select(col("id"), TextOps.tokens(col("text_rep")).as("t"))
+      .select(col("id"), TextOps.shingles(col("t"), n).as("sh"))
+      .select(col("id"), transform(col("sh"), s => md5(s)).as("hs"))
+      .select(col("id"), minhashSigFromHashes(col("hs"), sigLen).as("sig"))
       .cache()
     val banded = withSig.select(
-      col("id"),
+      col("id"), md5(concat_ws("|", col("sig"))).as("sigkey"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("|", slice(col("sig"), lit(b * rows + 1), lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    // cap pathological buckets before the self-join (skew guard)
     val sized = banded.withColumn("bsize",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("bsize") <= maxBucket && col("bsize") > 1)
-    val a = sized.select(col("band"), col("bkey"), col("id").as("id_a"))
-    val b = sized.select(col("band"), col("bkey"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bkey"))
+      .filter(col("bsize") > 1)
+    // oversized buckets: sub-split by full-signature hash (identical-sig docs
+    // stay together); count the splits so recall loss is observable, not silent
+    val nSub = ceil(col("bsize").cast("double") / maxBucket)
+    val split = sized.withColumn("sub",
+      when(col("bsize") <= maxBucket, lit(0L))
+        .otherwise(pmod(conv(substring(col("sigkey"), 1, 8), 16, 10).cast("long"), nSub.cast("long"))))
+    splitCounter.foreach { acc =>
+      split.filter(col("bsize") > maxBucket).select(countDistinct("band", "bkey")).collect()
+        .headOption.foreach(r => acc.add(r.getLong(0)))
+    }
+    val a = split.select(col("band"), col("bkey"), col("sub"), col("id").as("id_a"))
+    val b = split.select(col("band"), col("bkey"), col("sub"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bkey", "sub"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .select("id_a", "id_b")
+      .unionByName(exactPairs)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for (candidate) pairs — the verifier
     * after LSH, and a direct metric for small corpora. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
                    n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("jid"),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+    val sh = docs
+      .select(col(idCol).as("jid"), TextOps.tokens(col(textCol)).as("t"))
+      .select(col("jid"), array_distinct(TextOps.shingles(col("t"), n)).as("sh"))
     pairs
       .join(sh.withColumnRenamed("jid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("jid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -48,9 +48,15 @@ object Similarity {
       .select(col("id"), col("cos_micro"))
       .orderBy(desc("cos_micro"), asc("id"))
       .limit(k)
-    import df.sparkSession.implicits._
-    qv.withColumn("rank", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(desc("cos_micro"), asc("id"))))
+      .cache() // <=k rows; the rank self-join below must not re-run the scan
+    // ranks over the <=k survivors of TakeOrderedAndProject without any
+    // window (a no-partition WindowExec would single-partition the relation
+    // if applied before the limit; after it, a k×k count-join is cheaper)
+    qv.as("a").join(qv.as("b"),
+        col("b.cos_micro") > col("a.cos_micro") ||
+          (col("b.cos_micro") === col("a.cos_micro") && col("b.id") < col("a.id")), "left")
+      .groupBy(col("a.id").as("id"), col("a.cos_micro").as("cos_micro"))
+      .agg((count(col("b.id")) + 1).cast("int").as("rank"))
   }
 
   /** Deterministic pseudo-random hyperplane: component j of plane p is

@@ -38,15 +38,19 @@ object StreamingIndexer {
       if (batch.columns.contains("sha256")) batch
       else batch.withColumn("sha256", sha2(col("content"), 256))
     // deterministic ids within the segment: rank over (repo, path)
-    val docs0 = IndexBuilder.assignDocIds(spark, withSha, partitions)
+    val (docs0, release) = IndexBuilder.assignDocIdsPersisted(spark, withSha, partitions)
     val docs = docs0.map(d => d.copy(docId = (base + d.docId).toInt))
     val segDocs = docs0.count()
 
     docs.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore/seg=$segId")
     val flat = IndexBuilder.flatPostings(docs)
 
-    flat.groupBy("docId").agg(sum($"tf").cast("int").as("len"))
-      .withColumn("lenByte", udf((l: Int) => LenByte.encode(l.toLong)).apply($"len"))
+    // doclen from the docstore map (IndexBuilder.docLengths), NOT from an
+    // aggregation over flat postings: a doc that tokenizes to zero terms
+    // still gets its len=0 row, so nDocs/avgLen at Searcher.load stay exact
+    // (an empty doc must count toward N like the batch path and the
+    // docsAfter watermark)
+    IndexBuilder.docLengths(docs)
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/doclen/seg=$segId")
 
     flat.groupBy("term")
@@ -56,7 +60,7 @@ object StreamingIndexer {
     IndexBuilder.buildBlocks(spark, flat, segDocs, partitions)
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings/seg=$segId")
 
-    docs0.unpersist()
+    release() // the sorted micro-batch cache — without this every batch leaks one copy
     // segment manifest: carries the doc-count watermark (atomic rename)
     val json = s"""{"segment":$segId,"docs":$segDocs,"docsAfter":${base + segDocs}}"""
     val tmp = java.nio.file.Paths.get(indexDir, s"_manifest_segment_$segId.json.tmp")
