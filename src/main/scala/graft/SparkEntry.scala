@@ -39,6 +39,22 @@ object SparkEntry {
 
   private val lossyLenUdf = udf { len: Long => LenByte.lossy(len) }
 
+  /** Deterministic punctuation transform for the sentence/passage operators:
+    * the driver's documents table is punctuation-free, so both engines apply
+    * the same literal replacements to derive multi-sentence text. */
+  private def punct(c: Column): Column =
+    regexp_replace(regexp_replace(c, " a ", ". "), " the ", "; ")
+
+  /** Probe words for the murmur2 golden check (F12). */
+  private[graft] val MurmurWords: Seq[String] = Seq("table", "scan", "query",
+    "spark", "value", "hash", "join", "fast", "slow", "window", "the", "a",
+    "part", "stream", "batch", "dup")
+
+  /** Phrase pairs probed against the two-way bloom store (J5/S10). */
+  private[graft] val BloomPairs: Seq[(String, String)] = Seq(
+    ("table", "scan"), ("fast", "table"), ("value", "part"),
+    ("window", "table"), ("scan", "scan"))
+
   /** Engine posting blocks built over the documents table (docId = doc_id).
     * Memoized per (session, dir): j3/s6/p1 all derive from the same blocks,
     * so Verify/Bench build them once. */
@@ -311,6 +327,151 @@ object SparkEntry {
       .select(col("doc_id"), sha2(col("text"), 256).as("sha"))
       .orderBy("doc_id")),
 
+    // O1: docId-order invariant, checked on the REAL decoded blocks — the
+    // oracle pins n_violations to 0 and ties the row to data via df
+    "o1_docid_order" -> { (s, dir) =>
+      import s.implicits._
+      docBlocks(s, dir)
+        .select("term", "prevDocId", "n", "docIds", "tfs")
+        .as[(String, Int, Int, Array[Byte], Array[Byte])]
+        .map { case (t, prev, n, ids, tfs) =>
+          val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+          var bad = 0L
+          var i = 1
+          while (i < dt.length) { if (dt(i)._1 <= dt(i - 1)._1) bad += 1; i += 1 }
+          if (dt.nonEmpty && prev > 0 && dt(0)._1 <= prev) bad += 1
+          (t, dt.length.toLong, bad)
+        }
+        .groupByKey(_._1)
+        .mapGroups { (t, rows) =>
+          val rs = rows.toArray
+          (t, rs.map(_._2).sum, rs.map(_._3).sum)
+        }
+        .toDF("term", "df", "n_violations")
+        .orderBy("term")
+    },
+
+    // P3: lazy projection — decode (docId, tf) reading ONLY the scoring
+    // columns of the block store (positions/offsets never touched); the
+    // oracle checks block count and df per term
+    "p3_lazy_cols" -> { (s, dir) =>
+      import s.implicits._
+      docBlocks(s, dir)
+        .select("term", "prevDocId", "n", "docIds", "tfs")
+        .as[(String, Int, Int, Array[Byte], Array[Byte])]
+        .map { case (t, prev, n, ids, tfs) =>
+          (t, 1L, PostingCodec.decodeDocIdTf(prev, n, ids, tfs).length.toLong)
+        }
+        .groupByKey(_._1)
+        .mapGroups((t, rows) => { val rs = rows.toArray; (t, rs.map(_._2).sum, rs.map(_._3).sum) })
+        .toDF("term", "n_blocks", "df")
+        .orderBy("term")
+    },
+
+    // F10: token offsets [start, end) from the engine tokenizer
+    "f10_offsets" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          Tokenizer.tokenize(text).iterator.map(t =>
+            (id, t.position.toLong, t.term, t.start.toLong, t.end.toLong))
+        }
+        .toDF("doc_id", "pos", "term", "strt", "endo")
+        .orderBy("doc_id", "pos")
+    },
+
+    // F11: sentence segmentation (Highlighter.sentences) over the
+    // deterministically punctuated text (the raw table has no punctuation)
+    "f11_sentences" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), punct(col("text")).as("t2")).as[(Long, String)]
+        .flatMap { case (id, t2) =>
+          graft.query.Highlighter.sentences(t2).iterator.zipWithIndex.map {
+            case ((st, en), i) => (id, i.toLong, t2.substring(st, en))
+          }
+        }
+        .toDF("doc_id", "sent_idx", "sentence")
+        .orderBy("doc_id", "sent_idx")
+    },
+
+    // F12: murmur2-32 (both bloom seeds) on a fixed probe-word set vs
+    // precomputed golden literals
+    "f12_murmur2" -> { (s, dir) =>
+      import s.implicits._
+      MurmurWords.toDF("word").as[String]
+        .map { w =>
+          val b = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          (w, graft.index.Bloom.murmur2(b, 0x9747b28c).toLong,
+            graft.index.Bloom.murmur2(b, 0x5bd1e995).toLong)
+        }
+        .toDF("word", "h1", "h2")
+        .orderBy("word")
+    },
+
+    // S10/J5: two-way bloom store verdicts — for phrase pairs (a, b) over
+    // docs containing both terms, the REAL store's end-filter of (a, doc)
+    // must contain b and the begin-filter of (b, doc) must contain a
+    // whenever the adjacency truly occurs (lossy-positive = never a false
+    // negative; the oracle recomputes the exact adjacency and pins both
+    // no-false-negative flags to 1)
+    "j5_bloom_verdict" -> { (s, dir) =>
+      import s.implicits._
+      val docRows = docs(s, dir)
+        .select(col("doc_id").cast("int").as("docId"), col("text")).as[(Int, String)]
+        .map { case (id, text) =>
+          IndexBuilder.DocRow(id, "d", id.toString, "", "", "", text)
+        }
+      val store = graft.index.Bloom.buildStore(docRows)
+        .toDF("term", "docId", "beginBits", "endBits", "k")
+      val mightContain = udf { (bits: Array[Byte], k: Int, probe: String) =>
+        new graft.index.Bloom.Filter(bits, k).mightContain(probe)
+      }
+      val pairs = BloomPairs.toDF("term_a", "term_b")
+      val base = docs(s, dir).select(col("doc_id"), toks.as("t"))
+      val withAdj = base.crossJoin(pairs)
+        .filter(array_contains(col("t"), col("term_a")) &&
+          array_contains(col("t"), col("term_b")))
+        .withColumn("exact_adj",
+          (size(col("t")) >= 2 && exists(sequence(lit(0), size(col("t")) - 2),
+            i => col("t").getItem(i) === col("term_a") &&
+              element_at(col("t"), i + 2) === col("term_b"))).cast("long"))
+        .select(col("doc_id"), col("term_a"), col("term_b"), col("exact_adj"))
+      val endSide = store.select(col("term").as("term_a"),
+        col("docId").cast("long").as("doc_id"), col("endBits"), col("k").as("ke"))
+      val beginSide = store.select(col("term").as("term_b"),
+        col("docId").cast("long").as("doc_id"), col("beginBits"), col("k").as("kb"))
+      withAdj
+        .join(endSide, Seq("term_a", "doc_id"))
+        .join(beginSide, Seq("term_b", "doc_id"))
+        .select(col("doc_id"), col("term_a"), col("term_b"), col("exact_adj"),
+          (col("exact_adj") === 0 ||
+            mightContain(col("endBits"), col("ke"), col("term_b"))).cast("long").as("end_ok"),
+          (col("exact_adj") === 0 ||
+            mightContain(col("beginBits"), col("kb"), col("term_a"))).cast("long").as("begin_ok"))
+        .orderBy("term_a", "term_b", "doc_id")
+    },
+
+    // A6/F11: passage selection — top-3 sentence passages per doc for the
+    // fixed query {table, scan} over the punctuated text, scored by
+    // tfNorm(freq, len, 20) * earlier-passage norm (Highlighter semantics)
+    "a6_passages" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), punct(col("text")).as("t2")).as[(Long, String)]
+        .flatMap { case (id, t2) =>
+          val ps = graft.query.Highlighter.topPassages(t2, Set("table", "scan"), 3)
+          ps.sortBy(p => (-p.score, p.start)).iterator.zipWithIndex.map {
+            case (p, i) =>
+              (id, (i + 1).toLong, p.start.toLong, p.end.toLong,
+                math.round(p.score * 1e6))
+          }
+        }
+        .toDF("doc_id", "rank", "strt", "endo", "score_micro")
+        .orderBy("doc_id", "rank")
+    },
+
     // ---------- training-data pipeline operators ----------
 
     // exact dedup groups (normalized content digest)
@@ -458,6 +619,9 @@ object SparkEntry {
   private val SHING =
     s"(CASE WHEN len($T) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len($T) - 1), i -> array_to_string(($T)[i:i+2], ' ')) END)"
   private val QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e6))"
+  /** SQL mirror of [[punct]] (regexp_replace global, literal patterns). */
+  private val PUNCT =
+    "regexp_replace(regexp_replace(text, ' a ', '. ', 'g'), ' the ', '; ', 'g')"
 
   private def bm25Sql(terms: Seq[String], k: Int): String = {
     val joins = terms.zipWithIndex.map { case (t, i) =>
@@ -571,6 +735,116 @@ object SparkEntry {
          |WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
 
     "s8_docstore_sha" -> "SELECT doc_id, sha256(text) sha FROM documents ORDER BY doc_id",
+
+    "o1_docid_order" ->
+      s"""SELECT term, count(*)::BIGINT df, 0::BIGINT n_violations
+         |FROM $TF GROUP BY term ORDER BY term""".stripMargin,
+
+    "p3_lazy_cols" ->
+      s"""SELECT term, CAST(ceil(count(*) / 128.0) AS BIGINT) n_blocks, count(*)::BIGINT df
+         |FROM $TF GROUP BY term ORDER BY term""".stripMargin,
+
+    "f10_offsets" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') toks,
+         |    regexp_extract_all(lower(text), '[^a-z0-9_]+') seps,
+         |    (lower(text) SIMILAR TO '[^a-z0-9_]%') lead_sep
+         |  FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, i::BIGINT pos, toks[i+1] term,
+         |  (CASE WHEN lead_sep THEN length(seps[1]) ELSE 0 END
+         |   + coalesce(list_sum(list_transform(range(1, i+1), j ->
+         |       length(toks[j]) + coalesce(length(seps[j + (CASE WHEN lead_sep THEN 1 ELSE 0 END)]), 0))), 0))::BIGINT strt,
+         |  (CASE WHEN lead_sep THEN length(seps[1]) ELSE 0 END
+         |   + coalesce(list_sum(list_transform(range(1, i+1), j ->
+         |       length(toks[j]) + coalesce(length(seps[j + (CASE WHEN lead_sep THEN 1 ELSE 0 END)]), 0))), 0)
+         |   + length(toks[i+1]))::BIGINT endo
+         |FROM base, unnest(range(len(toks))) u(i)
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "f11_sentences" ->
+      s"""SELECT doc_id, i::BIGINT sent_idx, sents[i+1] sentence FROM (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(
+         |      regexp_extract_all($PUNCT, '[^.!?;\\n]*[.!?;\\n]|[^.!?;\\n]+'),
+         |      m -> ltrim(m, ' ' || chr(10))), x -> x <> '') sents
+         |  FROM documents WHERE doc_id < 50),
+         | unnest(range(len(sents))) u(i)
+         |ORDER BY doc_id, sent_idx""".stripMargin,
+
+    "f12_murmur2" -> {
+      val rows = Seq(
+        ("a", -1563381124L, 1005521910L), ("batch", -445327118L, 412378742L),
+        ("dup", 292081415L, -573355901L), ("fast", -903240464L, -965268986L),
+        ("hash", 1716564892L, 737846010L), ("join", 978397876L, 11256866L),
+        ("part", -1268061348L, -532682820L), ("query", -1658084073L, 701641782L),
+        ("scan", -1634516170L, 81650562L), ("slow", -1120702343L, 215802071L),
+        ("spark", -588179292L, 1240911956L), ("stream", -1664541815L, -1411951118L),
+        ("table", 1158037964L, -2010712828L), ("the", -890893617L, -1123177871L),
+        ("value", -557326323L, 1407049456L), ("window", -1264599646L, -2041295412L))
+      val values = rows.map { case (w, h1, h2) => s"('$w', ${h1}::BIGINT, ${h2}::BIGINT)" }
+        .mkString(", ")
+      s"SELECT * FROM (VALUES $values) v(word, h1, h2) ORDER BY word"
+    },
+
+    "j5_bloom_verdict" -> {
+      val pairVals = BloomPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+      s"""WITH pairs AS (SELECT * FROM (VALUES $pairVals) v(term_a, term_b)),
+         | base AS (SELECT doc_id, $T t FROM documents)
+         |SELECT doc_id, term_a, term_b,
+         | (len(list_filter(range(len(t) - 1), i -> t[i+1] = term_a AND t[i+2] = term_b)) > 0)::BIGINT exact_adj,
+         | 1::BIGINT end_ok, 1::BIGINT begin_ok
+         |FROM base CROSS JOIN pairs
+         |WHERE list_contains(t, term_a) AND list_contains(t, term_b)
+         |ORDER BY term_a, term_b, doc_id""".stripMargin
+    },
+
+    "dedup_simhash" ->
+      s"""SELECT doc_id, coalesce(CASE WHEN len(hs) = 0 THEN 0 ELSE
+         |  list_sum(list_transform(range(60), b ->
+         |    CASE WHEN list_sum(list_transform(hs, h ->
+         |        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |    THEN (1::BIGINT << b) ELSE 0 END)) END, 0)::BIGINT simhash
+         |FROM (SELECT doc_id,
+         |        list_transform($T, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) hs
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "a6_passages" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, regexp_extract_all($PUNCT, '[^.!?;\\n]*[.!?;\\n]|[^.!?;\\n]+') ms
+         |  FROM documents WHERE doc_id < 100),
+         | spans0 AS (
+         |  SELECT doc_id, ms[i+1] m,
+         |    coalesce(list_sum(list_transform(range(1, i+1), j -> length(ms[j]))), 0) rawstart
+         |  FROM raw, unnest(range(len(ms))) u(i)),
+         | spans AS (
+         |  SELECT doc_id,
+         |    (rawstart + length(m) - length(ltrim(m, ' ' || chr(10))))::BIGINT strt,
+         |    (rawstart + length(m))::BIGINT endo,
+         |    ltrim(m, ' ' || chr(10)) sent
+         |  FROM spans0 WHERE ltrim(m, ' ' || chr(10)) <> ''),
+         | toked AS (
+         |  SELECT doc_id, strt, endo,
+         |    list_filter(regexp_split_to_array(lower(sent), '[^a-z0-9_]+'), x -> x <> '') toks
+         |  FROM spans),
+         | freqs AS (
+         |  SELECT doc_id, strt, endo, greatest(len(toks), 1) plen,
+         |    len(list_filter(toks, x -> x = 'table')) f_table,
+         |    len(list_filter(toks, x -> x = 'scan')) f_scan
+         |  FROM toked),
+         | sc AS (
+         |  SELECT doc_id, strt, endo,
+         |    ((CASE WHEN f_table > 0 THEN f_table*2.2/(f_table + 1.2*(0.25 + 0.75*plen/20.0)) ELSE 0 END)
+         |     + (CASE WHEN f_scan > 0 THEN f_scan*2.2/(f_scan + 1.2*(0.25 + 0.75*plen/20.0)) ELSE 0 END))
+         |    * (1.0 + 1.0/ln(2.718281828459045 + strt/64.0)) score
+         |  FROM freqs WHERE f_table > 0 OR f_scan > 0),
+         | ranked AS (
+         |  SELECT doc_id, strt, endo, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, strt) rank
+         |  FROM sc)
+         |SELECT doc_id, rank::BIGINT rank, strt, endo,
+         |  round(score * 1e6)::BIGINT score_micro
+         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT md5(array_to_string($T, ' ')) digest, count(*)::BIGINT n_dups,
