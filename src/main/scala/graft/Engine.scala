@@ -1,6 +1,6 @@
 package graft
 
-import graft.index.{Bloom, IndexBuilder, Manifest}
+import graft.index.{Bloom, IndexBuilder, Manifest, PostingCodec}
 import graft.query.{Highlighter, Searcher}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -69,18 +69,50 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
     val dfs = docFreqs(q.terms)
     val entries =
       if (!q.returnSnippets) hits.map(h => ResultEntry(h.docId, h.score, ""))
-      else {
-        import ix.spark.implicits._
-        val ids = hits.map(_.docId)
-        val bodies = ix.docstore
-          .filter(org.apache.spark.sql.functions.col("docId").isin(ids.toSeq: _*))
-          .select("docId", "content").as[(Int, String)].collect().toMap
-        val qset = q.terms.toSet
-        hits.map { h =>
-          ResultEntry(h.docId, h.score,
-            bodies.get(h.docId).map(Highlighter.snippet(_, qset, q.nSnippetPassages)).getOrElse(""))
-        }
-      }
+      else snippetsFromIndex(hits, q)
     SearchResult(entries.toSeq, dfs)
+  }
+
+  /** Snippets served from the STORED offsets stream: the hit docs' bodies
+    * come from the docstore (pruned + docId-sorted fetch) and the matched
+    * term spans from `PostingCodec.decodeOffsets` over the query terms'
+    * blocks — the doc body is never re-tokenized (the reference's lazy
+    * offset iterators, `flash_iterators.h:711-769`). */
+  private def snippetsFromIndex(hits: Array[Searcher.Hit],
+                                q: SearchQuery): Array[ResultEntry] = {
+    import ix.spark.implicits._
+    import org.apache.spark.sql.functions.col
+    if (hits.isEmpty) return Array.empty
+    val ids = hits.map(_.docId)
+    val bodies = ix.docstore
+      .filter(col("docId").isin(ids.toSeq: _*))
+      .select("docId", "content").sort("docId").as[(Int, String)].collect().toMap
+    val bcIds = ix.spark.sparkContext.broadcast(ids.toSet)
+    val offRows = ix.postings
+      .filter(col("term").isin(q.terms.distinct: _*) &&
+        col("lastDocId") >= ids.min && col("firstDocId") <= ids.max)
+      .select("term", "prevDocId", "n", "docIds", "tfs", "offsets")
+      .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .flatMap { case (t, prev, n, idsB, tfsB, offB) =>
+        val dt = PostingCodec.decodeDocIdTf(prev, n, idsB, tfsB)
+        if (!dt.exists(p => bcIds.value.contains(p._1))) Iterator.empty
+        else {
+          val offs = PostingCodec.decodeOffsets(n, offB)
+          dt.iterator.zipWithIndex.collect {
+            case ((d, _), i) if bcIds.value.contains(d) =>
+              (t, d, offs(i).map(_._1), offs(i).map(_._2))
+          }
+        }
+      }.collect()
+    val byDoc: Map[Int, Map[String, Array[(Int, Int)]]] =
+      offRows.groupBy(_._2).view.mapValues(
+        _.map(r => r._1 -> r._3.zip(r._4)).toMap).toMap
+    hits.map { h =>
+      val snip = bodies.get(h.docId).map { body =>
+        Highlighter.snippetFromOffsets(body,
+          byDoc.getOrElse(h.docId, Map.empty), q.nSnippetPassages)
+      }.getOrElse("")
+      ResultEntry(h.docId, h.score, snip)
+    }
   }
 }

@@ -59,6 +59,79 @@ object Highlighter {
     scored.sortBy(p => (-p.score, p.start)).take(maxPassages).sortBy(_.start)
   }
 
+  /** Token count of a [start, end) span — the number of maximal word-char
+    * runs, identical to `Tokenizer.tokenize(span).length` but allocation-free
+    * (one char scan, no substring/token objects). */
+  private def spanTokenCount(text: String, start: Int, end: Int): Int = {
+    var n = 0
+    var i = start
+    var inWord = false
+    while (i < end) {
+      val c = Character.toLowerCase(text.charAt(i))
+      val w = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_'
+      if (w && !inWord) n += 1
+      inWord = w
+      i += 1
+    }
+    n
+  }
+
+  /** Top passages computed from STORED term offsets (the index's offsets
+    * stream, `PostingCodec.decodeOffsets`) instead of re-tokenizing the doc —
+    * the reference's lazy-offset highlighter parity
+    * (`flash_iterators.h:711-769`, `highlighter.h:303-434`). Per passage the
+    * matched-term frequencies come from binary searches over each term's
+    * sorted offset starts; scoring is identical to [[topPassages]].
+    *
+    * `termOffsets`: query term -> ascending (start, end) char spans in
+    * `text` (from the index; only query terms needed). */
+  def topPassagesFromOffsets(text: String, termOffsets: Map[String, Array[(Int, Int)]],
+                             maxPassages: Int = 3, avgPassageLen: Double = 20.0): Seq[Passage] = {
+    val spans = sentences(text)
+    val starts = termOffsets.view.mapValues(_.map(_._1)).toMap
+    def countIn(arr: Array[Int], s: Int, e: Int): Int = {
+      // #starts in [s, e): binary search both bounds
+      var lo = java.util.Arrays.binarySearch(arr, s)
+      if (lo < 0) lo = -lo - 1
+      var hi = java.util.Arrays.binarySearch(arr, e)
+      if (hi < 0) hi = -hi - 1 else { while (hi > 0 && arr(hi - 1) >= e) hi -= 1 }
+      hi - lo
+    }
+    val scored = spans.flatMap { case (s, e) =>
+      val freqs = starts.iterator
+        .map { case (t, arr) => t -> countIn(arr, s, e) }
+        .filter(_._2 > 0).toMap
+      if (freqs.isEmpty) None
+      else {
+        val len = math.max(1, spanTokenCount(text, s, e))
+        val tfScore = freqs.valuesIterator.map(f => Bm25.tfNorm(f.toLong, len.toLong, avgPassageLen)).sum
+        val passageNorm = 1.0 + 1.0 / math.log(math.E + s / 64.0)
+        Some(Passage(s, e, tfScore * passageNorm))
+      }
+    }
+    scored.sortBy(p => (-p.score, p.start)).take(maxPassages).sortBy(_.start)
+  }
+
+  /** Snippet from stored offsets: passages via [[topPassagesFromOffsets]],
+    * matched terms bolded at their stored [start, end) spans — the doc body
+    * is never re-tokenized. */
+  def snippetFromOffsets(text: String, termOffsets: Map[String, Array[(Int, Int)]],
+                         maxPassages: Int = 3): String = {
+    val ps = topPassagesFromOffsets(text, termOffsets, maxPassages)
+    val all = termOffsets.valuesIterator.flatten.toArray.sortBy(_._1)
+    ps.map { p =>
+      val sb = new java.lang.StringBuilder
+      var last = p.start
+      all.foreach { case (s, e) =>
+        if (s >= p.start && s < p.end) {
+          sb.append(text, last, s).append("<b>").append(text, s, math.min(e, p.end)).append("</b>")
+          last = math.min(e, p.end)
+        }
+      }
+      sb.append(text, last, p.end).toString
+    }.mkString(" … ")
+  }
+
   /** Snippet string: top passages joined with " … ", matched terms bolded. */
   def snippet(text: String, queryTerms: Set[String], maxPassages: Int = 3): String = {
     val ps = topPassages(text, queryTerms, maxPassages)

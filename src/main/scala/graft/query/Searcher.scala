@@ -69,10 +69,22 @@ object Searcher {
     LoadedIndex(spark, indexDir, n, avg, Bm25.lossyCache(avg))
   }
 
+  /** `bloom_enable_factor` sentinel: never consult the bloom store
+    * (reference `types.h:54`). */
+  val BloomNeverUse = 0
+
   /** Conjunctive (optionally phrase) BM25 top-k for one query.
-    * Returns (docId, score, rank), rank 1-based. */
+    * Returns (docId, score, rank), rank 1-based.
+    *
+    * `bloomFactor` is the reference's `bloom_enable_factor`
+    * (`query_processing.h:795-807`, default 1): for a 2-term phrase the
+    * bloom probe direction is cost-ruled by posting-list sizes —
+    * `factor*df1 <= df2` probes term1's END filter for term2,
+    * `factor*df2 < df1` probes term2's BEGIN filter for term1, and
+    * comparable sizes skip the bloom entirely; k>2 falls back to the
+    * end-filter chain over adjacent pairs (`CheckBloomFallBack`). */
   def search(ix: LoadedIndex, queryTerms: Seq[String], k: Int,
-             phrase: Boolean = false): Dataset[Hit] = {
+             phrase: Boolean = false, bloomFactor: Int = 1): Dataset[Hit] = {
     val spark = ix.spark
     import spark.implicits._
     val terms = queryTerms.distinct
@@ -140,24 +152,37 @@ object Searcher {
             val ps = PostingCodec.decodePositions(n, pos)
             dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i)) }
           }
-        // (J5) bloom semi-join: if the two-way bloom store exists, prune
-        // docs whose per-(term,doc) "end" filters rule out an adjacent pair
-        // — lossy-positive, so the positional check below stays exact.
+        // (J5) bloom semi-join: two-way cost-ruled probes against the bloom
+        // store — lossy-positive, so the positional check below stays exact.
+        // Each check is (rowTerm, probe, useEnd): read rowTerm's filter for
+        // this doc and test `probe` against its end (successor) or begin
+        // (predecessor) side, direction picked by the posting-size rule.
         val bloomPath = s"${ix.indexDir}/bloom"
+        val checks: Seq[(String, String, Boolean)] =
+          if (bloomFactor == BloomNeverUse || queryTerms.size < 2) Seq.empty
+          else if (queryTerms.size == 2) {
+            val (a, b) = (queryTerms.head, queryTerms(1))
+            val (da, db) = (dfs(a), dfs(b))
+            if (bloomFactor.toLong * da <= db) Seq((a, b, true))        // end-probe a→b
+            else if (bloomFactor.toLong * db < da) Seq((b, a, false))   // begin-probe b←a
+            else Seq.empty                                              // comparable: skip bloom
+          } else queryTerms.sliding(2).map(p => (p.head, p(1), true)).toSeq
         val withPos =
-          if (queryTerms.size > 1 &&
+          if (checks.nonEmpty &&
               java.nio.file.Files.exists(java.nio.file.Paths.get(bloomPath))) {
-            val pairs = queryTerms.sliding(2).map(p => (p.head, p(1))).toSeq
-            val bcPairs = spark.sparkContext.broadcast(pairs)
+            val bcChecks = spark.sparkContext.broadcast(checks)
             val passing = spark.read.parquet(bloomPath)
-              .filter($"term".isin(pairs.map(_._1).distinct: _*))
-              .select("term", "docId", "endBits", "k")
-              .as[(String, Int, Array[Byte], Int)]
+              .filter($"term".isin(checks.map(_._1).distinct: _*))
+              .select("term", "docId", "beginBits", "endBits", "k")
+              .as[(String, Int, Array[Byte], Array[Byte], Int)]
               .groupByKey(_._2)
               .flatMapGroups { (docId, rows) =>
-                val m = rows.map(r => r._1 -> new graft.index.Bloom.Filter(r._3, r._4)).toMap
-                val ok = bcPairs.value.forall { case (a, b) =>
-                  m.get(a).exists(_.mightContain(b))
+                val m = rows.map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+                val ok = bcChecks.value.forall { case (rowTerm, probe, useEnd) =>
+                  m.get(rowTerm).exists { case (begin, end, kk) =>
+                    new graft.index.Bloom.Filter(if (useEnd) end else begin, kk)
+                      .mightContain(probe)
+                  }
                 }
                 if (ok) Iterator.single(docId) else Iterator.empty
               }.toDF("docId")

@@ -175,6 +175,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("two-way cost-ruled bloom: every probe direction matches the oracle") {
+    built
+    graft.index.Bloom.buildStage(spark, tmp)
+    import spark.implicits._
+    val stats = ix.termstats.select("term", "df").as[(String, Long)].collect().toMap
+    // pick cases that exercise each branch of CheckBloomWithEnableFactor:
+    // rare->hot (end probe), hot->rare (begin probe), comparable (skip)
+    val cases = Seq(
+      (Seq("epsilon", "if"), "end"),   // df(eps) << df(if): factor*df1 <= df2
+      (Seq("if", "epsilon"), "begin"), // df(if) >> df(eps): factor*df2 < df1
+      (Seq("if", "return"), "skip-or-probe"))
+    cases.foreach { case (p, label) =>
+      // sanity on the intended direction for the asymmetric cases
+      if (label == "end") assert(stats(p.head) <= stats(p(1)))
+      if (label == "begin") assert(stats(p(1)) < stats(p.head))
+      for (factor <- Seq(Searcher.BloomNeverUse, 1, 4)) {
+        val got = Searcher.search(ix, p, 10, phrase = true, bloomFactor = factor)
+          .collect().sortBy(_.rank)
+        val want = Oracle.search(oracle, p, 10, phrase = true)
+        assert(got.map(_.docId).toSeq == want.map(_.docId),
+          s"bloom phrase $p ($label, factor=$factor) mismatch")
+        got.zip(want).foreach { case (g, w) =>
+          assert(math.abs(g.score - w.score) < 1e-9)
+        }
+      }
+    }
+  }
+
   test("Engine facade: search with snippets and doc freqs") {
     built
     val eng = Engine.load(spark, tmp)
@@ -182,6 +210,17 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = eng.search(Engine.SearchQuery(Seq("if", "return"), nResults = 5,
       returnSnippets = true))
     assert(res.entries.size == 5)
+    // offsets-served snippets must equal the re-tokenize reference path
+    // (same passages, same bolded spans) — proves the stored offsets stream
+    // is byte-correct and actually used
+    val bodies: Map[Int, String] = (0L until NDocs).map(id => CorpusGen.row(42L, id))
+      .sortBy(r => (r._1, r._2)).zipWithIndex
+      .map { case (r, i) => i -> r._5 }.toMap
+    res.entries.foreach { e =>
+      val want = graft.query.Highlighter.snippet(bodies(e.docId), Set("if", "return"), 3)
+      assert(e.snippet == want, s"offsets snippet diverges for doc ${e.docId}")
+      assert(e.snippet.contains("<b>"))
+    }
     assert(res.docFreqs.contains("if") && res.docFreqs("if") > 0)
     assert(res.entries.head.snippet.contains("<b>"))
     val want = Oracle.search(oracle, Seq("if", "return"), 5)
