@@ -69,10 +69,13 @@ object SparkEntry {
     val flat = docs(s, dir).select(col("doc_id").cast("int").as("doc_id"), col("text"))
       .as[(Int, String)]
       .flatMap { case (id, text) =>
-        Tokenizer.grouped(text).iterator.map { case (term, ps, os) =>
+        val grouped = Tokenizer.grouped(text)
+        val lb = LenByte.encode(grouped.iterator.map(_._2.length.toLong).sum)
+        grouped.iterator.map { case (term, ps, os) =>
           IndexBuilder.FlatPosting(term, id, ps.length,
             PostingCodec.encodePositionsBlob(ps),
-            PostingCodec.encodeOffsetsBlob(os.map(_._1), os.map(_._2)))
+            PostingCodec.encodeOffsetsBlob(os.map(_._1), os.map(_._2)),
+            lb)
         }
       }
     IndexBuilder.buildBlocks(s, flat, n, partitions = 8).toDF()

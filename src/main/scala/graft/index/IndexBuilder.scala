@@ -29,10 +29,12 @@ object IndexBuilder {
   final case class DocRow(docId: Int, repo: String, path: String, commit: String,
                           lang: String, sha256: String, content: String)
   final case class FlatPosting(term: String, docId: Int, tf: Int,
-                               posBlob: Array[Byte], offBlob: Array[Byte])
+                               posBlob: Array[Byte], offBlob: Array[Byte],
+                               lenByte: Int = 0)
   final case class DocLen(docId: Int, len: Int, lenByte: Int)
   final case class BlockRow(term: String, prevDocId: Int, firstDocId: Int, lastDocId: Int,
-                            n: Int, docIds: Array[Byte], tfs: Array[Byte],
+                            n: Int, maxTf: Int, minLenByte: Int,
+                            docIds: Array[Byte], tfs: Array[Byte],
                             positions: Array[Byte], offsets: Array[Byte])
 
   /** Max postings a salted (term, shard) group should hold; terms with df
@@ -98,10 +100,19 @@ object IndexBuilder {
   def flatPostings(docs: Dataset[DocRow]): Dataset[FlatPosting] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
-      Tokenizer.grouped(d.content).iterator.map { case (term, ps, os) =>
+      val grouped = Tokenizer.grouped(d.content)
+      // doc length = total token count; its lossy byte rides on every flat
+      // posting so the block encoder can emit avg-independent block-max
+      // metadata without a doclen join
+      var len = 0
+      var i = 0
+      while (i < grouped.length) { len += grouped(i)._2.length; i += 1 }
+      val lb = LenByte.encode(len.toLong)
+      grouped.iterator.map { case (term, ps, os) =>
         FlatPosting(term, d.docId, ps.length,
           PostingCodec.encodePositionsBlob(ps),
-          PostingCodec.encodeOffsetsBlob(os.map(_._1), os.map(_._2)))
+          PostingCodec.encodeOffsetsBlob(os.map(_._1), os.map(_._2)),
+          lb)
       }
     }
   }
@@ -156,11 +167,16 @@ object IndexBuilder {
               val group = scala.collection.mutable.ArrayBuffer.empty[PostingCodec.Posting]
               while (in.hasNext && in.head._2.term == head.term && in.head._1 == salt) {
                 val p = in.next()._2
-                group += PostingCodec.Posting(p.docId, p.tf, p.posBlob, p.offBlob)
+                group += PostingCodec.Posting(p.docId, p.tf, p.posBlob, p.offBlob, p.lenByte)
               }
+              // NOTE: each salted shard's first block is delta-seeded from 0,
+              // not from the previous shard's last docId (the reference
+              // chains them, `flash_containers.h:22`) — shards are encoded by
+              // independent tasks and blocks are self-contained; decoders
+              // must treat each (term, shard) run as its own chain.
               pending = PostingCodec.encode(head.term, group.iterator).map(b =>
                 BlockRow(b.term, b.prevDocId, b.firstDocId, b.lastDocId, b.n,
-                  b.docIds, b.tfs, b.positions, b.offsets))
+                  b.maxTf, b.minLenByte, b.docIds, b.tfs, b.positions, b.offsets))
             }
           }
           def hasNext: Boolean = { refill(); pending.hasNext }

@@ -27,6 +27,8 @@ final case class PostingBlock(
     firstDocId: Int,  // skip metadata: block min docId
     lastDocId: Int,   // skip metadata: block max docId
     n: Int,
+    maxTf: Int,       // block-max metadata: max tf in block (WAND upper bound)
+    minLenByte: Int,  // block-max metadata: min lossy length byte in block
     docIds: Array[Byte],
     tfs: Array[Byte],
     positions: Array[Byte],
@@ -43,7 +45,8 @@ object PostingCodec {
     * byte-concatenation of its postings' blobs (same wire format), so the
     * term-partitioned shuffle moves ~3× fewer bytes and the encode stage
     * never re-touches them. */
-  final case class Posting(docId: Int, tf: Int, posBlob: Array[Byte], offBlob: Array[Byte])
+  final case class Posting(docId: Int, tf: Int, posBlob: Array[Byte], offBlob: Array[Byte],
+                           lenByte: Int = 0)
 
   /** varint(n) + within-posting delta varints, starting at 0
     * (`flash_engine_dumper.h:456-461`). */
@@ -108,8 +111,15 @@ object PostingCodec {
       val posB = scala.collection.mutable.ArrayBuilder.make[Byte]
       val offB = scala.collection.mutable.ArrayBuilder.make[Byte]
       arr.foreach { p => posB ++= p.posBlob; offB ++= p.offBlob }
+      // avg-independent block-max pair: tfNormLossy is increasing in tf and
+      // decreasing in lenByte at ANY avgLen, so (maxTf, minLenByte) bounds
+      // every posting's partial score in the block even when segments with
+      // different corpus averages are searched together (BMW metadata —
+      // the reference's skip-list analog, north-rule block-max WAND)
+      val maxTf = arr.iterator.map(_.tf).max
+      val minLb = arr.iterator.map(_.lenByte).min
       val blk = PostingBlock(term, prev, ids.head, ids.last, arr.length,
-        docIdBytes, tfBytes, posB.result(), offB.result())
+        maxTf, minLb, docIdBytes, tfBytes, posB.result(), offB.result())
       prev = ids.last
       blk
     }

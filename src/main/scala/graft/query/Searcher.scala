@@ -84,7 +84,8 @@ object Searcher {
     * comparable sizes skip the bloom entirely; k>2 falls back to the
     * end-filter chain over adjacent pairs (`CheckBloomFallBack`). */
   def search(ix: LoadedIndex, queryTerms: Seq[String], k: Int,
-             phrase: Boolean = false, bloomFactor: Int = 1): Dataset[Hit] = {
+             phrase: Boolean = false, bloomFactor: Int = 1,
+             wandMinPostings: Long = 50000L): Dataset[Hit] = {
     val spark = ix.spark
     import spark.implicits._
     val terms = queryTerms.distinct
@@ -97,50 +98,109 @@ object Searcher {
       .select("term", "df").as[(String, Long)].collect().toMap
     if (terms.exists(t => !dfs.contains(t))) return spark.emptyDataset[Hit]
     val idfs: Map[String, Double] = dfs.map { case (t, df) => t -> Bm25.idf(ix.nDocs, df) }
-
-    // (J3 skip analog) rarest term's block ranges bound the candidate docId
-    // space; other terms' blocks outside those ranges are pruned pre-decode.
-    val rarest = dfs.minBy(_._2)._1
-    val blocks = ix.postings.filter($"term".isin(terms: _*))
-    val rarestRanges: Array[(Int, Int)] =
-      if (terms.size > 1)
-        blocks.filter($"term" === rarest).select("firstDocId", "lastDocId")
-          .as[(Int, Int)].collect().sortBy(_._1)
-      else Array.empty
-    val bcRanges = spark.sparkContext.broadcast(rarestRanges)
-    val pruned =
-      if (terms.size > 1) {
-        val overlaps = udf { (first: Int, last: Int) =>
-          val r = bcRanges.value
-          // binary search: any range overlapping [first,last]?
-          var lo = 0; var hi = r.length - 1; var found = false
-          while (lo <= hi && !found) {
-            val mid = (lo + hi) >>> 1
-            if (r(mid)._2 < first) lo = mid + 1
-            else if (r(mid)._1 > last) hi = mid - 1
-            else found = true
-          }
-          found
-        }
-        blocks.filter($"term" === rarest || overlaps($"firstDocId", $"lastDocId"))
-      } else blocks
-
-    // (P3) decode scoring columns only; positions stay unread unless phrase.
-    val posting: Dataset[(String, Int, Int)] = // (term, docId, tf)
-      pruned.select("term", "prevDocId", "n", "docIds", "tfs")
-        .as[(String, Int, Int, Array[Byte], Array[Byte])]
-        .flatMap { case (t, prev, n, ids, tfs) =>
-          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
-        }
-
+    // a repeated query term scores once PER SLOT (`scoring.h:133-142`) —
+    // fold the multiplicity into the idf weight, for scoring AND bounds
+    val idfW: Map[String, Double] =
+      idfs.map { case (t, v) => t -> v * queryTerms.count(_ == t) }
+    val cache = ix.lossyCache
     val nTerms = terms.size
 
-    // (J2) conjunctive AND + per-term partial scores in one aggregation.
-    val cache = ix.lossyCache
+    // ---- block-max planning (J3 skip + BMW, driver-side on df/128 meta) ----
+    // 1. candidate docId space = intersection of every term's block coverage
+    //   (generalizes the rarest-term range prune: rare∧hot decodes only the
+    //   hot blocks overlapping the rare term's ranges, any-arity).
+    // 2. optional WAND θ-prune for large decodes: a pilot job over the
+    //   highest-ceiling candidate intervals computes an exact kth-score
+    //   lower bound θ; a block then survives only if its own ceiling plus
+    //   the other terms' max ceilings over its range can still reach θ.
+    //   Every posting of a doc with true score >= θ sits in a surviving
+    //   block (its co-terms' blocks overlap its own), so the final
+    //   aggregation stays exact.
+    val blocks = ix.postings.filter($"term".isin(terms: _*))
+    val metaRaw = blocks
+      .select("term", "firstDocId", "lastDocId", "n", "maxTf", "minLenByte")
+      .as[(String, Int, Int, Int, Int, Int)].collect()
+    val meta: Map[String, Array[BlockMax.BlockMeta]] = metaRaw.groupBy(_._1)
+      .map { case (t, rs) =>
+        val w = idfW(t)
+        t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, r._4,
+          w * Bm25.tfNormLossy(r._5.toLong, r._6, cache)))
+      }
+    val perTerm = terms.map(meta(_))
+    val candidates = BlockMax.intersectCoverage(perTerm)
+    if (candidates.isEmpty) return spark.emptyDataset[Hit]
+    val rangeSurvivors: Map[String, Array[Int]] =
+      terms.map(t => t -> BlockMax.overlapping(meta(t), candidates)).toMap
+    val afterRangeBlocks = rangeSurvivors.valuesIterator.map(_.length.toLong).sum
+    val estPostings = terms.iterator
+      .map(t => rangeSurvivors(t).iterator.map(i => meta(t)(i).n.toLong).sum).sum
+
+    val decodedAcc = spark.sparkContext.longAccumulator("graft.decodedPostings")
+    def blocksFor(sel: Map[String, Array[Int]]): DataFrame = {
+      val keys: Set[(String, Int)] = sel.iterator.flatMap { case (t, idxs) =>
+        idxs.iterator.map(i => (t, meta(t)(i).first))
+      }.toSet
+      val bc = spark.sparkContext.broadcast(keys)
+      val keep = udf((t: String, f: Int) => bc.value.contains((t, f)))
+      blocks.filter(keep($"term", $"firstDocId"))
+    }
+
     val lenByteOf = ix.doclen.select($"docId", $"lenByte")
+    val idfDf = broadcast(idfW.toSeq.toDF("term", "idf"))
+    val cacheLit = array(cache.map(lit).toSeq: _*)
+    val partScoreExpr = $"idf" *
+      ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
+    // conjunctive AND + score sum in one hash aggregation over decoded
+    // (term, docId, tf) triples — (P3) only scoring columns are read
+    def scoreOf(sel: DataFrame): DataFrame =
+      sel.select("term", "prevDocId", "n", "docIds", "tfs")
+        .as[(String, Int, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs) =>
+          decodedAcc.add(n)
+          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
+        }
+        .toDF("term", "docId", "tf")
+        .join(lenByteOf, "docId")
+        .join(idfDf, "term")
+        .withColumn("partScore", partScoreExpr)
+        .groupBy($"docId")
+        .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
+        .filter($"nMatched" === nTerms)
+
+    val usedWand = !phrase && estPostings > wandMinPostings
+    val (finalSel, theta) =
+      if (!usedWand) (rangeSurvivors, Double.NegativeInfinity)
+      else {
+        val pilotIv = BlockMax.pilotIntervals(perTerm,
+          BlockMax.refineByBlocks(perTerm, candidates),
+          targetDocs = math.max(64L * k, 1024L))
+        val pilotSel = terms.map(t => t -> BlockMax.overlapping(meta(t), pilotIv)).toMap
+        val pilotTop = scoreOf(blocksFor(pilotSel))
+          .orderBy(desc("score"), asc("docId")).limit(k)
+          .select($"score").as[Double].collect()
+        if (pilotTop.length < k) (rangeSurvivors, Double.NegativeInfinity)
+        else {
+          val th = pilotTop.last
+          val sel = terms.map { t =>
+            t -> rangeSurvivors(t).filter { i =>
+              val b = meta(t)(i)
+              val others = terms.iterator.filter(_ != t)
+                .map(t2 => BlockMax.maxUbIn(meta(t2), b.first, b.last)).sum
+              b.ub + others >= th - 1e-9
+            }
+          }.toMap
+          (sel, th)
+        }
+      }
+    val pruned = blocksFor(finalSel)
+    def publishDiag(): Unit = lastDiag.set(BlockMax.Diag(
+      nTerms, metaRaw.length.toLong,
+      meta.valuesIterator.flatten.map(_.n.toLong).sum,
+      afterRangeBlocks, finalSel.valuesIterator.map(_.length.toLong).sum,
+      decodedAcc.value, theta, usedWand))
 
     val matched =
-      if (!phrase) posting
+      if (!phrase) null // scored directly via scoreOf(pruned) below
       else {
         // (J4) phrase path: decode positions for candidate docs and keep
         // only docs where adjusted positions intersect.
@@ -208,27 +268,22 @@ object Searcher {
           }
       }
 
-    // Scoring is pure built-in Column arithmetic (no UDF → whole-stage
-    // codegen): idf via a broadcast (term, idf) join, the 256-entry lossy
-    // denominator cache as an array literal indexed by the length byte.
-    // A repeated query term scores once PER SLOT (the reference walks one
-    // iterator per query term, `scoring.h:133-142`) — fold the multiplicity
-    // into the idf weight.
-    val idfDf = broadcast(
-      idfs.toSeq.map { case (t, v) => (t, v * queryTerms.count(_ == t)) }.toDF("term", "idf"))
-    val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
-    val partScore = $"idf" *
-      ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
-    // one hash aggregation does both the conjunctive AND (count of distinct
-    // matched terms — posting lists carry one row per (term,doc)) and the
-    // score sum; then TakeOrderedAndProject = partial heaps + driver merge.
-    matched.toDF("term", "docId", "tf")
-      .join(lenByteOf, "docId")
-      .join(idfDf, "term")
-      .withColumn("partScore", partScore)
-      .groupBy($"docId")
-      .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
-      .filter($"nMatched" === nTerms)
+    // Scoring is pure built-in Column arithmetic (no UDF in the arithmetic →
+    // whole-stage codegen): idf via a broadcast (term, idf) join, the
+    // 256-entry lossy denominator cache as an array literal indexed by the
+    // length byte. One hash aggregation does both the conjunctive AND and
+    // the score sum; then TakeOrderedAndProject = partial heaps + driver
+    // merge.
+    val scored =
+      if (!phrase) scoreOf(pruned)
+      else matched.toDF("term", "docId", "tf")
+        .join(lenByteOf, "docId")
+        .join(idfDf, "term")
+        .withColumn("partScore", partScoreExpr)
+        .groupBy($"docId")
+        .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
+        .filter($"nMatched" === nTerms)
+    val hits = scored
       .orderBy(desc("score"), asc("docId"))
       .limit(k)
       .select($"docId".cast("int"), $"score")
@@ -236,8 +291,13 @@ object Searcher {
       .collect()
       .zipWithIndex
       .map { case ((d, s), i) => Hit(d, s, i + 1) }
-      .toSeq.toDS()
+    publishDiag()
+    hits.toSeq.toDS()
   }
+
+  /** Pruning diagnostics of the most recent [[search]] call on this JVM
+    * (driver-side; for tests/benchmarks, not part of the query result). */
+  val lastDiag = new java.util.concurrent.atomic.AtomicReference[BlockMax.Diag]()
 
   /** Batch search: many queries at once — one Spark job for the whole query
     * set (queryId, terms). Used by the bench. */

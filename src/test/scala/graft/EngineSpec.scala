@@ -175,6 +175,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("block-max WAND: hot∧hot top-k decodes far fewer postings, exactly") {
+    import spark.implicits._
+    // heterogeneous corpus: first 1500 docs are long with tf=1 (low score
+    // ceiling), last 500 are short with high tf (high ceiling) — block-max
+    // metadata separates them, so the θ-prune must skip most low blocks
+    val n = 6000
+    val rows = (0 until n).map { i =>
+      val content =
+        if (i < 5500) "if return " + (s"filler$i " * 60).trim
+        else "if if if return return"
+      ("r0", f"p$i%05d", "c", "x", content)
+    }
+    val corpus = rows.toDF("repo", "path", "commit", "lang", "content")
+      .withColumn("sha256", org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.col("content"), 256))
+    val dir = java.nio.file.Files.createTempDirectory("graft_wand").toString
+    try {
+      IndexBuilder.build(spark, corpus, dir, partitions = 4)
+      val wix = Searcher.load(spark, dir)
+      val oracleW = new Oracle.Index(rows.zipWithIndex.map { case (r, i) => Oracle.Doc(i, r._5) })
+      val got = Searcher.search(wix, Seq("if", "return"), 10, wandMinPostings = 0L)
+        .collect().sortBy(_.rank)
+      val diag = Searcher.lastDiag.get()
+      val want = Oracle.search(oracleW, Seq("if", "return"), 10)
+      assert(got.map(_.docId).toSeq == want.map(_.docId).toSeq)
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+      assert(diag.usedWand, s"wand not engaged: $diag")
+      assert(diag.decodedPostings < diag.totalPostings / 2,
+        s"θ-prune decoded ${diag.decodedPostings} of ${diag.totalPostings}: $diag")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("two-way cost-ruled bloom: every probe direction matches the oracle") {
     built
     graft.index.Bloom.buildStage(spark, tmp)
