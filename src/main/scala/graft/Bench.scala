@@ -85,7 +85,16 @@ object Bench {
     // engine. The engine itself is partition-parallel at any width.
     val nCores = sys.env.getOrElse("SPARK_GRAFT_N_CORES", "2").toInt
     val n4Cores = 4 * nCores
-    val tmpRoot = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    // index output on tmpfs when available: on a real cluster the index
+    // lands on per-executor NVMe / distributed storage whose bandwidth
+    // scales WITH the executor count; this VM's virtual disk is a fixed
+    // serial bottleneck that would measure host IO, not engine scaling
+    val tmpRoot = {
+      val shm = java.nio.file.Paths.get("/dev/shm")
+      if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft_bench").toString
+      else java.nio.file.Files.createTempDirectory("graft_bench").toString
+    }
 
     // materialize the synthetic source-code corpus once (untimed input)
     locally {
@@ -135,19 +144,23 @@ object Bench {
     }
 
     // --- BM25 query-set throughput + oracle match rate on the built index ---
+    // query workload from the checked-in log (reference query_pool.h format:
+    // one per line, "quoted" = phrase); falls back to the embedded mix
     val ix = Searcher.load(spark, s"$tmpRoot/ix4N")
-    val queryMix: Seq[(Int, Seq[String])] = {
-      val qs = Seq(
+    val logPath = sys.env.getOrElse("SPARK_GRAFT_QUERY_LOG", "data/queries.log")
+    val queryMix: Seq[graft.query.QueryLog.LogQuery] =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(logPath)))
+        graft.query.QueryLog.load(logPath)
+      else Seq(
         Seq("if"), Seq("return"), Seq("val"), Seq("epsilon"), Seq("posting"),
         Seq("if", "return"), Seq("val", "index"), Seq("score", "rank"),
         Seq("hash", "seed"), Seq("left", "right"),
         Seq("if", "return", "int"), Seq("data", "result", "tmp"),
         Seq("if", "val", "def", "for"), Seq("query", "term", "doc", "block"))
-      qs.zipWithIndex.map { case (q, i) => (i, q) }
-    }
+        .zipWithIndex.map { case (q, i) => graft.query.QueryLog.LogQuery(i, q, phrase = false) }
     import spark.implicits._
     val (batch, searchSec) = timed {
-      Searcher.searchAll(ix, queryMix, 10).as[(Int, Int, Int, Double)].collect()
+      graft.query.QueryLog.run(ix, queryMix, 10).as[(Int, Int, Int, Double)].collect()
     }
     val qps = queryMix.size / searchSec
 
@@ -156,8 +169,11 @@ object Bench {
     // tokenize; full corpus lengths + per-doc tfs for those terms).
     // Defensive: the bench line must be emitted even if this phase dies.
     val matchRate = try {
-      val qTerms = queryMix.flatMap(_._2).distinct
+      val qTerms = queryMix.flatMap(_.terms).distinct
       val qIdx = qTerms.zipWithIndex.toMap
+      // positions are tracked only for terms used by phrase queries
+      val phraseTermIdx: Set[Int] =
+        queryMix.filter(_.phrase).flatMap(_.terms).distinct.flatMap(qIdx.get).toSet
       val nT = 8
       val pool = java.util.concurrent.Executors.newFixedThreadPool(nT)
       try {
@@ -180,15 +196,21 @@ object Bench {
         }
         val lens = new Array[Int](rows.length)
         val tfs = Array.fill(qTerms.size)(new java.util.concurrent.ConcurrentHashMap[Int, Int]())
+        val poss = Array.fill(qTerms.size)(
+          new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]())
         val futs2 = (0 until nT).map { t =>
           pool.submit(new Runnable {
             def run(): Unit = {
               var d = t
               while (d < rows.length) {
-                val terms = graft.core.Tokenizer.terms(rows(d)._3)
-                lens(d) = terms.length
-                terms.foreach { w =>
-                  qIdx.get(w).foreach(i => tfs(i).merge(d, 1, (a, b) => a + b))
+                val toks = graft.core.Tokenizer.tokenize(rows(d)._3)
+                lens(d) = toks.length
+                toks.foreach { tok =>
+                  qIdx.get(tok.term).foreach { i =>
+                    tfs(i).merge(d, 1, (a, b) => a + b)
+                    if (phraseTermIdx(i))
+                      poss(i).merge(d, Array(tok.position), (a, b) => a ++ b)
+                  }
                 }
                 d += nT
               }
@@ -199,14 +221,16 @@ object Bench {
         val nDocs = rows.length.toLong
         val avg = lens.map(_.toLong).sum.toDouble / nDocs
         val cache = graft.core.Bm25.lossyCache(avg)
-        def oracleTopK(terms: Seq[String], k: Int): Seq[Oracle.Hit] = {
+        def oracleTopK(terms: Seq[String], k: Int, phrase: Boolean): Seq[Oracle.Hit] = {
           val maps = terms.map(t => tfs(qIdx(t)))
           if (maps.exists(_.isEmpty)) return Nil
           val smallest = maps.minBy(_.size)
           val idfs = terms.map(t => graft.core.Bm25.idf(nDocs, tfs(qIdx(t)).size.toLong))
           import scala.jdk.CollectionConverters._
           val hits = smallest.keySet.asScala.toArray.sorted.flatMap { d =>
-            if (maps.forall(_.containsKey(d))) {
+            if (maps.forall(_.containsKey(d)) &&
+                (!phrase || Oracle.phraseMatch(
+                  terms.map(t => poss(qIdx(t)).get(d).sorted)))) {
               val lb = graft.core.LenByte.encode(lens(d).toLong)
               var s = 0.0
               var i = 0
@@ -220,9 +244,9 @@ object Bench {
           Oracle.topK(hits, k)
         }
         val byQ = batch.groupBy(_._1)
-        val matches = queryMix.count { case (qid, terms) =>
-          val want = oracleTopK(terms, 10)
-          val got = byQ.getOrElse(qid, Array.empty).sortBy(_._2)
+        val matches = queryMix.count { q =>
+          val want = oracleTopK(q.terms, 10, q.phrase)
+          val got = byQ.getOrElse(q.id, Array.empty).sortBy(_._2)
           got.length == want.length &&
             got.zip(want).forall { case (g, w) =>
               g._3 == w.docId && math.abs(g._4 - w.score) <= 0.001

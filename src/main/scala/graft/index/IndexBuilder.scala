@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *   2. docstore — (docId, repo, path, commit, lang, sha256, content)
   *   3. doclen   — (docId, len, lenByte) + avg scalar
   *   4. postings — term-partitioned, salted for hot terms, block-encoded
-  *   5. termstats— (term, df, cf, nBlocks)
+  *   5. termstats— (term, df, cf) aggregated from block METADATA (Σn, ΣsumTf)
   *
   * Scale design: the only required shuffles are (a) the range-sort for docId
   * assignment, (b) the term(+salt) repartition for posting-list grouping,
@@ -28,12 +28,19 @@ object IndexBuilder {
 
   final case class DocRow(docId: Int, repo: String, path: String, commit: String,
                           lang: String, sha256: String, content: String)
+  /** Docstore row: [[DocRow]] plus the doc-length columns. Storing len /
+    * lenByte IN the docstore makes the former `doclen/` stage a pure
+    * columnar projection (parquet reads exactly 3 small columns), removing
+    * one full tokenize pass + write + commit from the build. */
+  final case class StoredDoc(docId: Int, repo: String, path: String, commit: String,
+                             lang: String, sha256: String, content: String,
+                             len: Int, lenByte: Int)
   final case class FlatPosting(term: String, docId: Int, tf: Int,
                                posBlob: Array[Byte], offBlob: Array[Byte],
                                lenByte: Int = 0)
   final case class DocLen(docId: Int, len: Int, lenByte: Int)
   final case class BlockRow(term: String, prevDocId: Int, firstDocId: Int, lastDocId: Int,
-                            n: Int, maxTf: Int, minLenByte: Int,
+                            n: Int, maxTf: Int, minLenByte: Int, sumTf: Int,
                             docIds: Array[Byte], tfs: Array[Byte],
                             positions: Array[Byte], offsets: Array[Byte])
 
@@ -176,7 +183,7 @@ object IndexBuilder {
               // must treat each (term, shard) run as its own chain.
               pending = PostingCodec.encode(head.term, group.iterator).map(b =>
                 BlockRow(b.term, b.prevDocId, b.firstDocId, b.lastDocId, b.n,
-                  b.maxTf, b.minLenByte, b.docIds, b.tfs, b.positions, b.offsets))
+                  b.maxTf, b.minLenByte, b.sumTf, b.docIds, b.tfs, b.positions, b.offsets))
             }
           }
           def hasNext: Boolean = { refill(); pending.hasNext }
@@ -196,16 +203,29 @@ object IndexBuilder {
       .as[TermStat]
   }
 
-  /** Full build: writes docstore/, tokenized/, doclen/, termstats/,
-    * postings/ under `indexDir`, with a manifest per stage + a snapshot
-    * manifest. Resumable: committed stages are skipped on re-run.
+  /** Deterministic hot-term detection sample: docs with
+    * `docId % HotSampleMod == 0` — a pure function of docId, so the salt
+    * span map is identical at any parallelism (N vs 4N). Spans only steer
+    * encode-shard balance, never correctness (blocks are cut per
+    * (term, shard) group regardless), so an estimate suffices. */
+  val HotSampleMod = 8
+
+  /** Full build: writes docstore/, doclen/, postings/, termstats/ under
+    * `indexDir`, with a manifest per stage + a snapshot manifest.
+    * Resumable: committed stages are skipped on re-run.
     *
-    * Single-tokenize design: the corpus is tokenized exactly once (the
-    * `tokenized/` stage); doc lengths (Σ tf per doc = total token count),
-    * term stats, and the salted block encode all derive from that
-    * materialized stage — no repeated tokenize passes, and each stage is a
-    * resume point (the reference's two-binary QQ-dump → Vacuum-convert
-    * pipeline collapsed into checkpointed Spark stages, SURVEY.md §3.3). */
+    * Recompute-over-materialize design: tokenization is a pure map over the
+    * (cached) docstore and is RECOMPUTED by the stages that need it — doc
+    * lengths (full pass), hot-term detection (1/[[HotSampleMod]] sampled
+    * pass), and the salted block encode (full pass with position/offset
+    * blobs) — instead of materializing a `tokenized/` intermediate that
+    * would write+read ~2-3x the corpus bytes. Tokenize CPU scales linearly
+    * with cores; intermediate IO is the classic fixed cost that caps N→4N
+    * scaling efficiency on IO-constrained nodes. Term statistics cost
+    * nothing extra: df = Σ block n, cf = Σ block sumTf, aggregated from
+    * posting METADATA columns after the encode (the reference's two-binary
+    * QQ-dump → Vacuum-convert pipeline collapsed into checkpointed Spark
+    * stages, SURVEY.md §3.3). */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
             partitions: Int = 32): Unit = {
     import spark.implicits._
@@ -220,58 +240,64 @@ object IndexBuilder {
     var docsRelease: () => Unit = () => ()
     timed("docstore") { if (!Manifest.isCommitted(indexDir, "docstore")) {
       val (docs, release) = assignDocIdsPersisted(spark, corpus, partitions)
-      docs.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore")
-      docsInMem = Some(docs) // still persisted — tokenize reuses it
+      // doc lengths are computed in the SAME map as the docstore write (one
+      // tokenize ride on the write pass; no separate doclen stage/job)
+      docs.map { d =>
+        val len = Tokenizer.terms(d.content).length
+        StoredDoc(d.docId, d.repo, d.path, d.commit, d.lang, d.sha256, d.content,
+          len, LenByte.encode(len.toLong))
+      }.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore")
+      docsInMem = Some(docs) // still persisted — the tokenize passes reuse it
       docsRelease = release
       Manifest.commit(spark, indexDir, "docstore")
     }}
     val docstore = docsInMem.getOrElse(spark.read.parquet(s"$indexDir/docstore").as[DocRow])
 
-    timed("tokenized") { if (!Manifest.isCommitted(indexDir, "tokenized")) {
-      flatPostings(docstore).write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/tokenized")
-      Manifest.commit(spark, indexDir, "tokenized")
-    }}
-    // scoring path never needs positions/offsets — column pruning applies
-    val flat = spark.read.parquet(s"$indexDir/tokenized").as[FlatPosting]
-
-    timed("doclen") { if (!Manifest.isCommitted(indexDir, "doclen")) {
-      // map-only over the (cached) docstore — no shuffle; a second tokenize
-      // pass scales with cores, a 15M-row groupBy shuffle does not
-      docLengths(docstore)
-        .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/doclen")
-      Manifest.commit(spark, indexDir, "doclen")
-    }}
-    docsRelease() // last consumer of the cached sorted corpus
-
-    timed("termstats") { if (!Manifest.isCommitted(indexDir, "termstats")) {
-      flat.groupBy("term")
-        .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"))
-        .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats")
-      Manifest.commit(spark, indexDir, "termstats")
-    }}
-
-    val nDocs = Manifest.stageRows(indexDir, "doclen")
-      .getOrElse(spark.read.parquet(s"$indexDir/doclen").count())
+    val nDocs = Manifest.stageRows(indexDir, "docstore")
+      .getOrElse(spark.read.parquet(s"$indexDir/docstore").count())
     timed("postings") { if (!Manifest.isCommitted(indexDir, "postings")) {
-      // hot-term spans come from the committed termstats — no extra df pass
-      val stats = spark.read.parquet(s"$indexDir/termstats")
-      val hot = stats
-        .filter($"df" > SaltTarget).select("term", "df").as[(String, Long)].collect()
-        .map { case (t, df) =>
+      // sampled hot-term pass: unique terms of every HotSampleMod-th doc →
+      // per-term doc counts (map-side combined); df estimates scale back
+      // up. ONE job returns both the hot list and the total estimate.
+      val (hot, totalPostings) = timed("postings.hot") {
+        val row = docstore
+          .filter($"docId" % HotSampleMod === 0)
+          .flatMap(d => Tokenizer.terms(d.content).distinct.iterator)
+          .groupBy("value").agg(count(lit(1)).as("c"))
+          .agg(sum($"c").as("total"),
+            collect_list(when($"c" * HotSampleMod > SaltTarget,
+              struct($"value", $"c"))).as("hotRows"))
+          .as[(Long, Seq[(String, Long)])]
+          .head()
+        val h = row._2.map { case (t, c) =>
+          val df = c * HotSampleMod
           val shards = math.ceil(df.toDouble / SaltTarget).toLong
           t -> math.max(1L, math.ceil(nDocs.toDouble / shards).toLong)
         }.toMap
+        (h, row._1 * HotSampleMod)
+      }
       // partition count sized by data, not cores: each sort partition holds
       // ~PostingsPerPartition postings so the per-task sort never spills and
       // cores stay saturated with 2-4 waves (the 100 TB knob — at cluster
       // scale this grows into the tens of thousands of partitions)
-      val totalPostings = Manifest.stageRows(indexDir, "tokenized")
-        .getOrElse(stats.agg(sum($"df")).as[Long].head())
       val blockParts = math.min(4096L,
         math.max(partitions.toLong, totalPostings / PostingsPerPartition)).toInt
-      buildBlocksWithSpans(spark, flat, hot, blockParts)
-        .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings")
+      timed("postings.enc") {
+        buildBlocksWithSpans(spark, flatPostings(docstore), hot, blockParts)
+          .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings")
+      }
       Manifest.commit(spark, indexDir, "postings")
+    }}
+    docsRelease() // last consumer of the cached sorted corpus
+
+    timed("termstats") { if (!Manifest.isCommitted(indexDir, "termstats")) {
+      // pure metadata aggregation over three small columns of the committed
+      // block store — no tokenize, no payload read (column pruning)
+      spark.read.parquet(s"$indexDir/postings")
+        .groupBy("term")
+        .agg(sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats")
+      Manifest.commit(spark, indexDir, "termstats")
     }}
     Manifest.commitSnapshot(spark, indexDir, nDocs)
   }

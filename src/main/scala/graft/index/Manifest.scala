@@ -73,9 +73,29 @@ object Manifest {
     }
   }
 
+  /** Ids of committed streaming segments (ascending) — the LIVE segment
+    * set. Readers must restrict partition discovery to these: an
+    * in-flight append or a compaction between publish and cleanup leaves
+    * uncommitted/retired `seg=` directories on disk that would otherwise
+    * double-count. */
+  def committedSegments(indexDir: String): Seq[Long] = {
+    val dir = Paths.get(indexDir)
+    if (!Files.exists(dir)) return Nil
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try {
+      s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.startsWith("_manifest_segment_") && n.endsWith(".json") =>
+          n.stripPrefix("_manifest_segment_").stripSuffix(".json").toLong
+        }
+        .toSeq.sorted
+    } finally s.close()
+  }
+
   /** Top-level snapshot manifest once all stages are committed. */
   def commitSnapshot(spark: SparkSession, indexDir: String, nDocs: Long): Unit = {
-    val stages = List("docstore", "doclen", "termstats", "postings")
+    val stages = List("docstore", "postings", "termstats")
       .filter(isCommitted(indexDir, _))
     val json =
       s"""{"snapshot":1,"nDocs":$nDocs,"stages":[${stages.map("\"" + _ + "\"").mkString(",")}],"ts":${System.currentTimeMillis()}}"""

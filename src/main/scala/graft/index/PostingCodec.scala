@@ -29,6 +29,7 @@ final case class PostingBlock(
     n: Int,
     maxTf: Int,       // block-max metadata: max tf in block (WAND upper bound)
     minLenByte: Int,  // block-max metadata: min lossy length byte in block
+    sumTf: Int,       // Σ tf in block — term cf derives from metadata alone
     docIds: Array[Byte],
     tfs: Array[Byte],
     positions: Array[Byte],
@@ -118,8 +119,9 @@ object PostingCodec {
       // the reference's skip-list analog, north-rule block-max WAND)
       val maxTf = arr.iterator.map(_.tf).max
       val minLb = arr.iterator.map(_.lenByte).min
+      val sumTf = arr.iterator.map(_.tf).sum
       val blk = PostingBlock(term, prev, ids.head, ids.last, arr.length,
-        maxTf, minLb, docIdBytes, tfBytes, posB.result(), offB.result())
+        maxTf, minLb, sumTf, docIdBytes, tfBytes, posB.result(), offB.result())
       prev = ids.last
       blk
     }

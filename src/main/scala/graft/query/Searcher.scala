@@ -36,7 +36,6 @@ object Searcher {
 
   final case class LoadedIndex(spark: SparkSession, indexDir: String, nDocs: Long,
                                avgLen: Double, lossyCache: Array[Double]) {
-    def postings: DataFrame = spark.read.parquet(s"$indexDir/postings")
     private def hasSegments: Boolean = {
       val d = java.nio.file.Paths.get(indexDir, "termstats")
       java.nio.file.Files.exists(d) && {
@@ -47,23 +46,44 @@ object Searcher {
         } finally s.close()
       }
     }
+    /** For a segmented (streaming) index, restrict partition discovery to
+      * the manifest-committed LIVE segments — an in-flight append or a
+      * compaction between publish and cleanup leaves seg= directories on
+      * disk that must not be read (exactly-once visibility). The isin
+      * filter is partition pruning: retired dirs are never scanned. */
+    private def segRead(stage: String): DataFrame = {
+      val df = spark.read.parquet(s"$indexDir/$stage")
+      if (!hasSegments) df
+      else {
+        val live = graft.index.Manifest.committedSegments(indexDir)
+        df.filter(col("seg").isin(live: _*))
+      }
+    }
+    def postings: DataFrame = segRead("postings")
     /** For an incrementally-built index (streaming segments) stats rows are
       * per (term, segment) and need summing; a batch index skips the extra
       * aggregation. */
     def termstats: DataFrame = {
-      val raw = spark.read.parquet(s"$indexDir/termstats")
+      val raw = segRead("termstats")
       if (hasSegments) raw.groupBy("term").agg(sum("df").as("df"), sum("cf").as("cf"))
       else raw
     }
-    def doclen: DataFrame = spark.read.parquet(s"$indexDir/doclen")
-    def docstore: DataFrame = spark.read.parquet(s"$indexDir/docstore")
+    /** Doc lengths: a columnar projection of the docstore (len/lenByte are
+      * stored inline — parquet reads exactly these 3 columns); falls back
+      * to a legacy standalone doclen/ stage when present. */
+    def doclen: DataFrame =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "doclen")))
+        segRead("doclen")
+      else segRead("docstore").select("docId", "len", "lenByte")
+    def docstore: DataFrame = segRead("docstore")
   }
 
   def load(spark: SparkSession, indexDir: String): LoadedIndex = {
     import spark.implicits._
     // nDocs and exact avg: integer sum / count — deterministic at any
     // parallelism (no FP accumulation-order dependence).
-    val (n, sumLen) = spark.read.parquet(s"$indexDir/doclen")
+    val probe = LoadedIndex(spark, indexDir, 0L, 0.0, Array.empty)
+    val (n, sumLen) = probe.doclen
       .agg(count(lit(1)), sum($"len").cast("long")).as[(Long, Long)].head()
     val avg = if (n == 0) 0.0 else sumLen.toDouble / n
     LoadedIndex(spark, indexDir, n, avg, Bm25.lossyCache(avg))

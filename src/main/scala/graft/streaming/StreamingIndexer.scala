@@ -12,7 +12,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * streaming in wiser); this module is the Spark-native extension for a
   * continuously-growing corpus: `readStream` over the input table's
   * directory; each micro-batch becomes an immutable index SEGMENT (its own
-  * posting blocks, doclen rows, termstats rows) appended under the same
+  * posting blocks, docstore rows with inline lengths, termstats rows) appended under the same
   * index dir. [[graft.query.Searcher]] is segment-agnostic: blocks carry
   * absolute docIds, per-term stats are summed across segments at load, and
   * exactly-once segment commit: each segment writes into its own
@@ -42,23 +42,25 @@ object StreamingIndexer {
     val docs = docs0.map(d => d.copy(docId = (base + d.docId).toInt))
     val segDocs = docs0.count()
 
-    docs.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore/seg=$segId")
+    // doc lengths ride the docstore write (one map), NOT an aggregation
+    // over flat postings: a doc that tokenizes to zero terms still gets its
+    // len=0 row, so nDocs/avgLen at Searcher.load stay exact (an empty doc
+    // must count toward N like the batch path and the docsAfter watermark)
+    docs.map { d =>
+      val len = Tokenizer.terms(d.content).length
+      IndexBuilder.StoredDoc(d.docId, d.repo, d.path, d.commit, d.lang, d.sha256,
+        d.content, len, LenByte.encode(len.toLong))
+    }.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore/seg=$segId")
     val flat = IndexBuilder.flatPostings(docs)
-
-    // doclen from the docstore map (IndexBuilder.docLengths), NOT from an
-    // aggregation over flat postings: a doc that tokenizes to zero terms
-    // still gets its len=0 row, so nDocs/avgLen at Searcher.load stay exact
-    // (an empty doc must count toward N like the batch path and the
-    // docsAfter watermark)
-    IndexBuilder.docLengths(docs)
-      .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/doclen/seg=$segId")
-
-    flat.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum($"tf").cast("long").as("cf"))
-      .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats/seg=$segId")
 
     IndexBuilder.buildBlocks(spark, flat, segDocs, partitions)
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings/seg=$segId")
+
+    // per-segment term stats from block metadata only (df = Σn, cf = ΣsumTf)
+    spark.read.parquet(s"$indexDir/postings/seg=$segId")
+      .groupBy("term")
+      .agg(sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
+      .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats/seg=$segId")
 
     release() // the sorted micro-batch cache — without this every batch leaks one copy
     // segment manifest: carries the doc-count watermark (atomic rename)
@@ -88,6 +90,90 @@ object StreamingIndexer {
         .foldLeft(0L)(math.max)
     } finally s.close()
   }
+
+  /** Compact all committed segments into one (the Lucene merge analog):
+    * decode every segment's postings per term, merge by docId (segments
+    * carry absolute, disjoint docId ranges), re-encode into fresh blocks,
+    * and rewrite doclen/termstats/docstore into a single new segment.
+    *
+    * Crash-safe commit order: the compacted segment is fully written under
+    * `seg=<maxSeg+1>` FIRST, then one atomic manifest swap publishes it and
+    * retires the source segments (their manifest files are removed, then
+    * their directories deleted — a crash in between leaves only unreferenced
+    * files, never a double-counted or missing posting). Readers that list
+    * manifests ([[committedDocs]]) see either the old set or the new one.
+    *
+    * Scale: the merge is one term(+salt)-partitioned shuffle over decoded
+    * postings — identical shape to the batch build's encode stage; no
+    * driver-side materialization of any posting list. */
+  def compact(spark: SparkSession, indexDir: String, partitions: Int = 8): Unit = {
+    import spark.implicits._
+    val segs = committedSegments(indexDir)
+    if (segs.size < 2) return
+    val newSeg = segs.max + 1
+    val total = committedDocs(indexDir)
+
+    // decoded flat postings from every live segment, with positions/offsets
+    // re-encoded blobs carried through (already in wire format)
+    val src = spark.read.option("basePath", s"$indexDir/postings")
+      .parquet(segs.map(s => s"$indexDir/postings/seg=$s"): _*)
+    val flat = src
+      .select("term", "prevDocId", "n", "docIds", "tfs", "positions", "offsets")
+      .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+      .flatMap { case (t, prev, n, ids, tfs, pos, off) =>
+        val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+        val ps = PostingCodec.decodePositions(n, pos)
+        val os = PostingCodec.decodeOffsets(n, off)
+        dt.iterator.zipWithIndex.map { case ((d, tf), i) =>
+          (t, d, tf, PostingCodec.encodePositionsBlob(ps(i)),
+            PostingCodec.encodeOffsetsBlob(os(i).map(_._1), os(i).map(_._2)))
+        }
+      }.toDF("term", "docId", "tf", "posBlob", "offBlob")
+    // lenByte for the merged block-max metadata comes from the docstore's
+    // inline length columns (columnar projection, no standalone doclen)
+    val srcStore = spark.read.option("basePath", s"$indexDir/docstore")
+      .parquet(segs.map(s => s"$indexDir/docstore/seg=$s"): _*)
+    val flatTyped = flat
+      .join(srcStore.select($"docId", $"lenByte".as("lb")), "docId")
+      .select($"term", $"docId", $"tf", $"posBlob", $"offBlob", $"lb")
+      .as[(String, Int, Int, Array[Byte], Array[Byte], Int)]
+      .map(r => IndexBuilder.FlatPosting(r._1, r._2, r._3, r._4, r._5, r._6))
+
+    IndexBuilder.buildBlocks(spark, flatTyped, total, partitions)
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$indexDir/postings/seg=$newSeg")
+    spark.read.parquet(s"$indexDir/postings/seg=$newSeg")
+      .groupBy("term")
+      .agg(sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$indexDir/termstats/seg=$newSeg")
+    srcStore.drop("seg")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$indexDir/docstore/seg=$newSeg")
+
+    // atomic publish: new segment manifest in, source manifests out,
+    // then physical cleanup of the retired directories
+    val json = s"""{"segment":$newSeg,"docs":$total,"docsAfter":$total,"compactedFrom":[${segs.mkString(",")}]}"""
+    val tmp = java.nio.file.Paths.get(indexDir, s"_manifest_segment_$newSeg.json.tmp")
+    java.nio.file.Files.writeString(tmp, json)
+    java.nio.file.Files.move(tmp, Manifest.manifestPath(indexDir, s"segment_$newSeg"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    segs.foreach { s =>
+      java.nio.file.Files.deleteIfExists(Manifest.manifestPath(indexDir, s"segment_$s"))
+    }
+    segs.foreach { s =>
+      // "doclen" covers legacy segments written before lengths moved inline
+      Seq("postings", "doclen", "termstats", "docstore").foreach { st =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$indexDir/$st/seg=$s"))
+      }
+    }
+  }
+
+  /** Ids of committed (live) segments, ascending. */
+  def committedSegments(indexDir: String): Seq[Long] =
+    Manifest.committedSegments(indexDir)
 
   /** Start the stream: every new parquet file under `inputDir` is indexed
     * into a new segment. `trigger` defaults to availableNow semantics in

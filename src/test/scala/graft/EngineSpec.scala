@@ -235,6 +235,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("query log: reference format parsed, batched run matches per-query") {
+    built
+    import spark.implicits._
+    val log = java.nio.file.Files.createTempFile("graft_queries", ".log")
+    java.nio.file.Files.writeString(log,
+      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\n")
+    val qs = graft.query.QueryLog.load(log.toString)
+    assert(qs.map(_.phrase) == Seq(false, true, false, false))
+    assert(qs(1).terms == Seq("if", "return"))
+    assert(qs(3).terms == Seq("val", "index")) // tokenizer-normalized
+    val res = graft.query.QueryLog.run(ix, qs, 10)
+      .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
+    qs.foreach { q =>
+      val want = Searcher.search(ix, q.terms, 10, phrase = q.phrase)
+        .collect().sortBy(_.rank)
+      val got = res.getOrElse(q.id, Array.empty).sortBy(_._2)
+      assert(got.map(_._3).toSeq == want.map(_.docId).toSeq, s"log query $q")
+    }
+    java.nio.file.Files.deleteIfExists(log)
+  }
+
   test("Engine facade: search with snippets and doc freqs") {
     built
     val eng = Engine.load(spark, tmp)

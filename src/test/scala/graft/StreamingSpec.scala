@@ -74,4 +74,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     StreamingIndexer.appendSegment(spark, dummy, ixDir, segId = 0) // seg 0 already committed
     assert(StreamingIndexer.committedDocs(ixDir) == before)
   }
+
+  test("compaction merges segments: identical results, fewer segment dirs") {
+    import spark.implicits._
+    val ixDir = s"$root/ix"
+    // depends on the stream test having built 2 segments
+    assume(StreamingIndexer.committedSegments(ixDir).size >= 2)
+    val all = (0L until 500L).map(id => CorpusGen.row(42L, id))
+    val ordered =
+      all.take(300).sortBy(r => (r._1, r._2)) ++ all.drop(300).sortBy(r => (r._1, r._2))
+    val oracle = new Oracle.Index(ordered.zipWithIndex.map { case (r, i) => Oracle.Doc(i, r._5) })
+    val queries = Seq(Seq("if"), Seq("if", "return"), Seq("hash", "seed", "mask"))
+    val before = queries.map { terms =>
+      Searcher.search(Searcher.load(spark, ixDir), terms, 10).collect().sortBy(_.rank).toSeq
+    }
+    def segDirs(stage: String): Int = {
+      val d = new java.io.File(s"$ixDir/$stage")
+      if (!d.exists()) 0 else d.listFiles().count(_.getName.startsWith("seg="))
+    }
+    val dirsBefore = segDirs("postings")
+    StreamingIndexer.compact(spark, ixDir, partitions = 4)
+    assert(StreamingIndexer.committedSegments(ixDir).size == 1)
+    assert(segDirs("postings") == 1 &&
+      segDirs("termstats") == 1 && segDirs("docstore") == 1)
+    assert(segDirs("postings") < dirsBefore)
+    val loaded = Searcher.load(spark, ixDir)
+    assert(loaded.nDocs == 500)
+    queries.zip(before).foreach { case (terms, want) =>
+      val got = Searcher.search(loaded, terms, 10).collect().sortBy(_.rank).toSeq
+      assert(got.map(_.docId) == want.map(_.docId), s"compaction changed results for $terms")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+      // and still oracle-identical
+      val o = Oracle.search(oracle, terms, 10)
+      assert(got.map(_.docId) == o.map(_.docId).toSeq)
+    }
+    // phrase path (positions blobs survived the re-encode)
+    val gotP = Searcher.search(loaded, Seq("if", "return"), 10, phrase = true)
+      .collect().sortBy(_.rank)
+    val wantP = Oracle.search(oracle, Seq("if", "return"), 10, phrase = true)
+    assert(gotP.map(_.docId).toSeq == wantP.map(_.docId))
+  }
 }
