@@ -1,0 +1,182 @@
+package graft.query
+
+import graft.core.{Bm25, Oracle}
+import graft.index.PostingCodec
+
+/** Low-latency serving over a built index — the Spark analog of the
+  * reference's resident engine + gRPC server (`qq_server.cc:61-132`,
+  * `grpc_server_impl.h:209-460`): the reference answers queries at ms
+  * latency because its working set lives in memory; a fresh Spark job per
+  * query pays seconds of scheduling instead. This service keeps the HOT
+  * working set (decoded posting lists for queried terms) resident on the
+  * driver and evaluates conjunctive/phrase BM25 top-k with the same k-way
+  * leapfrog + bounded heap as the reference — one Spark job per cache MISS
+  * batch, zero jobs on a warm path.
+  *
+  * Results are identical to [[Searcher.search]] (same postings, same lossy
+  * BM25, same tie rule); the distributed path remains the scale story for
+  * cold terms / 100 TB indexes, this is the serving story for a hot query
+  * mix. Cache is LRU-bounded by total cached postings.
+  */
+final class LocalService(val ix: Searcher.LoadedIndex,
+                         maxCachedPostings: Long = 50000000L) {
+
+  private final case class TermList(docIds: Array[Int], tfs: Array[Int],
+                                    positions: Array[Array[Int]]) {
+    def n: Int = docIds.length
+    def hasPositions: Boolean = positions != null
+  }
+
+  // LRU over terms; value null marks a term known to be ABSENT from the index
+  private val cache = new java.util.LinkedHashMap[String, TermList](64, 0.75f, true)
+  private var cachedPostings = 0L
+
+  /** Decoded postings currently resident (diagnostic). */
+  def residentPostings: Long = synchronized { cachedPostings }
+
+  private def evictUntilFits(incoming: Long): Unit = {
+    val it = cache.entrySet().iterator()
+    while (cachedPostings + incoming > maxCachedPostings && it.hasNext) {
+      val e = it.next()
+      if (e.getValue != null) cachedPostings -= e.getValue.n
+      it.remove()
+    }
+  }
+
+  /** Fetch+decode posting lists for `terms` in ONE Spark job. */
+  private def fetch(terms: Seq[String], withPositions: Boolean): Unit = {
+    val spark = ix.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cols =
+      if (withPositions) Seq("term", "prevDocId", "firstDocId", "n", "docIds", "tfs", "positions")
+      else Seq("term", "prevDocId", "firstDocId", "n", "docIds", "tfs")
+    val rows = ix.postings
+      .filter(col("term").isin(terms: _*))
+      .select(cols.head, cols.tail: _*)
+      .collect()
+    val byTerm = rows.groupBy(_.getString(0))
+    terms.foreach { t =>
+      val blocks = byTerm.getOrElse(t, Array.empty).sortBy(_.getInt(2)) // firstDocId
+      if (blocks.isEmpty) synchronized { cache.put(t, null) }
+      else {
+        val ids = scala.collection.mutable.ArrayBuilder.make[Int]
+        val tfs = scala.collection.mutable.ArrayBuilder.make[Int]
+        val pos = if (withPositions)
+          new scala.collection.mutable.ArrayBuffer[Array[Int]]() else null
+        blocks.foreach { r =>
+          val n = r.getInt(3)
+          val dt = PostingCodec.decodeDocIdTf(r.getInt(1), n,
+            r.getAs[Array[Byte]]("docIds"), r.getAs[Array[Byte]]("tfs"))
+          dt.foreach { case (d, tf) => ids += d; tfs += tf }
+          if (withPositions)
+            pos ++= PostingCodec.decodePositions(n, r.getAs[Array[Byte]]("positions"))
+        }
+        val tl = TermList(ids.result(), tfs.result(),
+          if (withPositions) pos.toArray else null)
+        synchronized {
+          evictUntilFits(tl.n.toLong)
+          val old = cache.put(t, tl)
+          if (old != null) cachedPostings -= old.n
+          cachedPostings += tl.n
+        }
+      }
+    }
+  }
+
+  /** Conjunctive (optionally phrase) BM25 top-k, evaluated on the driver
+    * over the resident lists. Same semantics/tie rule as the distributed
+    * path; identical scores (per-slot idf weights, lossy length cache). */
+  def search(queryTerms: Seq[String], k: Int, phrase: Boolean = false): Seq[Oracle.Hit] = {
+    if (queryTerms.isEmpty || k <= 0) return Nil
+    val uniq = queryTerms.distinct
+    // fetch terms never seen, plus cached-without-positions terms when the
+    // query needs positions (known-absent terms, cached as null, are final)
+    val missing = synchronized {
+      uniq.filter { t =>
+        if (!cache.containsKey(t)) true
+        else {
+          val v = cache.get(t)
+          v != null && phrase && !v.hasPositions
+        }
+      }
+    }
+    if (missing.nonEmpty) fetch(missing, phrase)
+    val lists = uniq.map(t => synchronized(cache.get(t)))
+    if (lists.contains(null)) return Nil // P2 guard: a term is absent
+
+    val byTerm = uniq.zip(lists).toMap
+    val slots = queryTerms.map(byTerm)
+    val idfs = queryTerms.map { t =>
+      Bm25.idf(ix.nDocs, byTerm(t).n.toLong)
+    }
+    // k-way max-pivot leapfrog over docId-sorted arrays (reference
+    // `query_processing.h:710-852`), lossy BM25, bounded heap
+    val nL = slots.size
+    val cursors = new Array[Int](nL)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[Oracle.Hit]
+    val lenBytes = docLenBytes
+    var done = false
+    while (!done) {
+      var maxDoc = -1
+      var aligned = true
+      var i = 0
+      while (i < nL && !done) {
+        if (cursors(i) >= slots(i).n) done = true
+        else {
+          val d = slots(i).docIds(cursors(i))
+          if (maxDoc == -1) maxDoc = d
+          else if (d != maxDoc) { aligned = false; if (d > maxDoc) maxDoc = d }
+        }
+        i += 1
+      }
+      if (!done) {
+        if (aligned) {
+          val ok = !phrase || Oracle.phraseMatch(
+            slots.indices.map(j => slots(j).positions(cursors(j))))
+          if (ok) {
+            val lb = lenBytes(maxDoc)
+            var s = 0.0
+            var j = 0
+            while (j < nL) {
+              s += idfs(j) * Bm25.tfNormLossy(slots(j).tfs(cursors(j)).toLong, lb, ix.lossyCache)
+              j += 1
+            }
+            hits += Oracle.Hit(maxDoc, s)
+          }
+          var j = 0
+          while (j < nL) { cursors(j) += 1; j += 1 }
+        } else {
+          var j = 0
+          while (j < nL) {
+            // gallop forward to maxDoc
+            val arr = slots(j).docIds
+            var c = cursors(j)
+            var step = 1
+            while (c + step < slots(j).n && arr(c + step) < maxDoc) { c += step; step <<= 1 }
+            var hi = math.min(slots(j).n, c + step + 1)
+            var lo = c
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (arr(mid) < maxDoc) lo = mid + 1 else hi = mid
+            }
+            cursors(j) = lo
+            j += 1
+          }
+        }
+      }
+    }
+    Oracle.topK(hits, k)
+  }
+
+  /** Per-doc lossy length bytes, resident (one int per doc — 4 MB per
+    * million docs; the reference keeps the same store in memory,
+    * `doc_length_store.h`). */
+  private lazy val docLenBytes: Array[Int] = {
+    import ix.spark.implicits._
+    val rows = ix.doclen.select("docId", "lenByte").as[(Int, Int)].collect()
+    val arr = new Array[Int](ix.nDocs.toInt)
+    rows.foreach { case (d, lb) => if (d >= 0 && d < arr.length) arr(d) = lb }
+    arr
+  }
+}

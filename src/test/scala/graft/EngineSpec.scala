@@ -235,6 +235,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LocalService: warm serving path is rank-identical to oracle and engine") {
+    built
+    val svc = new graft.query.LocalService(ix)
+    val queries = Seq(
+      (Seq("if"), false), (Seq("if", "return"), false),
+      (Seq("hash", "seed", "mask"), false), (Seq("epsilon"), false),
+      (Seq("if", "return"), true), (Seq("return", "val"), true),
+      (Seq("if", "zzz_absent"), false)) // P2 guard
+    queries.foreach { case (terms, phrase) =>
+      val want = Oracle.search(oracle, terms, 10, phrase)
+      val got = svc.search(terms, 10, phrase)
+      assert(got.map(_.docId) == want.map(_.docId), s"local $terms phrase=$phrase")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+    // warm path: repeated query answers purely from the resident cache, fast
+    assert(svc.residentPostings > 0)
+    val t0 = System.nanoTime()
+    val again = svc.search(Seq("if", "return"), 10)
+    val warmMs = (System.nanoTime() - t0) / 1e6
+    assert(again.map(_.docId) == Oracle.search(oracle, Seq("if", "return"), 10).map(_.docId))
+    assert(warmMs < 200.0, s"warm serve took ${warmMs}ms — not a resident path")
+  }
+
   test("query log: reference format parsed, batched run matches per-query") {
     built
     import spark.implicits._
