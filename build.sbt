@@ -26,7 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local mode = single JVM: heap must hold all concurrent task memory
-  // (32 tasks at local[32]); 8g causes GC thrash on map-heavy stages
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
+// local mode = single JVM: the heap must hold all concurrent task memory.
+// Tests run small corpora at local[4] — a modest heap suffices; the bench
+// entrypoints (run) index 600k docs at local[8] where 8g GC-thrashes on
+// map-heavy stages, so `run` defaults higher. Both honor SPARK_DRIVER_MEM.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}"
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"

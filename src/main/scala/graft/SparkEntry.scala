@@ -561,6 +561,25 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // IVF ANN with trained coarse centroids: deterministic integer k-means
+    // (16 cells, 2 Lloyd iterations), probe the 4 cells nearest the query,
+    // exact cosine top-10 within probed cells. Cell ids are part of the
+    // output, so the oracle verifies the TRAINING too, not just the scan.
+    "ann_ivf_topk" -> { (s, dir) =>
+      import s.implicits._
+      val e = embs(s, dir)
+      val q: Array[Long] = e.filter(col("vec_id") === 0)
+        .select(Similarity.quantize(col("embedding"))).as[Seq[Long]].head().toArray
+      val top = Similarity.ivfTopK(e, "embedding", "vec_id", q,
+        kTop = 10, kCells = 16, iters = 2, nprobe = 4)
+      rankTopK(top, (b, a) =>
+          col("b.cos_micro") > col("a.cos_micro") ||
+            (col("b.cos_micro") === col("a.cos_micro") && col("b.vec_id") < col("a.vec_id")))
+        .select(col("vec_id").cast("long").as("vec_id"), col("cell").cast("long").as("cell"),
+          col("cos_micro"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    },
+
     // k-NN join: nearest neighbor for each of the first 200 vectors
     "ann_knn1" -> { (s, dir) =>
       val e = embs(s, dir).filter(col("vec_id") < 200)
@@ -907,6 +926,38 @@ object SparkEntry {
          |SELECT vec_id, cos_micro, rank FROM
          | (SELECT vec_id, cos_micro, row_number() OVER (ORDER BY cos_micro DESC, vec_id)::BIGINT rank FROM scored)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "ann_ivf_topk" -> {
+      def d2(v: String, c: String) =
+        s"list_sum(list_transform(range(len($v)), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1])))"
+      def asn(cin: String, out: String) =
+        s"""$out AS (SELECT vec_id, qv, cell FROM (
+           |  SELECT v.vec_id, v.qv, $cin.cell,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${d2("v.qv", s"$cin.cv")}, $cin.cell) rn
+           |  FROM v, $cin) WHERE rn = 1)""".stripMargin
+      def upd(ain: String, cin: String, out: String) =
+        s"""${out}_m AS (SELECT cell, i, round(avg(qv[i+1]))::BIGINT m
+           |  FROM $ain, unnest(range(len(qv))) u(i) GROUP BY cell, i),
+           | ${out}_l AS (SELECT cell, list(m ORDER BY i) cv FROM ${out}_m GROUP BY cell),
+           | $out AS (SELECT $cin.cell, coalesce(${out}_l.cv, $cin.cv) cv
+           |  FROM $cin LEFT JOIN ${out}_l USING (cell))""".stripMargin
+      s"""WITH v AS (SELECT vec_id, $QUANT qv FROM embeddings),
+         | c0 AS (SELECT vec_id::INT cell, qv cv FROM v WHERE vec_id < 16),
+         | ${asn("c0", "a1")},
+         | ${upd("a1", "c0", "c1")},
+         | ${asn("c1", "a2")},
+         | ${upd("a2", "c1", "c2")},
+         | ${asn("c2", "af")},
+         | q AS (SELECT qv qqv FROM v WHERE vec_id = 0),
+         | probe AS (SELECT cell FROM c2, q ORDER BY ${d2("qqv", "c2.cv")}, cell LIMIT 4),
+         | cand AS (SELECT af.vec_id, af.cell,
+         |   round(list_dot_product(af.qv, qqv) / sqrt(list_dot_product(af.qv, af.qv) * list_dot_product(qqv, qqv)) * 1e6)::BIGINT cos_micro
+         |  FROM af JOIN probe USING (cell) CROSS JOIN q),
+         | top AS (SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) rank FROM cand)
+         |SELECT vec_id, cell::BIGINT cell, cos_micro, rank::BIGINT rank
+         |FROM top WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
 
     "ann_knn1" ->
       s"""WITH v AS (SELECT vec_id, $QUANT qv FROM embeddings WHERE vec_id < 200),

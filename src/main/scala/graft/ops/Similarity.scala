@@ -105,6 +105,75 @@ object Similarity {
       .filter(col("cos_micro") >= minCosMicro)
   }
 
+  /** Cell assignment: argmin over centroids of exact int64 squared L2,
+    * ties to the lower cell id (struct ordering (dist, cell)). `vecs` must
+    * have columns (id, qv). */
+  private[ops] def assignCells(vecs: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val distStructs = cents.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit).toIndexedSeq: _*)
+      struct(
+        aggregate(zip_with(col("qv"), cl, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(i).as("cell"))
+    }
+    vecs.withColumn("best", array_min(array(distStructs.toIndexedSeq: _*)))
+      .select(col("id"), col("best.cell").as("cell"), col("qv"))
+  }
+
+  /** Deterministic integer k-means (fixed Lloyd iterations) over
+    * micro-quantized embeddings — the IVF training step. Init = the first
+    * `k` vectors by id; each iteration assigns by exact int64 squared L2
+    * (ties to the lower cell) and recomputes per-dimension
+    * `round(sum/count)` centroids (exact: int64 sums < 2^53, one double
+    * division — identical in any engine); empty cells keep their previous
+    * centroid. Assignment/update are distributed; only the k×dim centroid
+    * table visits the driver per iteration. */
+  def kmeansCentroids(df: DataFrame, vecCol: String, idCol: String,
+                      k: Int, iters: Int): Array[Array[Long]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+      .cache()
+    var cents: Array[Array[Long]] = vecs.filter(col("id") < k).orderBy("id")
+      .select("qv").as[Seq[Long]].collect().map(_.toArray)
+    var it = 0
+    while (it < iters) {
+      val updates = assignCells(vecs, cents)
+        .select(col("cell"), posexplode(col("qv")))
+        .groupBy("cell", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("c"))
+        .select(col("cell"), col("pos"),
+          round(col("s").cast("double") / col("c").cast("double")).cast("long").as("m"))
+        .as[(Int, Int, Long)].collect()
+      val next = cents.map(_.clone)
+      updates.foreach { case (cell, pos, m) => next(cell)(pos) = m }
+      cents = next
+      it += 1
+    }
+    vecs.unpersist()
+    cents
+  }
+
+  /** IVF top-k: probe the `nprobe` cells whose trained centroids are
+    * nearest the query, exact cosine top-k within the probed cells — the
+    * partition-pruning ANN scale path (scan cost ≈ nprobe/k of the
+    * corpus). Returns (vec_id, cell, cos_micro). */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String, query: Array[Long],
+              kTop: Int, kCells: Int, iters: Int, nprobe: Int): DataFrame = {
+    val cents = kmeansCentroids(df, vecCol, idCol, kCells, iters)
+    val probed: Seq[Int] = cents.zipWithIndex.map { case (c, i) =>
+      (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+    val vecs = df.select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+    val qLit = array(query.map(lit).toIndexedSeq: _*)
+    assignCells(vecs, cents)
+      .filter(col("cell").isin(probed: _*))
+      .select(col("id").as("vec_id"), col("cell"),
+        cosineMicro(col("qv"), qLit).as("cos_micro"))
+      .orderBy(desc("cos_micro"), asc("vec_id"))
+      .limit(kTop)
+  }
+
   /** Exact all-pairs cosine above a threshold (oracle-comparable embedding
     * near-dup for modest n; the LSH path above is the scale path). */
   def exactNearDup(df: DataFrame, vecCol: String, idCol: String,

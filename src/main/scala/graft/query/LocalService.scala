@@ -111,10 +111,15 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       Bm25.idf(ix.nDocs, byTerm(t).n.toLong)
     }
     // k-way max-pivot leapfrog over docId-sorted arrays (reference
-    // `query_processing.h:710-852`), lossy BM25, bounded heap
+    // `query_processing.h:710-852`), lossy BM25, inline bounded heap —
+    // candidates are never materialized (hot single-term queries score
+    // every posting; an intermediate buffer would allocate df objects)
     val nL = slots.size
     val cursors = new Array[Int](nL)
-    val hits = scala.collection.mutable.ArrayBuffer.empty[Oracle.Hit]
+    val posBuf = new Array[Array[Int]](nL)      // reused per candidate doc
+    val posCursors = new Array[Int](nL)         // phraseAdjacent scratch
+    val heap = scala.collection.mutable.PriorityQueue.empty[Oracle.Hit](
+      Ordering.by[Oracle.Hit, (Double, Int)](h => (-h.score, h.docId))) // head = worst kept
     val lenBytes = docLenBytes
     var done = false
     while (!done) {
@@ -132,8 +137,11 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       }
       if (!done) {
         if (aligned) {
-          val ok = !phrase || Oracle.phraseMatch(
-            slots.indices.map(j => slots(j).positions(cursors(j))))
+          val ok = !phrase || {
+            var j = 0
+            while (j < nL) { posBuf(j) = slots(j).positions(cursors(j)); j += 1 }
+            LocalService.phraseAdjacent(posBuf, posCursors)
+          }
           if (ok) {
             val lb = lenBytes(maxDoc)
             var s = 0.0
@@ -142,7 +150,14 @@ final class LocalService(val ix: Searcher.LoadedIndex,
               s += idfs(j) * Bm25.tfNormLossy(slots(j).tfs(cursors(j)).toLong, lb, ix.lossyCache)
               j += 1
             }
-            hits += Oracle.Hit(maxDoc, s)
+            // bounded-heap insert with the deterministic tie rule
+            // (`query_processing.h:914-932`): candidates arrive in
+            // ascending docId, so equal-score boundary keeps lowest docId
+            if (heap.size < k) heap.enqueue(Oracle.Hit(maxDoc, s))
+            else {
+              val worst = heap.head
+              if (s > worst.score) { heap.dequeue(); heap.enqueue(Oracle.Hit(maxDoc, s)) }
+            }
           }
           var j = 0
           while (j < nL) { cursors(j) += 1; j += 1 }
@@ -166,17 +181,58 @@ final class LocalService(val ix: Searcher.LoadedIndex,
         }
       }
     }
-    Oracle.topK(hits, k)
+    heap.toSeq.sortBy(h => (-h.score, h.docId))
   }
 
   /** Per-doc lossy length bytes, resident (one int per doc — 4 MB per
     * million docs; the reference keeps the same store in memory,
     * `doc_length_store.h`). */
+  // (companion holds the static phrase kernel)
   private lazy val docLenBytes: Array[Int] = {
     import ix.spark.implicits._
     val rows = ix.doclen.select("docId", "lenByte").as[(Int, Int)].collect()
     val arr = new Array[Int](ix.nDocs.toInt)
     rows.foreach { case (d, lb) => if (d >= 0 && d < arr.length) arr(d) = lb }
     arr
+  }
+}
+
+object LocalService {
+  /** Allocation-free adjusted-position adjacency: does a position p exist in
+    * slot 0 with p+i present in every slot i? Same semantics as
+    * `Oracle.phraseMatch` (shifted intersection non-empty,
+    * `query_processing.h:335-362`), but a merge-scan over the sorted
+    * position arrays — the hot phrase path evaluates this once per
+    * candidate doc, where a Set-based intersection would allocate. */
+  private[query] def phraseAdjacent(lists: Array[Array[Int]],
+                                    cursors: Array[Int]): Boolean = {
+    if (lists.isEmpty) return false
+    var e = 0
+    while (e < lists.length) {
+      if (lists(e).length == 0) return false
+      cursors(e) = 0
+      e += 1
+    }
+    if (lists.length == 1) return true
+    val first = lists(0)
+    var ci = 0
+    while (ci < first.length) {
+      val p = first(ci)
+      var j = 1
+      var ok = true
+      while (j < lists.length && ok) {
+        val target = p + j
+        val arr = lists(j)
+        var c = cursors(j)
+        while (c < arr.length && arr(c) < target) c += 1
+        cursors(j) = c
+        if (c >= arr.length) return false // later p only raises the target
+        ok = arr(c) == target
+        j += 1
+      }
+      if (ok) return true
+      ci += 1
+    }
+    false
   }
 }

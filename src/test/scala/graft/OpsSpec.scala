@@ -150,6 +150,32 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == exact, s"lsh=${lsh.size} exact=${exact.size}")
   }
 
+  test("IVF: trained cells separate clusters; probed top-k is exact in-cell") {
+    import spark.implicits._
+    // two well-separated clusters of 8-dim vectors
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(j => base + 0.001f * ((i + j) % 5)))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "embedding", "vec_id", k = 2, iters = 3)
+    assert(cents.length == 2)
+    // centroids land in opposite orthants
+    assert(cents(0).sum.signum != cents(1).sum.signum)
+    val q = vecs.filter($"vec_id" === 0)
+      .select(Similarity.quantize($"embedding")).as[Seq[Long]].head().toArray
+    val ivf = Similarity.ivfTopK(vecs, "embedding", "vec_id", q,
+        kTop = 5, kCells = 2, iters = 3, nprobe = 1)
+      .as[(Long, Int, Long)].collect()
+    val brute = Similarity.bruteForceTopK(vecs, "embedding", "vec_id",
+        Array.tabulate(8)(j => (1.0f + 0.001f * (j % 5)).toDouble), 5)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    // the probed cell contains the query's whole cluster → exact top-5
+    assert(ivf.map(_._1).toSeq == brute.map(_._1).toSeq,
+      s"ivf=${ivf.toSeq} brute=${brute.toSeq}")
+    // all results from ONE cell (nprobe=1) — the partition-pruning claim
+    assert(ivf.map(_._2).distinct.length == 1)
+  }
+
   test("language id picks the marker-dominant language") {
     import spark.implicits._
     val d = Seq(
