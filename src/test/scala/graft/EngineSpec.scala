@@ -13,6 +13,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * tolerance — `types.h:287-289`; we assert a much tighter 1e-9) against the
   * single-JVM oracle port, mirroring the reference's engine-vs-engine
   * differential tests (`tests_15.cc:158-211`).
+  *
+  * FP-tolerance assumption (documented deliberately): the engine's doc
+  * score is `sum(partScore)` in a hash aggregation whose accumulation
+  * order is partitioning-dependent, while the oracle sums in query-slot
+  * order. 1e-9 therefore holds only when no two docs' scores are within
+  * ~1 ulp of each other; EXACT rank equality additionally relies on no
+  * cross-doc ties closer than the FP reordering error. The synthetic
+  * corpus has no such near-ties (scores differ at ≥1e-6); if a future
+  * corpus introduces them, compare with the 0.001 reference tolerance and
+  * break rank ties by docId before asserting.
   */
 class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
 
