@@ -554,6 +554,21 @@ object SparkEntry {
       .select(col("doc_id"), TextOps.contentFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")),
 
+    // winnowing fingerprints: Rabin-Karp rolling hash over token 4-grams
+    // (mod 2^61-1), per-8-window minima, distinct — the MOSS-style
+    // plagiarism/near-dup sketch; oracle recomputes the full rolling hash
+    "fp_winnow" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          TextOps.winnowingFingerprints(Tokenizer.terms(text)).iterator
+            .map(f => (id, f))
+        }
+        .toDF("doc_id", "fp")
+        .orderBy("doc_id", "fp")
+    },
+
     // ANN: brute-force cosine top-10 vs the vec_id=0 embedding
     "ann_cosine_topk" -> { (s, dir) =>
       val e = embs(s, dir)
@@ -928,6 +943,26 @@ object SparkEntry {
 
     "fp_content" ->
       s"SELECT doc_id, md5(array_to_string($T, ' ')) fingerprint FROM documents ORDER BY doc_id",
+
+    "fp_winnow" -> {
+      val M = "2305843009213693951" // 2^61 - 1
+      val charH =
+        s"list_reduce(list_prepend(0::HUGEINT, list_transform(string_split_regex(t[i+j+1], ''), c -> ascii(c)::HUGEINT)), (acc, x) -> (acc * 131 + x) % $M)"
+      s"""WITH toked AS (SELECT doc_id, $T t FROM documents WHERE doc_id < 200),
+         | sh AS (SELECT doc_id,
+         |   CASE WHEN len(t) < 4 THEN []::HUGEINT[] ELSE
+         |     list_transform(range(len(t) - 3), i ->
+         |       list_reduce(list_prepend(0::HUGEINT, list_transform(range(4), j -> $charH)),
+         |         (acc, x) -> (acc * 1000003 + x) % $M)) END hs
+         |   FROM toked),
+         | fps AS (SELECT doc_id,
+         |   CASE WHEN len(hs) = 0 THEN []::HUGEINT[]
+         |        WHEN len(hs) <= 8 THEN [list_min(hs)]
+         |        ELSE list_distinct(list_transform(range(len(hs) - 7), i -> list_min(hs[i+1:i+8]))) END fp
+         |   FROM sh)
+         |SELECT doc_id, CAST(u.f AS BIGINT) fp FROM fps, unnest(fp) u(f)
+         |ORDER BY doc_id, fp""".stripMargin
+    },
 
     "ann_cosine_topk" ->
       s"""WITH q AS (SELECT $QUANT qv FROM embeddings WHERE vec_id = 0),

@@ -103,12 +103,26 @@ object TextOps {
   def contentFingerprint(textCol: Column): Column =
     md5(concat_ws(" ", tokens(textCol)))
 
+  private val WinnowM = (1L << 61) - 1 // Mersenne prime 2^61-1
+
+  /** `(a * b) mod (2^61-1)` without overflow for small `b` (< ~2^20):
+    * 2^64 ≡ 8 (mod 2^61-1), so the 128-bit product hi·2^64 + lo reduces to
+    * hi·8 + (lo >>> 61) + (lo & M). */
+  @inline private def mulModSmall(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (lo & WinnowM) + (lo >>> 61) + hi * 8
+    while (r >= WinnowM) r -= WinnowM
+    r
+  }
+
   /** Rolling (Rabin-Karp-style) winnowing fingerprints over token 4-grams:
-    * polynomial hash of each shingle, keep per-window minima. Scala-side
-    * (not SQL-expressible); deterministic. */
+    * polynomial hash of each shingle mod 2^61-1 (true modular arithmetic —
+    * a plain `Long` `%` would overflow at h·B ≈ 2^81), keep per-window
+    * minima, distinct. Deterministic; SQL-expressible with 128-bit ints
+    * (the `fp_winnow` DuckDB oracle recomputes it exactly). */
   def winnowingFingerprints(toksArr: Array[String], k: Int = 4, window: Int = 8): Array[Long] = {
     if (toksArr.length < k) return Array.empty
-    val M = (1L << 61) - 1
     val B = 1000003L
     val hashes = new Array[Long](toksArr.length - k + 1)
     var i = 0
@@ -119,8 +133,13 @@ object TextOps {
         val s = toksArr(i + j)
         var hh = 0L
         var c = 0
-        while (c < s.length) { hh = (hh * 131 + s.charAt(c)) % M; c += 1 }
-        h = (h * B + hh) % M
+        while (c < s.length) {
+          hh = mulModSmall(hh, 131) + s.charAt(c)
+          if (hh >= WinnowM) hh -= WinnowM
+          c += 1
+        }
+        h = mulModSmall(h, B) + hh
+        if (h >= WinnowM) h -= WinnowM
         j += 1
       }
       hashes(i) = h
