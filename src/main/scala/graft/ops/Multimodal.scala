@@ -55,6 +55,48 @@ object Multimodal {
     }
   }
 
+  final case class ByteStats(media_id: Long, n_bytes: Long, mean_byte_micro: Long,
+                             entropy_nats_micro: Long, hist: Array[Long])
+
+  /** REAL (non-stub) feature extraction over the opaque binary payloads:
+    * byte histogram (8 buckets of 32 values), mean byte value, and Shannon
+    * entropy in nats — the content-type / compressibility signals a
+    * training-data pipeline filters on before any codec-specific decode.
+    * Batched mapPartitions over the binary column; exact cross-engine
+    * numerics (integer sums; entropy folded in ascending-byte order so the
+    * FP sequence is identical in the DuckDB oracle). */
+  def byteStats(ds: Dataset[MediaRow]): Dataset[ByteStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        if (n == 0) None
+        else {
+          val counts = new Array[Long](256)
+          r.payload.foreach(b => counts(b & 0xff) += 1)
+          var sum = 0L
+          var ent = 0.0
+          var i = 0
+          while (i < 256) {
+            sum += counts(i) * i
+            if (counts(i) > 0) {
+              val p = counts(i).toDouble / n
+              ent = ent + (-p * math.log(p))
+            }
+            i += 1
+          }
+          val hist = Array.tabulate(8) { k =>
+            var s = 0L; var b = k * 32
+            while (b < (k + 1) * 32) { s += counts(b); b += 1 }
+            s
+          }
+          Some(ByteStats(r.media_id, n.toLong,
+            math.round(sum.toDouble / n * 1e6), math.round(ent * 1e6), hist))
+        }
+      }
+    }
+  }
+
   /** Demo source: wraps the documents table's text bytes as opaque payloads
     * (schema-compatible stand-in for real media blobs). */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
