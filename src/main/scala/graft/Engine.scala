@@ -17,13 +17,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Engine {
 
-  /** `SearchQuery` analog (`types.h:205-256`). */
+  /** `SearchQuery` analog (`types.h:205-256`); `bloomEnableFactor` is the
+    * engine-factory knob (`engine_factory.h:34`, default 1; 0 = never use
+    * the bloom store — `BLOOM_NEVER_USE`). */
   final case class SearchQuery(
       terms: Seq[String],
       nResults: Int = 5,
       isPhrase: Boolean = false,
       returnSnippets: Boolean = false,
-      nSnippetPassages: Int = 3)
+      nSnippetPassages: Int = 3,
+      bloomEnableFactor: Int = 1)
 
   /** `SearchResultEntry` analog (`types.h:259-346`). */
   final case class ResultEntry(docId: Int, score: Double, snippet: String)
@@ -65,7 +68,8 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
 
   def search(q: SearchQuery): SearchResult = {
     if (q.nResults <= 0) return SearchResult(Nil, Map.empty) // `qq_mem_engine.h:338-340`
-    val hits = Searcher.search(ix, q.terms, q.nResults, q.isPhrase).collect().sortBy(_.rank)
+    val hits = Searcher.search(ix, q.terms, q.nResults, q.isPhrase,
+      bloomFactor = q.bloomEnableFactor).collect().sortBy(_.rank)
     val dfs = docFreqs(q.terms)
     val entries =
       if (!q.returnSnippets) hits.map(h => ResultEntry(h.docId, h.score, ""))

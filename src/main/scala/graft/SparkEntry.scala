@@ -588,6 +588,15 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // exact embedding near-dup pairs above a cosine threshold (the
+    // verifier for the LSH scale path, and an oracle row of its own)
+    "ann_neardup" -> { (s, dir) =>
+      Similarity.exactNearDup(embs(s, dir), "embedding", "vec_id", 500000L)
+        .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"),
+          col("cos_micro"))
+        .orderBy("id_a", "id_b")
+    },
+
     // IVF ANN with trained coarse centroids: deterministic integer k-means
     // (16 cells, 2 Lloyd iterations), probe the 4 cells nearest the query,
     // exact cosine top-10 within probed cells. Cell ids are part of the
@@ -984,6 +993,14 @@ object SparkEntry {
          |SELECT vec_id, cos_micro, rank FROM
          | (SELECT vec_id, cos_micro, row_number() OVER (ORDER BY cos_micro DESC, vec_id)::BIGINT rank FROM scored)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "ann_neardup" ->
+      s"""WITH v AS (SELECT vec_id, $QUANT qv FROM embeddings),
+         | pairs AS (SELECT a.vec_id id_a, b.vec_id id_b,
+         |   round(list_dot_product(a.qv, b.qv) / sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) * 1e6)::BIGINT cos_micro
+         |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos_micro FROM pairs WHERE cos_micro >= 500000
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_ivf_topk" -> {
       def d2(v: String, c: String) =
