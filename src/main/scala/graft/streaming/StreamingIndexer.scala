@@ -106,12 +106,20 @@ object StreamingIndexer {
     * Scale: the merge is one term(+salt)-partitioned shuffle over decoded
     * postings — identical shape to the batch build's encode stage; no
     * driver-side materialization of any posting list. */
-  def compact(spark: SparkSession, indexDir: String, partitions: Int = 8): Unit = {
+  def compact(spark: SparkSession, indexDir: String, partitions: Int = 8,
+              maxDocsToMerge: Long = Long.MaxValue): Unit = {
     import spark.implicits._
+    // size-tiered policy: only segments below `maxDocsToMerge` docs are
+    // merged (default merges everything); large settled segments are left
+    // alone, bounding merge write amplification the Lucene way
+    val info = segmentInfo(indexDir)
     val segs = committedSegments(indexDir)
+      .filter(s => info.get(s).forall(_._1 < maxDocsToMerge))
     if (segs.size < 2) return
-    val newSeg = segs.max + 1
+    val newSeg = committedSegments(indexDir).max + 1
     val total = committedDocs(indexDir)
+    val mergedDocs = segs.flatMap(info.get).map(_._1).sum
+    val mergedAfter = segs.flatMap(info.get).map(_._2).foldLeft(0L)(math.max)
 
     // decoded flat postings from every live segment, with positions/offsets
     // re-encoded blobs carried through (already in wire format)
@@ -152,8 +160,11 @@ object StreamingIndexer {
       .parquet(s"$indexDir/docstore/seg=$newSeg")
 
     // atomic publish: new segment manifest in, source manifests out,
-    // then physical cleanup of the retired directories
-    val json = s"""{"segment":$newSeg,"docs":$total,"docsAfter":$total,"compactedFrom":[${segs.mkString(",")}]}"""
+    // then physical cleanup of the retired directories. docs/docsAfter
+    // carry the MERGED segments' totals so the global watermark
+    // (max docsAfter over manifests) is unchanged even when large
+    // segments were kept out of the merge.
+    val json = s"""{"segment":$newSeg,"docs":$mergedDocs,"docsAfter":$mergedAfter,"compactedFrom":[${segs.mkString(",")}]}"""
     val tmp = java.nio.file.Paths.get(indexDir, s"_manifest_segment_$newSeg.json.tmp")
     java.nio.file.Files.writeString(tmp, json)
     java.nio.file.Files.move(tmp, Manifest.manifestPath(indexDir, s"segment_$newSeg"),
@@ -174,6 +185,22 @@ object StreamingIndexer {
   /** Ids of committed (live) segments, ascending. */
   def committedSegments(indexDir: String): Seq[Long] =
     Manifest.committedSegments(indexDir)
+
+  /** Per-segment (docs, docsAfter) from the segment manifests. */
+  def segmentInfo(indexDir: String): Map[Long, (Long, Long)] = {
+    val dir = java.nio.file.Paths.get(indexDir)
+    committedSegments(indexDir).flatMap { s =>
+      val f = Manifest.manifestPath(indexDir, s"segment_$s")
+      if (!java.nio.file.Files.exists(f)) None
+      else {
+        val json = java.nio.file.Files.readString(f)
+        for {
+          d <- """"docs":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+          a <- """"docsAfter":(\d+)""".r.findFirstMatchIn(json).map(_.group(1).toLong)
+        } yield s -> (d, a)
+      }
+    }.toMap
+  }
 
   /** Start the stream: every new parquet file under `inputDir` is indexed
     * into a new segment. `trigger` defaults to availableNow semantics in

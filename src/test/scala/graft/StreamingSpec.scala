@@ -114,4 +114,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val wantP = Oracle.search(oracle, Seq("if", "return"), 10, phrase = true)
     assert(gotP.map(_.docId).toSeq == wantP.map(_.docId))
   }
+
+  test("tiered compaction merges only small segments, keeps settled ones") {
+    import spark.implicits._
+    val ixDir = s"$root/ix"
+    assume(StreamingIndexer.committedSegments(ixDir).size == 1) // the 500-doc compacted seg
+    val bigSeg = StreamingIndexer.committedSegments(ixDir).head
+    // two small appends (20 docs each) on top of the settled big segment
+    val extraA = (1000L until 1020L).map(id => CorpusGen.row(43L, id))
+    val extraB = (1020L until 1040L).map(id => CorpusGen.row(43L, id))
+    def df(rows: Seq[(String, String, String, String, String)]) =
+      rows.toDF("repo", "path", "commit", "lang", "content")
+        .withColumn("sha256", org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.col("content"), 256))
+    StreamingIndexer.appendSegment(spark, df(extraA), ixDir, segId = bigSeg + 1, partitions = 2)
+    StreamingIndexer.appendSegment(spark, df(extraB), ixDir, segId = bigSeg + 2, partitions = 2)
+    assert(StreamingIndexer.committedDocs(ixDir) == 540)
+    // tiered: only the two 20-doc segments qualify (threshold 100)
+    StreamingIndexer.compact(spark, ixDir, partitions = 2, maxDocsToMerge = 100L)
+    val after = StreamingIndexer.committedSegments(ixDir)
+    assert(after.size == 2 && after.contains(bigSeg), s"segments after tiered: $after")
+    assert(StreamingIndexer.committedDocs(ixDir) == 540)
+    // results still oracle-identical over all 540 docs in arrival order
+    val all = (0L until 500L).map(id => CorpusGen.row(42L, id))
+    val ordered = all.take(300).sortBy(r => (r._1, r._2)) ++
+      all.drop(300).sortBy(r => (r._1, r._2)) ++
+      extraA.sortBy(r => (r._1, r._2)) ++ extraB.sortBy(r => (r._1, r._2))
+    val oracle = new Oracle.Index(ordered.zipWithIndex.map { case (r, i) => Oracle.Doc(i, r._5) })
+    val loaded = Searcher.load(spark, ixDir)
+    assert(loaded.nDocs == 540)
+    Seq(Seq("if"), Seq("if", "return"), Seq("hash", "seed")).foreach { terms =>
+      val got = Searcher.search(loaded, terms, 10).collect().sortBy(_.rank)
+      val want = Oracle.search(oracle, terms, 10)
+      assert(got.map(_.docId).toSeq == want.map(_.docId), s"tiered mismatch $terms")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+  }
 }
