@@ -123,19 +123,19 @@ object Bench {
     val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "450").toInt
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
-    // Two estimators over the interleaved trials:
-    //  - paired (primary): each loop's N time vs the best 4N time of the
-    //    SAME loop — both runs share one ~90 s host window, so slow-host
-    //    phases cancel instead of depressing whichever level they hit;
-    //    report the best loop (attainable same-window efficiency).
-    //  - min-of-k (secondary): global minima across all trials — can pair
-    //    an N minimum from a calm window with a 4N minimum from a noisy
-    //    one (or vice versa), which is what produced 0.59-0.63 artifacts
-    //    on runs whose own loops showed 0.75.
+    // Estimator: min-of-k over interleaved trials at each level — the
+    // standard attainable-throughput estimator under one-sided noise. A
+    // per-loop paired ratio was tried and REJECTED: host-noise phases are
+    // longer than one loop, so a noise-inflated N run pairs with a calm 4N
+    // run and the max-of-pairs cherry-picks exactly those loops (observed
+    // pair_efficiencies like 0.96 off a 106 s N outlier). The raw per-loop
+    // ratios are still emitted as data, not as the headline.
     val timesN = scala.collection.mutable.ArrayBuffer.empty[Double]
     val times4N = scala.collection.mutable.ArrayBuffer.empty[Double]
     val pairEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def effSoFar: Double = if (pairEffs.isEmpty) 0.0 else pairEffs.max
+    def effSoFar: Double =
+      if (timesN.isEmpty || times4N.isEmpty) 0.0
+      else timesN.min / (4.0 * times4N.min)
     var trial = 0
     while (trial < trials && (trial == 0 || (elapsed < maxIndexSec && effSoFar < 0.82))) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$tmpRoot/ixN"))
@@ -144,7 +144,7 @@ object Bench {
       timesN += tN
       var best4 = Double.MaxValue
       var rep = 0
-      while (rep < 2 && (rep == 0 || tN / (4.0 * best4) < 0.82)) {
+      while (rep < 2 && (rep == 0 || effSoFar < 0.82)) {
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$tmpRoot/ix4N"))
         settle()
         val t4 = indexRun(n4Cores, s"$tmpRoot/corpus", s"$tmpRoot/ix4N")
@@ -159,8 +159,7 @@ object Bench {
     val sec4N = times4N.min
     val tputN = benchDocs / secN
     val tput4N = benchDocs / sec4N
-    val effMinOfK = tput4N / (4.0 * tputN)
-    val eff = pairEffs.max
+    val eff = tput4N / (4.0 * tputN)
 
     // --- operator queries + search ---
     val spark = session(8)
@@ -308,7 +307,7 @@ object Bench {
       s""""trials_local4N":[${times4N.mkString(",")}],""" +
       s""""pair_efficiencies":[${pairEffs.mkString(",")}],""" +
       s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
-      s""""scaling_efficiency":$eff,"scaling_efficiency_minofk":$effMinOfK}"""
+      s""""scaling_efficiency":$eff}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps},"match_rate":$matchRate}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
