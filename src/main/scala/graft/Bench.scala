@@ -11,10 +11,12 @@ import org.apache.spark.sql.SparkSession
   * Emits ONE JSON line with:
   *  - "queries": per-operator-query wall seconds on SPARK_GRAFT_SF_DIR
   *  - "indexing": end-to-end index-build docs/sec on the synthetic
-  *    source-code corpus at local[8] and local[32] over the SAME input —
-  *    the sandbox stand-in for the north rule's N vs 4N executors — plus
-  *    scaling_efficiency = throughput_32 / (4 * throughput_8)
-  *  - "search": batch BM25 query-set throughput (qps) on the built index
+  *    source-code corpus at local[N] and local[4N] cores (default 2 vs 8)
+  *    over the SAME input — the sandbox stand-in for the north rule's N vs
+  *    4N executors — plus scaling_efficiency = tput_4N / (4 * tput_N),
+  *    min-of-k over adaptive interleaved trials
+  *  - "search": batch BM25 query-set throughput (qps) on the built index,
+  *    plus served_qps for the warm LocalService resident path
   *  - "match_rate": fraction of the query mix whose top-10 is
   *    rank-identical (docId exact, score within 0.001) vs the oracle
   */
