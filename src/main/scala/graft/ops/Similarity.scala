@@ -26,9 +26,11 @@ object Similarity {
   def quantize(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1e6).cast("long"))
 
-  /** Exact int64 dot product of two quantized vectors. */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact int64 dot product of two quantized vectors — the native
+    * codegen'd [[graft.functions.LongArrayDot]] kernel (the higher-order
+    * `aggregate(zip_with(...))` form is interpreted per element: ~50x
+    * slower on all-pairs workloads). */
+  def qdot(a: Column, b: Column): Column = graft.functions.functions.long_dot(a, b)
 
   def qnorm2(a: Column): Column = qdot(a, a)
 
@@ -178,11 +180,18 @@ object Similarity {
     * near-dup for modest n; the LSH path above is the scale path). */
   def exactNearDup(df: DataFrame, vecCol: String, idCol: String,
                    minCosMicro: Long): DataFrame = {
+    // norms are per-VECTOR, not per-pair: compute each side's squared norm
+    // once before the cross join (the pair loop then does ONE dot product)
     val vecs = df.select(col(idCol).as("vid"), quantize(col(vecCol)).as("qv"))
-    val a = vecs.select(col("vid").as("id_a"), col("qv").as("qa"))
-    val b = vecs.select(col("vid").as("id_b"), col("qv").as("qb"))
+      .withColumn("n2", qdot(col("qv"), col("qv")))
+    val a = vecs.select(col("vid").as("id_a"), col("qv").as("qa"), col("n2").as("na"))
+    val b = vecs.select(col("vid").as("id_b"), col("qv").as("qb"), col("n2").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosineMicro(col("qa"), col("qb")).as("cos_micro"))
+      .select(col("id_a"), col("id_b"),
+        when(col("na") === 0 || col("nb") === 0, lit(0L))
+          .otherwise(round(qdot(col("qa"), col("qb")).cast("double")
+            / sqrt(col("na").cast("double") * col("nb").cast("double")) * 1e6).cast("long"))
+          .as("cos_micro"))
       .filter(col("cos_micro") >= minCosMicro)
   }
 }
