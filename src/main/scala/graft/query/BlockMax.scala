@@ -48,13 +48,14 @@ object BlockMax {
     * (ascending, disjoint): two-pointer sweep, returns indices. */
   def overlapping(metas: Array[BlockMeta], ranges: Array[(Int, Int)]): Array[Int] = {
     val out = scala.collection.mutable.ArrayBuilder.make[Int]
+    var last = -1
     var i = 0
     var j = 0
     while (i < metas.length && j < ranges.length) {
       if (metas(i).last < ranges(j)._1) i += 1
       else if (ranges(j)._2 < metas(i).first) j += 1
       else {
-        out += i
+        if (i != last) { out += i; last = i } // a block can span several ranges
         // advance whichever ends first
         if (metas(i).last <= ranges(j)._2) i += 1 else j += 1
       }
