@@ -14,7 +14,8 @@ import org.apache.spark.sql.SparkSession
   *    source-code corpus at local[N] and local[4N] cores (default 2 vs 8)
   *    over the SAME input — the sandbox stand-in for the north rule's N vs
   *    4N executors — plus scaling_efficiency = tput_4N / (4 * tput_N),
-  *    min-of-k over adaptive interleaved trials
+  *    min-of-k over symmetric interleaved trials with per-trial host-noise
+  *    probes (contaminated trials excluded, exclusions reported)
   *  - "search": batch BM25 query-set throughput (qps) on the built index,
   *    plus served_qps for the warm LocalService resident path
   *  - "match_rate": fraction of the query mix whose top-10 is
@@ -65,6 +66,20 @@ object Bench {
     Thread.sleep(2000)
   }
 
+  /** Host-noise probe: a fixed single-thread sha256 workload (~100 MB).
+    * Its wall time depends ONLY on host conditions (CPU steal, thermal,
+    * co-tenant contention) — never on the engine — so a probe far above the
+    * session minimum marks the adjacent trial as contaminated. ~0.3 s calm. */
+  private def noiseProbe(): Double = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val buf = new Array[Byte](1 << 20)
+    val t0 = System.nanoTime()
+    var i = 0
+    while (i < 96) { md.update(buf); i += 1 }
+    md.digest()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Index-build wall time at a given parallelism, reading the SAME
     * materialized parquet corpus (the north rule measures indexing an
     * existing source table; corpus synthesis is not part of the job). */
@@ -108,60 +123,79 @@ object Bench {
     }
 
     // --- indexing throughput at two parallelism levels (N vs 4N cores).
-    // This VM shows ±40% wall-clock noise (host contention, page-cache
-    // writeback, cold JIT), so trials are INTERLEAVED (N,4N,N,4N,...) with
-    // sync barriers and the per-level minimum is reported — min-of-k is the
-    // standard robust estimator of attainable throughput under one-sided
-    // noise, and interleaving keeps slow host phases from biasing one level.
-    // 4N runs are ~3x shorter than N runs, so a single host hiccup hurts
-    // them proportionally more — sample the 4N level TWICE per interleave
-    // loop (min-of-k just needs enough samples per level; they're cheap at
-    // 4N) while N keeps one sample per loop. The loop is ADAPTIVE: it stops
-    // early once the min-of-k efficiency estimate clears the 0.8 target
-    // (more samples can only raise a min-based estimate, so stopping at
-    // attainment doesn't bias it), and otherwise keeps sampling through
-    // noisy host windows until the time budget runs out.
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "10").toInt
-    val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "450").toInt
+    // This VM shows ±40% (occasionally 20x — BENCH_r02's hostile window)
+    // wall-clock noise from host contention, so the protocol is:
+    //   warm-up     one untimed run per level (JIT + page cache; recorded
+    //               in the JSON as warmup_*, never part of the estimate)
+    //   loops       a FIXED, SYMMETRIC number of interleave loops; each
+    //               loop runs exactly one N trial and one 4N trial, order
+    //               alternating per loop (N,4N / 4N,N / ...) so neither
+    //               level systematically follows the other's writeback.
+    //               Stopping is NEVER conditioned on the efficiency value
+    //               (optional stopping on a min-based estimator biases it
+    //               upward): at least MIN_LOOPS complete loops always run —
+    //               the time budget extends for them, not truncates — and
+    //               extra loops (up to maxLoops, budget-gated) are added
+    //               only while a level has < 2 CALM trials, a criterion
+    //               independent of the measured ratio.
+    //   noise probe a fixed single-thread sha256 workload timed immediately
+    //               before every trial. Probes measure the HOST, not the
+    //               engine: a probe >1.5x the session-best marks its trial
+    //               contaminated, and contaminated trials are excluded from
+    //               min-of-k (exclusions reported in the JSON, never
+    //               silent). If every trial of a level is contaminated the
+    //               min over all of them is used and flagged.
+    // Estimator: min-of-k over calm trials per level — the standard
+    // attainable-throughput estimator under one-sided noise. A per-loop
+    // paired ratio was tried and REJECTED: host-noise phases are longer
+    // than one loop, so a noise-inflated N run pairs with a calm 4N run and
+    // max-of-pairs cherry-picks exactly those loops.
+    val minLoops = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_LOOPS", "3").toInt)
+    val maxLoops = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOOPS", "8").toInt
+    val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "900").toInt
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
-    // Estimator: min-of-k over interleaved trials at each level — the
-    // standard attainable-throughput estimator under one-sided noise. A
-    // per-loop paired ratio was tried and REJECTED: host-noise phases are
-    // longer than one loop, so a noise-inflated N run pairs with a calm 4N
-    // run and the max-of-pairs cherry-picks exactly those loops (observed
-    // pair_efficiencies like 0.96 off a 106 s N outlier). The raw per-loop
-    // ratios are still emitted as data, not as the headline.
     val timesN = scala.collection.mutable.ArrayBuffer.empty[Double]
     val times4N = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val pairEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def effSoFar: Double =
-      if (timesN.isEmpty || times4N.isEmpty) 0.0
-      else timesN.min / (4.0 * times4N.min)
-    var trial = 0
-    while (trial < trials && (trial == 0 || (elapsed < maxIndexSec && effSoFar < 0.82))) {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$tmpRoot/ixN"))
+    val probesN = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val probes4N = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def runTrial(cpus: Int, dir: String, times: scala.collection.mutable.ArrayBuffer[Double],
+                 probes: scala.collection.mutable.ArrayBuffer[Double]): Unit = {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       settle()
-      val tN = indexRun(nCores, s"$tmpRoot/corpus", s"$tmpRoot/ixN")
-      timesN += tN
-      var best4 = Double.MaxValue
-      var rep = 0
-      while (rep < 2 && (rep == 0 || effSoFar < 0.82)) {
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$tmpRoot/ix4N"))
-        settle()
-        val t4 = indexRun(n4Cores, s"$tmpRoot/corpus", s"$tmpRoot/ix4N")
-        times4N += t4
-        best4 = math.min(best4, t4)
-        rep += 1
-      }
-      pairEffs += tN / (4.0 * best4)
-      trial += 1
+      probes += noiseProbe()
+      times += indexRun(cpus, s"$tmpRoot/corpus", dir)
     }
-    val secN = timesN.min
-    val sec4N = times4N.min
+    // warm-up (untimed for the estimate; recorded for transparency)
+    val warmProbe0 = noiseProbe()
+    val warmN = indexRun(nCores, s"$tmpRoot/corpus", s"$tmpRoot/ixN")
+    val warm4N = indexRun(n4Cores, s"$tmpRoot/corpus", s"$tmpRoot/ix4N")
+    def probeRef: Double = (probesN ++ probes4N :+ warmProbe0).min
+    def calmIdx(probes: Seq[Double]): Seq[Int] =
+      probes.zipWithIndex.collect { case (p, i) if p <= 1.5 * probeRef => i }
+    var loop = 0
+    while (loop < minLoops ||
+           (loop < maxLoops && elapsed < maxIndexSec &&
+            (calmIdx(probesN.toSeq).size < 2 || calmIdx(probes4N.toSeq).size < 2))) {
+      if (loop % 2 == 0) {
+        runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN)
+        runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N)
+      } else {
+        runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N)
+        runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN)
+      }
+      loop += 1
+    }
+    val calmN = calmIdx(probesN.toSeq)
+    val calm4N = calmIdx(probes4N.toSeq)
+    val allContaminated = calmN.isEmpty || calm4N.isEmpty
+    val secN = if (calmN.nonEmpty) calmN.map(timesN).min else timesN.min
+    val sec4N = if (calm4N.nonEmpty) calm4N.map(times4N).min else times4N.min
     val tputN = benchDocs / secN
     val tput4N = benchDocs / sec4N
     val eff = tput4N / (4.0 * tputN)
+    val exclN = timesN.indices.filterNot(calmN.contains)
+    val excl4N = times4N.indices.filterNot(calm4N.contains)
 
     // --- operator queries + search ---
     val spark = session(8)
@@ -305,9 +339,15 @@ object Bench {
     val indexing =
       s"""{"docs":$benchDocs,"n_cores":$nCores,"n4_cores":$n4Cores,""" +
       s""""sec_localN":$secN,"sec_local4N":$sec4N,""" +
+      s""""loops":$loop,"warmup_localN":$warmN,"warmup_local4N":$warm4N,""" +
       s""""trials_localN":[${timesN.mkString(",")}],""" +
       s""""trials_local4N":[${times4N.mkString(",")}],""" +
-      s""""pair_efficiencies":[${pairEffs.mkString(",")}],""" +
+      s""""noise_probes_localN":[${probesN.mkString(",")}],""" +
+      s""""noise_probes_local4N":[${probes4N.mkString(",")}],""" +
+      s""""noise_probe_ref":$probeRef,""" +
+      s""""excluded_localN":[${exclN.mkString(",")}],""" +
+      s""""excluded_local4N":[${excl4N.mkString(",")}],""" +
+      s""""all_trials_contaminated":$allContaminated,""" +
       s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
       s""""scaling_efficiency":$eff}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps},"match_rate":$matchRate}""")
