@@ -129,11 +129,20 @@ object Dedup {
     }
     val a = split.select(col("band"), col("bkey"), col("sub"), col("id").as("id_a"))
     val b = split.select(col("band"), col("bkey"), col("sub"), col("id").as("id_b"))
-    a.join(b, Seq("band", "bkey", "sub"))
+    val pairs = a.join(b, Seq("band", "bkey", "sub"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .unionByName(exactPairs)
       .distinct()
+      .cache()
+    // materialize the (small) pair set while the staged intermediates are
+    // resident, then release them — repeated calls must not accumulate
+    // cached partitions for the life of the session. Callers that are done
+    // with the result may unpersist it; it is |pairs| rows, not corpus-sized.
+    pairs.count()
+    withDigest.unpersist(false)
+    withSig.unpersist(false)
+    pairs
   }
 
   /** Exact n-gram Jaccard similarity for (candidate) pairs — the verifier

