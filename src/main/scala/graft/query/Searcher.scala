@@ -319,8 +319,24 @@ object Searcher {
     * (driver-side; for tests/benchmarks, not part of the query result). */
   val lastDiag = new java.util.concurrent.atomic.AtomicReference[BlockMax.Diag]()
 
+  /** Pruning diagnostics of the most recent [[searchAll]] call on this JVM:
+    * (total postings of the batch's terms, postings in decoded blocks). */
+  val lastBatchDiag = new java.util.concurrent.atomic.AtomicReference[(Long, Long)]()
+
   /** Batch search: many queries at once — one Spark job for the whole query
-    * set (queryId, terms). Used by the bench. */
+    * set (queryId, terms). Used by the bench.
+    *
+    * Block pruning (J3 on the batch path): the same driver-side
+    * block-coverage intersection the single-query path runs is applied PER
+    * QUERY over the collected df/128 metadata, and the union of every
+    * query's surviving (term, firstDocId) keys is the only set of blocks
+    * decoded — a hot∧hot∧...∧rare batch decodes the hot terms only where
+    * the rare terms have coverage, instead of the full index. Exactness:
+    * range pruning is conservative per query (a doc matching ALL of a
+    * query's terms lies in every term's coverage, hence in the
+    * intersection), and extra blocks decoded for one query only add
+    * candidate rows for another that its own `nMatched == nTerms`
+    * conjunctive filter discards. */
   def searchAll(ix: LoadedIndex, queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
     val spark = ix.spark
     import spark.implicits._
@@ -337,7 +353,32 @@ object Searcher {
         (qid, t, ts.distinct.size, occ.size)
       }
     }.toDF("queryId", "term", "nTerms", "w")
-    val posting = ix.postings.filter($"term".isin(allTerms: _*))
+    // ---- per-query block-range pruning over collected block metadata ----
+    val blocksAll = ix.postings.filter($"term".isin(allTerms: _*))
+    val metaRaw = blocksAll
+      .select("term", "firstDocId", "lastDocId", "n")
+      .as[(String, Int, Int, Int)].collect()
+    val meta: Map[String, Array[BlockMax.BlockMeta]] = metaRaw.groupBy(_._1)
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, r._4, 0.0))
+      }
+    val neededKeys: Set[(String, Int)] = live.iterator.flatMap { case (_, ts) =>
+      val uniq = ts.distinct
+      val perTerm = uniq.map(t => meta.getOrElse(t, Array.empty[BlockMax.BlockMeta]))
+      if (perTerm.exists(_.isEmpty)) Iterator.empty
+      else {
+        val cand = BlockMax.intersectCoverage(perTerm)
+        uniq.iterator.flatMap { t =>
+          val m = meta(t)
+          BlockMax.overlapping(m, cand).iterator.map(i => (t, m(i).first))
+        }
+      }
+    }.toSet
+    lastBatchDiag.set((metaRaw.iterator.map(_._4.toLong).sum,
+      metaRaw.iterator.filter(r => neededKeys((r._1, r._2))).map(_._4.toLong).sum))
+    val bcKeys = spark.sparkContext.broadcast(neededKeys)
+    val keep = udf((t: String, f: Int) => bcKeys.value.contains((t, f)))
+    val posting = blocksAll.filter(keep($"term", $"firstDocId"))
       .select("term", "prevDocId", "n", "docIds", "tfs")
       .as[(String, Int, Int, Array[Byte], Array[Byte])]
       .flatMap { case (t, prev, n, ids, tfs) =>

@@ -140,6 +140,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("batch searchAll decodes only blocks in each query's coverage intersection") {
+    import spark.implicits._
+    // rare∧hot batch: every hot term's blocks should be pruned to the rare
+    // term's (narrow) coverage — the J3 skip analog on the batch path
+    val queries = Seq((0, Seq("fn_10_0", "if")), (1, Seq("fn_1_0", "return")))
+    val all = Searcher.searchAll(ix, queries, 10)
+      .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
+    queries.foreach { case (qid, terms) =>
+      val want = Oracle.search(oracle, terms, 10)
+      val got = all.getOrElse(qid, Array.empty).sortBy(_._2)
+      assert(got.map(_._3).toSeq == want.map(_.docId), s"batch mismatch q$qid $terms")
+    }
+    val (total, decoded) = Searcher.lastBatchDiag.get()
+    assert(decoded > 0, "diag not published")
+    assert(decoded < total / 2,
+      s"batch path decoded $decoded of $total postings — block pruning not effective")
+  }
+
   test("docId assignment is identical at different parallelism (N vs 4N)") {
     import spark.implicits._
     val corpus = CorpusGen.generate(spark, 500, seed = 7L, partitions = 4)
