@@ -231,7 +231,7 @@ object Bench {
     // resident serving path (LocalService): warm the hot-term cache once,
     // then measure steady-state qps — the reference-engine-parity number
     // (its working set is memory-resident too)
-    val servedQps = try {
+    val (servedQps, servedQps16) = try {
       val svc = new graft.query.LocalService(ix)
       queryMix.foreach(q => svc.search(q.terms, 10, q.phrase)) // cache misses
       val reps = 50
@@ -239,8 +239,26 @@ object Bench {
         var r = 0
         while (r < reps) { queryMix.foreach(q => svc.search(q.terms, 10, q.phrase)); r += 1 }
       }
-      queryMix.size * reps / sec
-    } catch { case _: Throwable => -1.0 }
+      // 16 concurrent sync clients against the shared resident service —
+      // the reference's bench shape (16 clients, async server;
+      // engine_bench.cc:204-233). Same warm cache, same query mix.
+      val nClients = 16
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
+      val (_, sec16) = try timed {
+        val futs = (0 until nClients).map { _ =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var r = 0
+              while (r < reps) {
+                queryMix.foreach(q => svc.search(q.terms, 10, q.phrase)); r += 1
+              }
+            }
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      (queryMix.size * reps / sec, nClients.toLong * queryMix.size * reps / sec16)
+    } catch { case _: Throwable => (-1.0, -1.0) }
 
     // oracle match rate (top-10 rank-identical, score tol 0.001): a lean
     // single-JVM oracle tracking only the query-mix terms (thread-parallel
@@ -350,7 +368,7 @@ object Bench {
       s""""all_trials_contaminated":$allContaminated,""" +
       s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
       s""""scaling_efficiency":$eff}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps},"match_rate":$matchRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16},"match_rate":$matchRate}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
   }

@@ -19,7 +19,8 @@ import graft.index.PostingCodec
   * mix. Cache is LRU-bounded by total cached postings.
   */
 final class LocalService(val ix: Searcher.LoadedIndex,
-                         maxCachedPostings: Long = 50000000L) {
+                         maxCachedPostings: Long = 50000000L,
+                         maxFetchPostings: Long = 10000000L) {
 
   private final case class TermList(docIds: Array[Int], tfs: Array[Int],
                                     positions: Array[Array[Int]]) {
@@ -27,9 +28,18 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     def hasPositions: Boolean = positions != null
   }
 
-  // LRU over terms; value null marks a term known to be ABSENT from the index
+  // LRU over decoded term lists. Access-order mutates on get, so every
+  // cache touch is under this monitor — but only map bookkeeping is: the
+  // decode, the Spark collect, and the scoring loop all run outside it, so
+  // concurrent clients serialize only on microsecond map ops. TermList
+  // arrays are immutable; a reference obtained under the lock stays valid
+  // after a concurrent eviction.
   private val cache = new java.util.LinkedHashMap[String, TermList](64, 0.75f, true)
   private var cachedPostings = 0L
+
+  /** df per term from termstats (0 = absent), resolved once per term with a
+    * metadata-only job — the gate that runs BEFORE any posting collect. */
+  private val dfCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Decoded postings currently resident (diagnostic). */
   def residentPostings: Long = synchronized { cachedPostings }
@@ -38,15 +48,28 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val it = cache.entrySet().iterator()
     while (cachedPostings + incoming > maxCachedPostings && it.hasNext) {
       val e = it.next()
-      if (e.getValue != null) cachedPostings -= e.getValue.n
+      cachedPostings -= e.getValue.n
       it.remove()
     }
   }
 
-  /** Fetch+decode posting lists for `terms` in ONE Spark job. */
+  private def dfOf(terms: Seq[String]): Map[String, Long] = {
+    val unknown = terms.filterNot(dfCache.containsKey)
+    if (unknown.nonEmpty) {
+      val spark = ix.spark
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      val rows = ix.termstats.filter(col("term").isin(unknown: _*))
+        .select("term", "df").as[(String, Long)].collect().toMap
+      unknown.foreach(t => dfCache.put(t, java.lang.Long.valueOf(rows.getOrElse(t, 0L))))
+    }
+    terms.map(t => t -> dfCache.get(t).longValue()).toMap
+  }
+
+  /** Fetch+decode posting lists for `terms` in ONE Spark job. Callers must
+    * have df-gated `terms` (each under `maxFetchPostings`). */
   private def fetch(terms: Seq[String], withPositions: Boolean): Unit = {
     val spark = ix.spark
-    import spark.implicits._
     import org.apache.spark.sql.functions.col
     val cols =
       if (withPositions) Seq("term", "prevDocId", "firstDocId", "n", "docIds", "tfs", "positions")
@@ -58,8 +81,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val byTerm = rows.groupBy(_.getString(0))
     terms.foreach { t =>
       val blocks = byTerm.getOrElse(t, Array.empty).sortBy(_.getInt(2)) // firstDocId
-      if (blocks.isEmpty) synchronized { cache.put(t, null) }
-      else {
+      if (blocks.nonEmpty) {
         val ids = scala.collection.mutable.ArrayBuilder.make[Int]
         val tfs = scala.collection.mutable.ArrayBuilder.make[Int]
         val pos = if (withPositions)
@@ -84,26 +106,50 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     }
   }
 
+  /** Fall back to the distributed engine — identical semantics/scores
+    * (same postings, same lossy BM25, same tie rule), executor-side memory
+    * instead of driver-side. */
+  private def distributed(queryTerms: Seq[String], k: Int,
+                          phrase: Boolean): Seq[Oracle.Hit] =
+    Searcher.search(ix, queryTerms, k, phrase)
+      .collect().sortBy(_.rank).map(h => Oracle.Hit(h.docId, h.score)).toSeq
+
   /** Conjunctive (optionally phrase) BM25 top-k, evaluated on the driver
     * over the resident lists. Same semantics/tie rule as the distributed
-    * path; identical scores (per-slot idf weights, lossy length cache). */
+    * path; identical scores (per-slot idf weights, lossy length cache).
+    *
+    * Safe for concurrent clients: cache map ops are the only serialized
+    * section; fetch, decode and scoring run unlocked on immutable arrays.
+    * A term whose df exceeds `maxFetchPostings` routes the query to the
+    * distributed [[Searcher]] instead of materializing the list on the
+    * driver — one hot term on a 100 TB corpus must never OOM the server. */
   def search(queryTerms: Seq[String], k: Int, phrase: Boolean = false): Seq[Oracle.Hit] = {
     if (queryTerms.isEmpty || k <= 0) return Nil
     val uniq = queryTerms.distinct
-    // fetch terms never seen, plus cached-without-positions terms when the
-    // query needs positions (known-absent terms, cached as null, are final)
-    val missing = synchronized {
-      uniq.filter { t =>
-        if (!cache.containsKey(t)) true
-        else {
+    val dfs = dfOf(uniq)
+    if (dfs.valuesIterator.exists(_ == 0L)) return Nil // P2 guard, zero jobs on a warm dfCache
+    if (dfs.valuesIterator.exists(_ > maxFetchPostings))
+      return distributed(queryTerms, k, phrase)
+
+    // resolve lists with bounded retry: between our fetch and our get, a
+    // concurrent client's insert may evict our term — re-fetch rather than
+    // misreport; pathological eviction contention (cache far smaller than
+    // the working set) falls back to the distributed path, never an error
+    var lists: Seq[TermList] = null
+    var attempt = 0
+    while (lists == null && attempt < 8) {
+      val missing = synchronized {
+        uniq.filter { t =>
           val v = cache.get(t)
-          v != null && phrase && !v.hasPositions
+          v == null || (phrase && !v.hasPositions)
         }
       }
+      if (missing.nonEmpty) fetch(missing, phrase)
+      val got = synchronized { uniq.map(cache.get) }
+      if (got.forall(v => v != null && (!phrase || v.hasPositions))) lists = got
+      attempt += 1
     }
-    if (missing.nonEmpty) fetch(missing, phrase)
-    val lists = uniq.map(t => synchronized(cache.get(t)))
-    if (lists.contains(null)) return Nil // P2 guard: a term is absent
+    if (lists == null) return distributed(queryTerms, k, phrase)
 
     val byTerm = uniq.zip(lists).toMap
     val slots = queryTerms.map(byTerm)

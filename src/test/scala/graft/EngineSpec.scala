@@ -286,6 +286,57 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(warmMs < 200.0, s"warm serve took ${warmMs}ms — not a resident path")
   }
 
+  test("LocalService: over-budget term is never materialized on the driver") {
+    built
+    // df gate: any term above maxFetchPostings routes the query to the
+    // distributed Searcher — identical results, nothing collected
+    val svc = new graft.query.LocalService(ix, maxFetchPostings = 50L)
+    val got = svc.search(Seq("if", "return"), 10) // hot terms, df >> 50
+    val want = Oracle.search(oracle, Seq("if", "return"), 10)
+    assert(got.map(_.docId) == want.map(_.docId), s"fallback mismatch: $got vs $want")
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    assert(svc.residentPostings == 0L,
+      s"hot posting list was collected to the driver (${svc.residentPostings} resident)")
+    // an under-cap term still takes the resident warm path
+    val got2 = svc.search(Seq("fn_1_0"), 10)
+    assert(got2.map(_.docId) == Oracle.search(oracle, Seq("fn_1_0"), 10).map(_.docId))
+    assert(svc.residentPostings > 0L, "rare term should have been cached")
+  }
+
+  test("LocalService: 16 concurrent clients, identical results under eviction pressure") {
+    built
+    // tiny cache bound forces constant eviction/refetch races between
+    // clients — results must still be rank-identical for every thread
+    // (reference bench shape: 16 sync clients, qq_mem/Makefile:35-43)
+    val svc = new graft.query.LocalService(ix, maxCachedPostings = 2000L)
+    val queries = TestQueries.mix.map(q => (q, false)) ++
+      Seq((Seq("if", "return"), true), (Seq("return", "val"), true))
+    val wants = queries.map { case (q, p) => Oracle.search(oracle, q, 10, p) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val futs = (0 until 16).map { tid =>
+        pool.submit(new Runnable {
+          def run(): Unit = try {
+            var rep = 0
+            while (rep < 3) {
+              queries.zip(wants).foreach { case ((q, p), want) =>
+                val got = svc.search(q, 10, p)
+                if (got.map(_.docId) != want.map(_.docId))
+                  errs.add(s"t$tid $q phrase=$p: ${got.map(_.docId)} vs ${want.map(_.docId)}")
+                else if (got.zip(want).exists { case (g, w) => math.abs(g.score - w.score) > 1e-9 })
+                  errs.add(s"t$tid $q phrase=$p: score drift")
+              }
+              rep += 1
+            }
+          } catch { case e: Throwable => errs.add(s"t$tid: $e") }
+        })
+      }
+      futs.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(errs.isEmpty, s"${errs.size} mismatches, first: ${errs.peek()}")
+  }
+
   test("query log: reference format parsed, batched run matches per-query") {
     built
     import spark.implicits._
