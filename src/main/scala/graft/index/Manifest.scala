@@ -77,20 +77,37 @@ object Manifest {
     * set. Readers must restrict partition discovery to these: an
     * in-flight append or a compaction between publish and cleanup leaves
     * uncommitted/retired `seg=` directories on disk that would otherwise
-    * double-count. */
+    * double-count.
+    *
+    * Recovery-safe compaction: a compacted segment's manifest lists its
+    * sources in `compactedFrom`. Any segment named there is EXCLUDED from
+    * the live set even if its own manifest file still exists — a crash (or
+    * a concurrent reader) between the compacted manifest's atomic publish
+    * and the source-manifest deletion must see the new segment only, never
+    * both, or every merged posting double-counts. The union is taken over
+    * ALL manifest files present (a source that was itself a compaction
+    * keeps its own sources retired transitively). */
   def committedSegments(indexDir: String): Seq[Long] = {
     val dir = Paths.get(indexDir)
     if (!Files.exists(dir)) return Nil
     import scala.jdk.CollectionConverters._
     val s = Files.list(dir)
-    try {
+    val names = try {
       s.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case n if n.startsWith("_manifest_segment_") && n.endsWith(".json") =>
-          n.stripPrefix("_manifest_segment_").stripSuffix(".json").toLong
-        }
-        .toSeq.sorted
+        .filter(n => n.startsWith("_manifest_segment_") && n.endsWith(".json"))
+        .toSeq
     } finally s.close()
+    val entries = names.map { n =>
+      val seg = n.stripPrefix("_manifest_segment_").stripSuffix(".json").toLong
+      val json = try Files.readString(dir.resolve(n)) catch { case _: Throwable => "" }
+      val sources = """"compactedFrom":\[([0-9,\s]*)\]""".r.findFirstMatchIn(json)
+        .map(_.group(1).split(",").iterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSeq)
+        .getOrElse(Nil)
+      (seg, sources)
+    }
+    val retired = entries.iterator.flatMap(_._2).toSet
+    entries.iterator.map(_._1).filterNot(retired).toSeq.sorted
   }
 
   /** Top-level snapshot manifest once all stages are committed. */

@@ -76,6 +76,21 @@ object Searcher {
         segRead("doclen")
       else segRead("docstore").select("docId", "len", "lenByte")
     def docstore: DataFrame = segRead("docstore")
+    /** Two-way phrase-pruning bloom store, if present AND covering every
+      * live segment. The J5 semi-join is an inner join on docId, so a
+      * bloom store missing some segment's docs would silently drop phrase
+      * candidates from those docs — partial coverage therefore disables
+      * pruning entirely (lossy-safe: the positional check stays exact). */
+    def bloom: Option[DataFrame] = {
+      val p = java.nio.file.Paths.get(indexDir, "bloom")
+      if (!java.nio.file.Files.exists(p)) None
+      else if (!hasSegments) Some(spark.read.parquet(s"$indexDir/bloom"))
+      else {
+        val live = graft.index.Manifest.committedSegments(indexDir)
+        if (!live.forall(s => java.nio.file.Files.exists(p.resolve(s"seg=$s")))) None
+        else Some(spark.read.parquet(s"$indexDir/bloom").filter(col("seg").isin(live: _*)))
+      }
+    }
   }
 
   def load(spark: SparkSession, indexDir: String): LoadedIndex = {
@@ -237,7 +252,6 @@ object Searcher {
         // Each check is (rowTerm, probe, useEnd): read rowTerm's filter for
         // this doc and test `probe` against its end (successor) or begin
         // (predecessor) side, direction picked by the posting-size rule.
-        val bloomPath = s"${ix.indexDir}/bloom"
         val checks: Seq[(String, String, Boolean)] =
           if (bloomFactor == BloomNeverUse || queryTerms.size < 2) Seq.empty
           else if (queryTerms.size == 2) {
@@ -247,11 +261,11 @@ object Searcher {
             else if (bloomFactor.toLong * db < da) Seq((b, a, false))   // begin-probe b←a
             else Seq.empty                                              // comparable: skip bloom
           } else queryTerms.sliding(2).map(p => (p.head, p(1), true)).toSeq
-        val withPos =
-          if (checks.nonEmpty &&
-              java.nio.file.Files.exists(java.nio.file.Paths.get(bloomPath))) {
+        val bloomDf = if (checks.isEmpty) None else ix.bloom
+        val withPos = bloomDf match {
+          case Some(bdf) =>
             val bcChecks = spark.sparkContext.broadcast(checks)
-            val passing = spark.read.parquet(bloomPath)
+            val passing = bdf
               .filter($"term".isin(checks.map(_._1).distinct: _*))
               .select("term", "docId", "beginBits", "endBits", "k")
               .as[(String, Int, Array[Byte], Array[Byte], Int)]
@@ -270,7 +284,8 @@ object Searcher {
               .join(passing, "docId")
               .select($"term", $"docId", $"tf", $"pos")
               .as[(String, Int, Int, Array[Int])]
-          } else withPos0
+          case None => withPos0
+        }
         val bcQTerms = spark.sparkContext.broadcast(queryTerms)
         withPos.groupByKey(_._2)
           .flatMapGroups { (docId, rows) =>

@@ -26,9 +26,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object StreamingIndexer {
 
-  /** Append one micro-batch as segment `segId`. Idempotent per segment. */
+  /** Append one micro-batch as segment `segId`. Idempotent per segment.
+    * `withBloom` builds the segment's two-way phrase-pruning bloom rows
+    * (`bloom/seg=<id>`) so streamed indexes keep the J5 pruning the
+    * reference's batch indexes always have (`bloom_filter.h:562-670`). */
   def appendSegment(spark: SparkSession, batch: DataFrame, indexDir: String,
-                    segId: Long, partitions: Int = 8): Unit = {
+                    segId: Long, partitions: Int = 8,
+                    withBloom: Boolean = true): Unit = {
     import spark.implicits._
     if (Manifest.isCommitted(indexDir, s"segment_$segId")) return
     if (batch.isEmpty) return
@@ -61,6 +65,13 @@ object StreamingIndexer {
       .groupBy("term")
       .agg(sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats/seg=$segId")
+
+    // per-segment bloom store (map-only over the segment's docs, same shape
+    // as the batch build's Bloom.buildStage)
+    if (withBloom)
+      graft.index.Bloom.buildStore(docs)
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$indexDir/bloom/seg=$segId")
 
     release() // the sorted micro-batch cache — without this every batch leaks one copy
     // segment manifest: carries the doc-count watermark (atomic rename)
@@ -97,11 +108,12 @@ object StreamingIndexer {
     * and rewrite doclen/termstats/docstore into a single new segment.
     *
     * Crash-safe commit order: the compacted segment is fully written under
-    * `seg=<maxSeg+1>` FIRST, then one atomic manifest swap publishes it and
-    * retires the source segments (their manifest files are removed, then
-    * their directories deleted — a crash in between leaves only unreferenced
-    * files, never a double-counted or missing posting). Readers that list
-    * manifests ([[committedDocs]]) see either the old set or the new one.
+    * `seg=<maxSeg+1>` FIRST; the single atomic commit point is the rename
+    * of its manifest, which lists the merged sources in `compactedFrom` —
+    * [[Manifest.committedSegments]] excludes any segment named there, so a
+    * reader (or a crash) between that publish and the source-manifest /
+    * directory cleanup sees exactly the new segment, never both. Cleanup
+    * afterwards is pure garbage collection of already-retired files.
     *
     * Scale: the merge is one term(+salt)-partitioned shuffle over decoded
     * postings — identical shape to the batch build's encode stage; no
@@ -158,6 +170,22 @@ object StreamingIndexer {
     srcStore.drop("seg")
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$indexDir/docstore/seg=$newSeg")
+    // bloom rows are per (term, docId) and merge-invariant: if every source
+    // segment carries a bloom store, copy their rows into the new segment;
+    // a partially-bloomed index (mixed writer versions) rebuilds from the
+    // merged docstore so the new segment is always fully covered.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "bloom"))) {
+      val withBloomSegs = segs.filter(s =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "bloom", s"seg=$s")))
+      val bloomRows =
+        if (withBloomSegs == segs)
+          spark.read.option("basePath", s"$indexDir/bloom")
+            .parquet(segs.map(s => s"$indexDir/bloom/seg=$s"): _*).drop("seg")
+        else graft.index.Bloom.buildStore(
+          spark.read.parquet(s"$indexDir/docstore/seg=$newSeg").as[IndexBuilder.DocRow]).toDF()
+      bloomRows.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$indexDir/bloom/seg=$newSeg")
+    }
 
     // atomic publish: new segment manifest in, source manifests out,
     // then physical cleanup of the retired directories. docs/docsAfter
@@ -175,7 +203,7 @@ object StreamingIndexer {
     }
     segs.foreach { s =>
       // "doclen" covers legacy segments written before lengths moved inline
-      Seq("postings", "doclen", "termstats", "docstore").foreach { st =>
+      Seq("postings", "doclen", "termstats", "docstore", "bloom").foreach { st =>
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$indexDir/$st/seg=$s"))
       }

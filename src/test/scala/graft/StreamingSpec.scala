@@ -75,6 +75,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StreamingIndexer.committedDocs(ixDir) == before)
   }
 
+  test("streamed segments carry bloom: phrase parity with the store visible") {
+    val ixDir = s"$root/ix"
+    assume(StreamingIndexer.committedSegments(ixDir).size >= 2)
+    StreamingIndexer.committedSegments(ixDir).foreach { s =>
+      assert(new java.io.File(s"$ixDir/bloom/seg=$s").exists(), s"no bloom for seg $s")
+    }
+    val loaded = Searcher.load(spark, ixDir)
+    assert(loaded.bloom.isDefined, "segmented bloom store not visible to the searcher")
+    val all = (0L until 500L).map(id => CorpusGen.row(42L, id))
+    val ordered =
+      all.take(300).sortBy(r => (r._1, r._2)) ++ all.drop(300).sortBy(r => (r._1, r._2))
+    val oracle = new Oracle.Index(ordered.zipWithIndex.map { case (r, i) => Oracle.Doc(i, r._5) })
+    Seq(Seq("if", "return"), Seq("return", "val")).foreach { p =>
+      val got = Searcher.search(loaded, p, 10, phrase = true, bloomFactor = 1)
+        .collect().sortBy(_.rank)
+      val want = Oracle.search(oracle, p, 10, phrase = true)
+      assert(got.map(_.docId).toSeq == want.map(_.docId), s"streamed bloom phrase $p")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+  }
+
   test("compaction merges segments: identical results, fewer segment dirs") {
     import spark.implicits._
     val ixDir = s"$root/ix"
@@ -97,6 +118,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StreamingIndexer.committedSegments(ixDir).size == 1)
     assert(segDirs("postings") == 1 &&
       segDirs("termstats") == 1 && segDirs("docstore") == 1)
+    assert(segDirs("bloom") == 1, "compaction must carry and retire bloom segments")
     assert(segDirs("postings") < dirsBefore)
     val loaded = Searcher.load(spark, ixDir)
     assert(loaded.nDocs == 500)
@@ -149,5 +171,25 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.map(_.docId).toSeq == want.map(_.docId), s"tiered mismatch $terms")
       got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
     }
+  }
+
+  test("crash window: sources with live manifests are excluded via compactedFrom") {
+    // simulate a crash between the compacted manifest's publish and the
+    // source-manifest deletion: all three manifests exist on disk — readers
+    // must see ONLY the compacted segment, and the doc watermark must hold
+    val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
+    def writeManifest(seg: Long, json: String): Unit =
+      java.nio.file.Files.writeString(
+        graft.index.Manifest.manifestPath(dir, s"segment_$seg"), json)
+    writeManifest(0, """{"segment":0,"docs":10,"docsAfter":10}""")
+    writeManifest(1, """{"segment":1,"docs":10,"docsAfter":20}""")
+    writeManifest(2, """{"segment":2,"docs":20,"docsAfter":20,"compactedFrom":[0, 1]}""")
+    assert(graft.index.Manifest.committedSegments(dir) == Seq(2L))
+    assert(StreamingIndexer.committedDocs(dir) == 20)
+    // transitivity: a later compaction of the compacted segment keeps the
+    // original sources retired even if every manifest survives the crash
+    writeManifest(3, """{"segment":3,"docs":25,"docsAfter":25,"compactedFrom":[2]}""")
+    assert(graft.index.Manifest.committedSegments(dir) == Seq(3L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }
