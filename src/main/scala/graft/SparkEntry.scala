@@ -669,6 +669,24 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    // multimodal REAL header sniffing: magic-number container detection +
+    // PNG/JPEG/GIF/BMP dimension parse over binary payloads — pure byte
+    // parsing, no media libs. Fixtures are deterministic functions of the
+    // id (JPEG with an id-length COM segment before SOF0, so the segment
+    // walk is genuinely variable-offset) and the oracle states the
+    // expected parse from the same formulas.
+    "mm_kind_detect" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val payload = Multimodal.syntheticHeader(id)
+          val r = Multimodal.sniffHeader(payload)
+          (id, r.format, r.width.toLong, r.height.toLong, payload.length.toLong)
+        }
+        .toDF("media_id", "format", "width", "height", "n_bytes")
+        .orderBy("media_id")
+    },
+
     // multimodal REAL feature extraction: byte histogram / mean / entropy
     // over the binary payload column (batched mapPartitions, no stub)
     "mm_bytestats" -> { (s, dir) =>
@@ -1113,6 +1131,16 @@ object SparkEntry {
       s"""SELECT doc_id media_id,
          | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
          | octet_length(encode(text))::BIGINT n_bytes, sha256(text) sha
+         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "mm_kind_detect" ->
+      s"""SELECT doc_id media_id,
+         | CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+         |   WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' ELSE 'unknown' END format,
+         | (CASE WHEN doc_id % 6 <= 3 THEN 1 + doc_id % 1023 ELSE 0 END)::BIGINT width,
+         | (CASE WHEN doc_id % 6 <= 3 THEN 1 + (doc_id * 7) % 769 ELSE 0 END)::BIGINT height,
+         | (CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 43 + doc_id % 32 WHEN 2 THEN 13
+         |   WHEN 3 THEN 54 WHEN 4 THEN 12 ELSE 12 END)::BIGINT n_bytes
          |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm_bytestats" -> {

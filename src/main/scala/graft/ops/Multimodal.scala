@@ -97,6 +97,109 @@ object Multimodal {
     }
   }
 
+  final case class SniffResult(format: String, width: Int, height: Int)
+
+  /** REAL (non-stub) media container detection + header dimension parse —
+    * the formats whose headers need no codec library, as pure JVM byte
+    * parsing: PNG (IHDR), JPEG (SOF segment walk over variable-length
+    * APPn/COM segments), GIF (logical screen descriptor), BMP (DIB
+    * header), WAV (RIFF/WAVE). Anything else (or any malformed/truncated
+    * header) is `unknown` — never an exception, this runs inside
+    * executor map tasks over untrusted bytes. */
+  def sniffHeader(p: Array[Byte]): SniffResult = {
+    def u8(i: Int) = p(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, s: String) =
+      p.length >= i + s.length && s.indices.forall(j => p(i + j) == s.charAt(j).toByte)
+    try {
+      if (p.length >= 24 && u8(0) == 0x89 && ascii(1, "PNG") &&
+          u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a &&
+          ascii(12, "IHDR"))
+        SniffResult("png", be32(16), be32(20))
+      else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+        // JPEG: walk marker segments until a start-of-frame (C0-CF except
+        // the C4/C8/CC non-frame markers) carries the dimensions
+        var i = 2
+        var out: SniffResult = null
+        while (out == null && i + 4 <= p.length && u8(i) == 0xff) {
+          val m = u8(i + 1)
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (i + 9 <= p.length) out = SniffResult("jpeg", be16(i + 7), be16(i + 5))
+            else out = SniffResult("unknown", 0, 0)
+          } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+          else i += 2 + be16(i + 2)
+        }
+        if (out != null) out else SniffResult("unknown", 0, 0)
+      }
+      else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) {
+        if (p.length >= 10) SniffResult("gif", le16(6), le16(8))
+        else SniffResult("unknown", 0, 0)
+      }
+      else if (ascii(0, "BM") && p.length >= 26 && le32(14) >= 40)
+        SniffResult("bmp", le32(18), le32(22))
+      else if (ascii(0, "RIFF") && ascii(8, "WAVE"))
+        SniffResult("wav", 0, 0)
+      else SniffResult("unknown", 0, 0)
+    } catch { case _: IndexOutOfBoundsException => SniffResult("unknown", 0, 0) }
+  }
+
+  /** Deterministic header fixtures for [[sniffHeader]]'s oracle row:
+    * structurally-real minimal containers whose format, dimensions and
+    * total byte count are pure functions of `id` (so a SQL oracle can
+    * state the expected parse without a media library). The JPEG fixture
+    * carries an APP0 and an id-length COM segment before its SOF0, so the
+    * parser must genuinely walk variable-length segments. */
+  def syntheticHeader(id: Long): Array[Byte] = {
+    val w = (1 + (id % 1023)).toInt
+    val h = (1 + ((id * 7) % 769)).toInt
+    val bb = java.nio.ByteBuffer.allocate(128)
+    (id % 6) match {
+      case 0 => // PNG: sig + IHDR(len, type, 13-byte data, crc) = 33 bytes
+        bb.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+        bb.putInt(13).put("IHDR".getBytes)
+        bb.putInt(w).putInt(h)
+        bb.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        bb.putInt(0) // crc (unchecked by header parse)
+      case 1 => // JPEG: SOI + APP0(18) + COM(4 + id%32) + SOF0(19) = 43 + id%32
+        val cLen = (id % 32).toInt
+        bb.put(0xff.toByte).put(0xd8.toByte)
+        bb.put(0xff.toByte).put(0xe0.toByte).putShort(16.toShort)
+        bb.put("JFIF".getBytes).put(0.toByte)
+          .put(1.toByte).put(1.toByte).put(0.toByte)
+          .putShort(1.toShort).putShort(1.toShort).put(0.toByte).put(0.toByte)
+        bb.put(0xff.toByte).put(0xfe.toByte).putShort((2 + cLen).toShort)
+        (0 until cLen).foreach(j => bb.put(('a' + j % 26).toByte))
+        bb.put(0xff.toByte).put(0xc0.toByte).putShort(17.toShort)
+        bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort).put(3.toByte)
+        (1 to 3).foreach { c => bb.put(c.toByte).put(0x11.toByte).put(0.toByte) }
+      case 2 => // GIF: sig + logical screen descriptor = 13 bytes
+        bb.put("GIF89a".getBytes)
+        bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putShort(w.toShort).putShort(h.toShort)
+        bb.put(0.toByte).put(0.toByte).put(0.toByte)
+      case 3 => // BMP: file header(14) + BITMAPINFOHEADER(40) = 54 bytes
+        bb.put("BM".getBytes)
+        bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(54).putShort(0.toShort).putShort(0.toShort).putInt(54)
+        bb.putInt(40).putInt(w).putInt(h)
+        bb.putShort(1.toShort).putShort(24.toShort)
+        bb.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      case 4 => // WAV: RIFF size WAVE = 12 bytes
+        bb.put("RIFF".getBytes)
+        bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.putInt(4)
+        bb.order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.put("WAVE".getBytes)
+      case _ => // no magic: 12 opaque bytes
+        bb.put("notmedia".getBytes)
+        bb.putInt(id.toInt)
+    }
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
   /** Demo source: wraps the documents table's text bytes as opaque payloads
     * (schema-compatible stand-in for real media blobs). */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {

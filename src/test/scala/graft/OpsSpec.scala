@@ -76,6 +76,55 @@ class SimhashSpec extends AnyFunSuite {
   }
 }
 
+class SniffSpec extends AnyFunSuite {
+  import graft.ops.Multimodal.{sniffHeader, syntheticHeader, SniffResult}
+
+  test("synthetic fixtures roundtrip: format, dims and length match the id formulas") {
+    (0L until 64L).foreach { id =>
+      val p = syntheticHeader(id)
+      val r = sniffHeader(p)
+      val expFmt = (id % 6) match {
+        case 0 => "png"; case 1 => "jpeg"; case 2 => "gif"
+        case 3 => "bmp"; case 4 => "wav"; case _ => "unknown"
+      }
+      assert(r.format == expFmt, s"id=$id")
+      if (id % 6 <= 3) {
+        assert(r.width == 1 + (id % 1023).toInt, s"id=$id width")
+        assert(r.height == 1 + ((id * 7) % 769).toInt, s"id=$id height")
+      } else assert(r.width == 0 && r.height == 0)
+      val expLen = (id % 6) match {
+        case 0 => 33; case 1 => 43 + (id % 32).toInt; case 2 => 13
+        case 3 => 54; case _ => 12
+      }
+      assert(p.length == expLen, s"id=$id length")
+    }
+  }
+
+  test("truncated and malformed headers degrade to unknown, never throw") {
+    (0L until 12L).foreach { id =>
+      val p = syntheticHeader(id)
+      (0 until p.length).foreach { cut =>
+        val r = sniffHeader(java.util.Arrays.copyOf(p, cut))
+        assert(r != null) // no exception; format may legitimately resolve early
+      }
+    }
+    assert(sniffHeader(Array.empty[Byte]) == SniffResult("unknown", 0, 0))
+    assert(sniffHeader(Array.fill[Byte](64)(0xff.toByte)).format != "png")
+  }
+
+  test("dimension byte order: >255 values parse on all container formats") {
+    // id chosen so width and height exceed one byte
+    val id = 300L // w = 301, h = 2101 % 769 = 563
+    (0L until 4L).foreach { k =>
+      val fid = id * 6 + k // same residues mod 6 = k
+      val p = syntheticHeader(fid)
+      val r = sniffHeader(p)
+      assert(r.width == 1 + (fid % 1023).toInt && r.height == 1 + ((fid * 7) % 769).toInt,
+        s"fid=$fid kind=$k got=$r")
+    }
+  }
+}
+
 class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   private lazy val spark = SparkSession.builder()
     .master("local[4]")
