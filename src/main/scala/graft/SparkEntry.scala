@@ -49,7 +49,9 @@ object SparkEntry {
     lenCache.getOrElseUpdate((s, dir),
       docs(s, dir).select(col("doc_id"), size(toks).cast("long").as("len")).cache())
 
-  private val lossyLenUdf = udf { len: Long => LenByte.lossy(len) }
+  /** Codegen'd lossy length (graft.functions.LenByteLossy) — the same
+    * kernel the scoring path uses; no Scala UDF wrapper. */
+  private def lossyLen(c: Column): Column = graft.functions.functions.len_lossy(c)
 
   /** Deterministic punctuation transform for the sentence/passage operators:
     * the driver's documents table is punctuation-free, so both engines apply
@@ -151,7 +153,7 @@ object SparkEntry {
       sum("len").cast("long").as("sum_len"))
     val base = len.join(pivoted, "doc_id").crossJoin(dfs).crossJoin(stats)
     val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
-    val lossy = lossyLenUdf(col("len")).cast("double")
+    val lossy = lossyLen(col("len")).cast("double")
     val score = terms.indices.map { i =>
       val idf = log(lit(1.0) + (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
       val tfn = col(s"tf$i") * lit(2.2) /
@@ -211,7 +213,7 @@ object SparkEntry {
 
     // F4: lossy 1-byte doc-length code
     "f4_lenbyte" -> ((s, dir) => lenTable(s, dir)
-      .select(col("doc_id"), col("len"), lossyLenUdf(col("len")).cast("long").as("lossy_len"))
+      .select(col("doc_id"), col("len"), lossyLen(col("len")).cast("long").as("lossy_len"))
       .orderBy("doc_id")),
 
     // F1: varint roundtrip invariant (encode∘decode = id over doc lengths)

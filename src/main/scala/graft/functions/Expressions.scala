@@ -48,6 +48,45 @@ case class LenByteEncode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** encode∘decode of the 1-byte length code — the lossy length BM25 actually
+  * scores with (`utils.h:301-329` + `doc_length_store.h:110`). */
+case class LenByteLossy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_len_lossy requires BIGINT, got ${child.dataType.simpleString}")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = LenByte.lossy(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val nb = ctx.freshName("numBits")
+      val sh = ctx.freshName("shift")
+      val code = ctx.freshName("code")
+      val bits = ctx.freshName("bits")
+      val sh2 = ctx.freshName("shift2")
+      s"""
+         |long v = $c & 0xffffffffL;
+         |int $nb = 64 - java.lang.Long.numberOfLeadingZeros(v);
+         |int $code;
+         |if ($nb < 4) {
+         |  $code = (int) v;
+         |} else {
+         |  int $sh = $nb - 4;
+         |  $code = (int) ((((v >>> $sh) & 0x07L) | ((long)($sh + 1) << 3)) & 0xffL);
+         |}
+         |int $bits = $code & 0x07;
+         |int $sh2 = (($code & 0xff) >>> 3) - 1;
+         |${ev.value} = ($sh2 == -1) ? (long) $bits
+         |  : (((long)($bits | 0x08)) << $sh2) & 0xffffffffL;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LenByteLossy =
+    copy(child = newChild)
+}
+
 case class Bm25Idf(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -125,6 +164,8 @@ object functions {
   def long_dot(a: Column, b: Column): Column =
     ColumnBridge.column(LongArrayDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def len_lossy(c: Column): Column =
+    ColumnBridge.column(LenByteLossy(ColumnBridge.expression(c)))
 }
 
 /** SQL-side registration: `graft_len_byte(len)`, `graft_bm25_idf(n, df)`,
@@ -143,6 +184,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_long_dot"),
         new ExpressionInfo(classOf[LongArrayDot].getName, "graft_long_dot"),
         (args: Seq[Expression]) => LongArrayDot(args(0), args(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_len_lossy"),
+        new ExpressionInfo(classOf[LenByteLossy].getName, "graft_len_lossy"),
+        (args: Seq[Expression]) => LenByteLossy(args.head)))
   }
 }
 
@@ -155,5 +200,7 @@ object GraftFunctions {
       "graft_bm25_idf", args => Bm25Idf(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_long_dot", args => LongArrayDot(args(0), args(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_len_lossy", args => LenByteLossy(args.head), "built-in")
   }
 }

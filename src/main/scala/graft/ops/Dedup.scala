@@ -201,10 +201,11 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val a = banded.select($"band", $"bkey", $"id".as("id_a"), $"sig".as("sig_a"))
     val b = banded.select($"band", $"bkey", $"id".as("id_b"), $"sig".as("sig_b"))
-    val ham = udf { (x: Long, y: Long) => hamming60(x, y) }
+    // hamming = popcount(xor) via the built-in bit_count — codegen'd, no UDF
     a.join(b, Seq("band", "bkey"))
       .filter($"id_a" < $"id_b")
-      .select($"id_a", $"id_b", ham($"sig_a", $"sig_b").as("hamming"))
+      .select($"id_a", $"id_b",
+        bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("int").as("hamming"))
       .distinct()
       .filter($"hamming" <= maxHamming)
   }

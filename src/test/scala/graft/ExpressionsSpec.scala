@@ -32,6 +32,19 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaCol == got)
   }
 
+  test("graft_len_lossy matches LenByte.lossy under codegen (incl. C++ goldens)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val vals = (0L to 300L) ++ Seq(0x80L, 0xffffffffL, 123456L, 0xf0000000L)
+    val got = vals.toDF("len")
+      .select($"len", graft.functions.functions.len_lossy($"len").as("lossy"))
+      .as[(Long, Long)].collect().toMap
+    vals.foreach(v => assert(got(v) == LenByte.lossy(v), s"len=$v"))
+    // goldens derived from tests_8.cc:25-49: decode(encode(0x80)) = 0x80,
+    // decode(encode(0xffffffff)) = 0xf0000000
+    assert(got(0x80L) == 0x80L && got(0xffffffffL) == 0xf0000000L)
+  }
+
   test("graft_bm25_idf matches Bm25.idf") {
     import spark.implicits._
     GraftFunctions.register(spark)
