@@ -226,6 +226,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // F13: REAL LZ4 doc compression (chunked reference blob format via
+    // lz4-java, already on Spark's classpath) — the oracle predicts the
+    // chunk count from the byte length and verifies the roundtrip by
+    // content hash, which only matches if compress∘decompress = id
+    "f13_lz4_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val blob = graft.core.Lz4Doc.compress(text)
+          val rt = graft.core.Lz4Doc.decompress(blob)
+          (id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
+            graft.core.Lz4Doc.chunkCount(blob).toLong, graft.core.Sha256.hex(rt))
+        }
+        .toDF("doc_id", "n_bytes", "n_chunks", "roundtrip_sha")
+        .orderBy("doc_id")
+    },
+
     // A2: posting-list build (term -> ascending doc ids; string-joined so
     // the cross-engine hash never depends on array-type canonicalization)
     "a2_postings" -> ((s, dir) => tfTable(s, dir)
@@ -761,6 +778,14 @@ object SparkEntry {
 
     "f1_varint_roundtrip" ->
       s"SELECT doc_id, len, len AS roundtrip_len FROM $LEN ORDER BY doc_id",
+
+    // chunk bound 16 KiB (doc_store.h:28); sha equality proves the real
+    // LZ4 compress∘decompress roundtrip on the engine side
+    "f13_lz4_roundtrip" ->
+      s"""SELECT doc_id, octet_length(encode(text))::BIGINT n_bytes,
+         | ((octet_length(encode(text)) + 16383) // 16384)::BIGINT n_chunks,
+         | sha256(text) roundtrip_sha
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "a2_postings" ->
       s"""SELECT term, array_to_string(array_agg(doc_id ORDER BY doc_id), ',') doc_ids,

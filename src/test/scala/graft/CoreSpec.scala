@@ -19,6 +19,27 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("lz4 doc blob roundtrip: empty, small, multi-chunk, unicode") {
+    val r = new scala.util.Random(9L)
+    val cases = Seq(
+      "",
+      "x",
+      "if return val " * 40,
+      new String(Array.fill(70000)(('a' + r.nextInt(26)).toChar)), // 5 chunks
+      "héllo wörld ünïcode 你好" * 1000)
+    cases.foreach { text =>
+      val blob = Lz4Doc.compress(text)
+      assert((blob(0) & 0xff) == Lz4Doc.Magic)
+      val expChunks =
+        (text.getBytes("UTF-8").length + Lz4Doc.ChunkBytes - 1) / Lz4Doc.ChunkBytes
+      assert(Lz4Doc.chunkCount(blob) == expChunks, s"chunks for len=${text.length}")
+      assert(Lz4Doc.decompress(blob) == text)
+    }
+    // compressible text genuinely shrinks (proves a real codec, not a copy)
+    val rep = "the quick brown fox " * 2000
+    assert(Lz4Doc.compress(rep).length < rep.getBytes("UTF-8").length / 4)
+  }
+
   test("delta roundtrip on sorted sequences") {
     randomArrays(2L, 50, 1 << 30).foreach { a0 =>
       val sorted = a0.distinct.sorted
