@@ -231,7 +231,7 @@ object Bench {
     // resident serving path (LocalService): warm the hot-term cache once,
     // then measure steady-state qps — the reference-engine-parity number
     // (its working set is memory-resident too)
-    val (servedQps, servedQps16) = try {
+    val (servedQps, servedQps16, servedP50Ms, servedP99Ms) = try {
       val svc = new graft.query.LocalService(ix)
       queryMix.foreach(q => svc.search(q.terms, 10, q.phrase)) // cache misses
       val reps = 50
@@ -241,8 +241,12 @@ object Bench {
       }
       // 16 concurrent sync clients against the shared resident service —
       // the reference's bench shape (16 clients, async server;
-      // engine_bench.cc:204-233). Same warm cache, same query mix.
+      // engine_bench.cc:204-233) with its latency metric alongside qps
+      // (engine_bench.cc:227-232 reports duration/n_queries; per-query
+      // percentiles are strictly more informative). Same warm cache,
+      // same query mix.
       val nClients = 16
+      val lats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
       val (_, sec16) = try timed {
         val futs = (0 until nClients).map { _ =>
@@ -250,15 +254,25 @@ object Bench {
             def run(): Unit = {
               var r = 0
               while (r < reps) {
-                queryMix.foreach(q => svc.search(q.terms, 10, q.phrase)); r += 1
+                queryMix.foreach { q =>
+                  val t0 = System.nanoTime()
+                  svc.search(q.terms, 10, q.phrase)
+                  lats.add(System.nanoTime() - t0)
+                }
+                r += 1
               }
             }
           })
         }
         futs.foreach(_.get())
       } finally pool.shutdown()
-      (queryMix.size * reps / sec, nClients.toLong * queryMix.size * reps / sec16)
-    } catch { case _: Throwable => (-1.0, -1.0) }
+      val sorted = { import scala.jdk.CollectionConverters._; lats.asScala.toArray.sorted }
+      def pct(p: Double): Double =
+        if (sorted.isEmpty) -1.0
+        else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt)) / 1e6
+      (queryMix.size * reps / sec, nClients.toLong * queryMix.size * reps / sec16,
+        pct(0.50), pct(0.99))
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
 
     // oracle match rate (top-10 rank-identical, score tol 0.001): a lean
     // single-JVM oracle tracking only the query-mix terms (thread-parallel
@@ -368,7 +382,7 @@ object Bench {
       s""""all_trials_contaminated":$allContaminated,""" +
       s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
       s""""scaling_efficiency":$eff}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16},"match_rate":$matchRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms},"match_rate":$matchRate}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
   }
