@@ -135,14 +135,21 @@ object SparkEntry {
     * 1-row conditional aggregate. Global exact top-k is orderBy+limit
     * (TakeOrderedAndProject: per-partition bounded heaps merged on the
     * driver), with ranks assigned to the <=k survivors by [[rankTopK]]. */
-  private def bm25TopK(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+  private def bm25TopK(s: SparkSession, dir: String, terms: Seq[String], k: Int,
+                       conjunctive: Boolean = true): DataFrame = {
     val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
-    val pivoted = tfq.groupBy("doc_id")
+    val pivoted0 = tfq.groupBy("doc_id")
       .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
         terms.tail.zipWithIndex.map { case (t, i) =>
           max(when(col("term") === t, col("tf"))).as(s"tf${i + 1}")
         }: _*)
-      .filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
+    // OR keeps docs matching ANY term (each slot contributes 0.0 when its
+    // term is absent from the doc — the reference declares SearchOperator::OR
+    // at types.h:70 but never implements it; these are the natural semantics)
+    val pivoted =
+      if (conjunctive)
+        pivoted0.filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
+      else pivoted0
     val dfs = tfq.agg(
       count(when(col("term") === terms.head, lit(1))).cast("long").as("df0"),
       terms.tail.zipWithIndex.map { case (t, i) =>
@@ -158,7 +165,8 @@ object SparkEntry {
       val idf = log(lit(1.0) + (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
       val tfn = col(s"tf$i") * lit(2.2) /
         (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * lossy / avg))
-      idf * tfn
+      if (conjunctive) idf * tfn
+      else when(col(s"tf$i").isNotNull, idf * tfn).otherwise(lit(0.0))
     }.reduceLeft(_ + _)
     val top = base.withColumn("score", score)
       .select(col("doc_id"), col("score"))
@@ -339,6 +347,10 @@ object SparkEntry {
     // A5/O2/O3 + F5-F7: the flagship lossy-BM25 conjunctive top-k
     "a5_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10)),
     "a5_bm25_topk3" -> ((s, dir) => bm25TopK(s, dir, Seq("join", "hash", "dup"), 10)),
+    // disjunctive (OR) top-k — declared by the reference (types.h:70
+    // SearchOperator::OR) but never implemented there; completed here
+    "a5_bm25_or_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
+      conjunctive = false)),
 
     // F5: idf per term (micro)
     "f5_idf" -> { (s, dir) =>
@@ -751,6 +763,31 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** Disjunctive (OR) BM25 top-k oracle: same pivot/df/score structure as
+    * the Spark side — absent slots contribute exactly 0.0, docs matching no
+    * term never enter. */
+  private def bm25OrSql(terms: Seq[String], k: Int): String = {
+    val termList = terms.map(t => s"'$t'").mkString(",")
+    val pvCols = terms.zipWithIndex.map { case (t, i) =>
+      s"max(CASE WHEN term = '$t' THEN tf END) tf$i"
+    }.mkString(", ")
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"count(CASE WHEN term = '$t' THEN 1 END)::BIGINT df$i"
+    }.mkString(", ")
+    val score = terms.indices.map { i =>
+      s"(CASE WHEN tf$i IS NULL THEN 0.0 ELSE (ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE))))) END)"
+    }.mkString(" + ")
+    s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
+       | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
+       | pv AS (SELECT doc_id, $pvCols FROM tf WHERE term IN ($termList) GROUP BY doc_id),
+       | dfs AS (SELECT $dfCols FROM tf WHERE term IN ($termList)),
+       | base AS (SELECT * FROM lens JOIN pv USING (doc_id) CROSS JOIN stats CROSS JOIN dfs),
+       | scored AS (SELECT doc_id, ($score) AS score FROM base)
+       |SELECT rank, doc_id, round(score * 1e6)::BIGINT score_micro FROM
+       | (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) rank FROM scored)
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s1_scan" ->
       "SELECT doc_id, lang, n_chars::BIGINT n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id",
@@ -856,6 +893,7 @@ object SparkEntry {
 
     "a5_bm25_topk" -> bm25Sql(Seq("spark", "query"), 10),
     "a5_bm25_topk3" -> bm25Sql(Seq("join", "hash", "dup"), 10),
+    "a5_bm25_or_topk" -> bm25OrSql(Seq("spark", "query"), 10),
 
     "f5_idf" ->
       s"""WITH tf AS (SELECT * FROM $TF),

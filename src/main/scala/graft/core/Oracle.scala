@@ -96,6 +96,30 @@ object Oracle {
     topK(hits, k)
   }
 
+  /** Disjunctive BM25 top-k. The reference DECLARES `SearchOperator::OR`
+    * (`types.h:70`) but never implements it in the C++ engine; semantics
+    * completed here: score = sum over query slots whose term contains the
+    * doc (slot order, so the FP sequence is deterministic), absent terms
+    * contribute nothing, all-terms-absent => empty. */
+  def searchOr(ix: Index, queryTerms: Seq[String], k: Int): Seq[Hit] = {
+    if (k <= 0) return Nil
+    val present = queryTerms.filter(ix.postings.contains)
+    if (present.isEmpty) return Nil
+    val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
+    // slot-outer iteration: every doc's contributions accumulate in query
+    // slot order — same FP order as a per-doc slot loop
+    present.foreach { t =>
+      val idf = Bm25.idf(ix.nDocs, ix.df(t))
+      ix.postings(t).foreach { case (docId, tf, _) =>
+        val lenByte = LenByte.encode(ix.docLen(docId).toLong)
+        val part = idf * Bm25.tfNormLossy(tf.toLong, lenByte, ix.lossyCache)
+        acc.update(docId, acc.getOrElse(docId, 0.0) + part)
+      }
+    }
+    // topK's boundary tie rule assumes candidates in ascending docId
+    topK(acc.iterator.map { case (d, s) => Hit(d, s) }.toSeq.sortBy(_.docId), k)
+  }
+
   /** Adjusted-position leapfrog: term i's positions shifted by -i must
     * intersect (`query_processing.h:335-362`). Returns true if the phrase
     * occurs at least once. */

@@ -44,6 +44,25 @@ object BlockMax {
     acc
   }
 
+  /** Union of per-term coverage: merged disjoint ascending intervals where
+    * at least one term has a block — the DISJUNCTIVE candidate docId space
+    * (adjacent intervals merge; coarsening is harmless, the intervals only
+    * gate block selection). */
+  def unionCoverage(perTerm: Seq[Array[BlockMeta]]): Array[(Int, Int)] = {
+    val all = perTerm.iterator.flatten.map(b => (b.first, b.last)).toArray.sortBy(_._1)
+    if (all.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer(all(0))
+    var i = 1
+    while (i < all.length) {
+      val (lo, hi) = all(i)
+      val (plo, phi) = out.last
+      if (lo <= phi + 1) { if (hi > phi) out(out.length - 1) = (plo, hi) }
+      else out += ((lo, hi))
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Blocks of `metas` (ascending, disjoint) overlapping any of `ranges`
     * (ascending, disjoint): two-pointer sweep, returns indices. */
   def overlapping(metas: Array[BlockMeta], ranges: Array[(Int, Int)]): Array[Int] = {

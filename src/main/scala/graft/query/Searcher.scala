@@ -120,18 +120,26 @@ object Searcher {
     * end-filter chain over adjacent pairs (`CheckBloomFallBack`). */
   def search(ix: LoadedIndex, queryTerms: Seq[String], k: Int,
              phrase: Boolean = false, bloomFactor: Int = 1,
-             wandMinPostings: Long = 50000L): Dataset[Hit] = {
+             wandMinPostings: Long = 50000L,
+             conjunctive: Boolean = true): Dataset[Hit] = {
+    require(conjunctive || !phrase, "phrase queries are conjunctive by definition")
     val spark = ix.spark
     import spark.implicits._
-    val terms = queryTerms.distinct
-    if (terms.isEmpty || k <= 0) return spark.emptyDataset[Hit]
+    val terms0 = queryTerms.distinct
+    if (terms0.isEmpty || k <= 0) return spark.emptyDataset[Hit]
 
-    // (P1/P2) df per query term from the broadcast-sized termstats; empty
-    // result if any term is absent (`qq_mem_engine.h:345-347`).
+    // (P1/P2) df per query term from the broadcast-sized termstats.
+    // Conjunctive: empty result if any term is absent
+    // (`qq_mem_engine.h:345-347`). Disjunctive (SearchOperator::OR,
+    // declared `types.h:70` but never implemented by the reference —
+    // completed here): absent terms contribute nothing.
     val dfs: Map[String, Long] = ix.termstats
-      .filter($"term".isin(terms: _*))
+      .filter($"term".isin(terms0: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
-    if (terms.exists(t => !dfs.contains(t))) return spark.emptyDataset[Hit]
+    if (conjunctive && terms0.exists(t => !dfs.contains(t)))
+      return spark.emptyDataset[Hit]
+    val terms = if (conjunctive) terms0 else terms0.filter(dfs.contains)
+    if (terms.isEmpty) return spark.emptyDataset[Hit]
     val idfs: Map[String, Double] = dfs.map { case (t, df) => t -> Bm25.idf(ix.nDocs, df) }
     // a repeated query term scores once PER SLOT (`scoring.h:133-142`) —
     // fold the multiplicity into the idf weight, for scoring AND bounds
@@ -162,7 +170,15 @@ object Searcher {
           w * Bm25.tfNormLossy(r._5.toLong, r._6, cache)))
       }
     val perTerm = terms.map(meta(_))
-    val candidates = BlockMax.intersectCoverage(perTerm)
+    // conjunctive: a matching doc lies in EVERY term's coverage → intersect.
+    // disjunctive: any term's coverage can contribute → union. The WAND
+    // θ-prune below is sound in both modes: a block b of term t is dropped
+    // only when ub(b) + Σ_{t'≠t} maxUb(t', b.range) < θ, which upper-bounds
+    // ANY doc in b's total score, so every block of a doc with true score
+    // ≥ θ survives and its score is computed in full.
+    val candidates =
+      if (conjunctive) BlockMax.intersectCoverage(perTerm)
+      else BlockMax.unionCoverage(perTerm)
     if (candidates.isEmpty) return spark.emptyDataset[Hit]
     val rangeSurvivors: Map[String, Array[Int]] =
       terms.map(t => t -> BlockMax.overlapping(meta(t), candidates)).toMap
@@ -187,8 +203,8 @@ object Searcher {
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
     // conjunctive AND + score sum in one hash aggregation over decoded
     // (term, docId, tf) triples — (P3) only scoring columns are read
-    def scoreOf(sel: DataFrame): DataFrame =
-      sel.select("term", "prevDocId", "n", "docIds", "tfs")
+    def scoreOf(sel: DataFrame): DataFrame = {
+      val agg = sel.select("term", "prevDocId", "n", "docIds", "tfs")
         .as[(String, Int, Int, Array[Byte], Array[Byte])]
         .flatMap { case (t, prev, n, ids, tfs) =>
           decodedAcc.add(n)
@@ -200,7 +216,8 @@ object Searcher {
         .withColumn("partScore", partScoreExpr)
         .groupBy($"docId")
         .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
-        .filter($"nMatched" === nTerms)
+      if (conjunctive) agg.filter($"nMatched" === nTerms) else agg
+    }
 
     val usedWand = !phrase && estPostings > wandMinPostings
     val (finalSel, theta) =

@@ -113,6 +113,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(checked == queries.size)
   }
 
+  test("disjunctive (OR) top-10 rank-identical vs oracle") {
+    // the reference declares SearchOperator::OR (types.h:70) but never
+    // implements it; the engine completes it — differential vs the oracle's
+    // slot-ordered disjunctive scorer, including absent-term mixes
+    val queries = Seq(
+      Seq("if", "return"), Seq("epsilon", "posting"),
+      Seq("fn_1_0", "if"), Seq("hash", "seed", "mask"),
+      Seq("if", "nosuchterm_xyz"),           // absent term contributes nothing
+      Seq("nosuchterm_xyz", "alsoabsent_q")) // all absent => empty
+    queries.foreach { q =>
+      val got = Searcher.search(ix, q, 10, conjunctive = false).collect().sortBy(_.rank)
+      val want = Oracle.searchOr(oracle, q, 10)
+      assert(got.length == want.length, s"OR size mismatch for $q: ${got.toSeq} vs $want")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.docId == w.docId, s"OR docId mismatch for $q: ${got.toSeq} vs $want")
+        assert(math.abs(g.score - w.score) < 1e-9, s"OR score mismatch for $q")
+      }
+    }
+    // a rare∨hot OR must return MORE docs than the conjunction (sanity that
+    // the mode actually changed semantics)
+    val orN = Searcher.search(ix, Seq("fn_1_0", "if"), 10, conjunctive = false).count()
+    val andN = Searcher.search(ix, Seq("fn_1_0", "if"), 10).count()
+    assert(orN >= andN)
+  }
+
   test("phrase query matches oracle") {
     // 'return' followed by a zipf word occurs in many docs; also a never-
     // adjacent pair must return empty; repeated terms use per-slot shifts.
