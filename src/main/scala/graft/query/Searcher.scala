@@ -408,9 +408,11 @@ object Searcher {
     }.toSet
     lastBatchDiag.set((metaRaw.iterator.map(_._4.toLong).sum,
       metaRaw.iterator.filter(r => neededKeys((r._1, r._2))).map(_._4.toLong).sum))
-    val bcKeys = spark.sparkContext.broadcast(neededKeys)
-    val keep = udf((t: String, f: Int) => bcKeys.value.contains((t, f)))
-    val posting = blocksAll.filter(keep($"term", $"firstDocId"))
+    // surviving block keys as a broadcast semi-join, not a scalar UDF —
+    // stays inside whole-stage codegen and the set is bounded by the batch
+    // terms' block counts (already collected driver-side as `metaRaw`)
+    val keysDf = broadcast(neededKeys.toSeq.toDF("term", "firstDocId"))
+    val posting = blocksAll.join(keysDf, Seq("term", "firstDocId"), "left_semi")
       .select("term", "prevDocId", "n", "docIds", "tfs")
       .as[(String, Int, Int, Array[Byte], Array[Byte])]
       .flatMap { case (t, prev, n, ids, tfs) =>
