@@ -180,6 +180,57 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Dictionary prefix expansion (P4): terms matching `prefix` with their
+    * df, capped deterministically at `maxExpansion` by (df desc, term asc) —
+    * the trie `equal_prefix_range` analog (reference dictionary is a
+    * HAT-trie, `term_index.h:101-163`; the range op exists in the container
+    * but the C++ engine never calls it). */
+  private def prefixExpand(s: SparkSession, dir: String, prefix: String,
+                           maxExpansion: Int): DataFrame =
+    tfTable(s, dir)
+      .filter(col("term").startsWith(prefix))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansion)
+
+  /** Prefix BM25 top-k over a DYNAMIC term set (the expansion is part of the
+    * plan, not a driver-side literal): each matched sub-term contributes its
+    * idf-weighted lossy-BM25 partial. Unlike [[bm25TopK]]'s fixed-slot
+    * expression tree, the per-doc sum here is a hash aggregation whose FP
+    * accumulation order is partition-dependent — so for cross-engine
+    * exactness the graded contract sums per-term MICRO-INTEGER contributions
+    * (round(partial*1e6) per term, then an exact integer sum; order-free in
+    * both engines). The engine path ([[graft.query.Searcher.searchPrefix]])
+    * keeps full double precision. */
+  private def bm25PrefixTopK(s: SparkSession, dir: String, prefix: String,
+                             k: Int, maxExpansion: Int): DataFrame = {
+    val tf = tfTable(s, dir)
+    val expanded = prefixExpand(s, dir, prefix, maxExpansion)
+    val len = lenTable(s, dir)
+    val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("len").cast("long").as("sum_len"))
+    val base = tf.join(broadcast(expanded), "term")
+      .join(len, "doc_id").crossJoin(stats)
+    val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
+    val lossy = lossyLen(col("len")).cast("double")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfn = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * lossy / avg))
+    val scored = base
+      .withColumn("pm", round(idf * tfn * 1e6).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("pm").as("score_micro"), count(lit(1)).cast("long").as("n_terms"))
+    val top = scored
+      .orderBy(desc("score_micro"), asc("doc_id"))
+      .limit(k)
+    rankTopK(top, (b, a) =>
+        col("b.score_micro") > col("a.score_micro") ||
+          (col("b.score_micro") === col("a.score_micro") && col("b.doc_id") < col("a.doc_id")))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("n_terms"), col("score_micro"))
+      .orderBy("rank")
+  }
+
   // ---------- flagship ----------
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -351,6 +402,14 @@ object SparkEntry {
     // SearchOperator::OR) but never implemented there; completed here
     "a5_bm25_or_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
       conjunctive = false)),
+
+    // P4: dictionary prefix probe (trie equal_prefix_range analog) — cap 4
+    // of the 6 's'-terms makes the deterministic (df desc, term asc) cap
+    // rule itself oracle-visible
+    "p4_prefix_expand" -> ((s, dir) => prefixExpand(s, dir, "s", 4)
+      .orderBy(desc("df"), asc("term"))),
+    // A5 over a dynamic prefix expansion (disjunctive, micro-int contract)
+    "a5_bm25_prefix_topk" -> ((s, dir) => bm25PrefixTopK(s, dir, "s", 10, 4)),
 
     // F5: idf per term (micro)
     "f5_idf" -> { (s, dir) =>
@@ -788,7 +847,34 @@ object SparkEntry {
        |WHERE rank <= $k ORDER BY rank""".stripMargin
   }
 
+  /** Prefix-expansion disjunctive BM25 (micro-int contract): the expansion
+    * CTE mirrors [[prefixExpand]]'s deterministic cap; per-term partials are
+    * rounded to micro BEFORE the per-doc sum so the comparison is
+    * integer-exact regardless of either engine's FP accumulation order. */
+  private def bm25PrefixSql(prefix: String, k: Int, maxExpansion: Int): String = {
+    val part =
+      s"round(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))) * 1e6)::BIGINT"
+    s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
+       | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
+       | exp AS (SELECT term, count(*)::BIGINT df FROM tf WHERE term LIKE '$prefix%'
+       |         GROUP BY term ORDER BY df DESC, term LIMIT $maxExpansion),
+       | base AS (SELECT doc_id, $part pm
+       |          FROM tf JOIN exp USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+       | scored AS (SELECT doc_id, sum(pm)::BIGINT score_micro, count(*)::BIGINT n_terms
+       |            FROM base GROUP BY doc_id)
+       |SELECT rank, doc_id, n_terms, score_micro FROM
+       | (SELECT doc_id, n_terms, score_micro,
+       |         row_number() OVER (ORDER BY score_micro DESC, doc_id) rank FROM scored)
+       |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "p4_prefix_expand" ->
+      s"""SELECT term, count(*)::BIGINT df FROM $TF tf WHERE term LIKE 's%'
+         |GROUP BY term ORDER BY df DESC, term LIMIT 4""".stripMargin,
+
+    "a5_bm25_prefix_topk" -> bm25PrefixSql("s", 10, 4),
+
     "s1_scan" ->
       "SELECT doc_id, lang, n_chars::BIGINT n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id",
 

@@ -191,9 +191,10 @@ object Searcher {
       val keys: Set[(String, Int)] = sel.iterator.flatMap { case (t, idxs) =>
         idxs.iterator.map(i => (t, meta(t)(i).first))
       }.toSet
-      val bc = spark.sparkContext.broadcast(keys)
-      val keep = udf((t: String, f: Int) => bc.value.contains((t, f)))
-      blocks.filter(keep($"term", $"firstDocId"))
+      // broadcast semi-join (not a scalar UDF): stays in whole-stage
+      // codegen, and the key set is bounded by the query terms' block counts
+      val keysDf = broadcast(keys.toSeq.toDF("term", "firstDocId"))
+      blocks.join(keysDf, Seq("term", "firstDocId"), "left_semi")
     }
 
     val lenByteOf = ix.doclen.select($"docId", $"lenByte")
@@ -345,6 +346,52 @@ object Searcher {
       .map { case ((d, s), i) => Hit(d, s, i + 1) }
     publishDiag()
     hits.toSeq.toDS()
+  }
+
+  /** Dictionary prefix probe — the trie-range analog (P4).
+    *
+    * The reference's term dictionary is a HAT-trie
+    * (`tsl::htrie_map<char,...>`, `term_index.h:101-163`) whose native range
+    * operation is `equal_prefix_range` (`tsl/htrie_hash.h`); the C++ engine
+    * only ever point-probes it, so prefix expansion is an extension that
+    * completes the container's semantics — the query a source-code search
+    * user actually types (`ret*` for identifiers). Here the probe is a
+    * `StartsWith` filter pushed into the termstats parquet scan (row groups
+    * pruned by the term column's min/max statistics — the sorted-dictionary
+    * analog of a trie descent).
+    *
+    * Expansion is capped at `maxExpansion` terms, picked deterministically
+    * by (df desc, term asc) — the highest-signal sub-terms, matching
+    * Lucene's bounded multi-term rewrite policy. Deterministic cap order
+    * keeps the operator oracle-verifiable even when the cap binds.
+    */
+  def expandPrefix(ix: LoadedIndex, prefix: String, maxExpansion: Int = 64): Seq[String] = {
+    val spark = ix.spark
+    import spark.implicits._
+    if (prefix.isEmpty || maxExpansion <= 0) return Nil
+    ix.termstats
+      .filter($"term".startsWith(prefix))
+      .select($"term", $"df")
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansion)
+      .as[(String, Long)]
+      .collect()
+      .map(_._1)
+      .toSeq
+  }
+
+  /** Prefix BM25 top-k: expand `prefix` against the dictionary, then score
+    * the expansion disjunctively (each matched sub-term contributes its own
+    * idf-weighted partial, absent sub-terms contribute nothing) with the
+    * same union block coverage + WAND θ-prune as [[search]]'s OR mode. */
+  def searchPrefix(ix: LoadedIndex, prefix: String, k: Int,
+                   maxExpansion: Int = 64): Dataset[Hit] = {
+    val terms = expandPrefix(ix, prefix, maxExpansion)
+    if (terms.isEmpty) {
+      val spark = ix.spark
+      import spark.implicits._
+      spark.emptyDataset[Hit]
+    } else search(ix, terms, k, conjunctive = false)
   }
 
   /** Pruning diagnostics of the most recent [[search]] call on this JVM

@@ -138,6 +138,37 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orN >= andN)
   }
 
+  test("prefix search (trie equal_prefix_range analog) rank-identical vs oracle") {
+    // oracle-side expansion: same deterministic (df desc, term asc) cap over
+    // the single-JVM index's dictionary
+    def oracleExpand(prefix: String, cap: Int): Seq[String] =
+      oracle.postings.keysIterator.filter(_.startsWith(prefix)).toSeq
+        .map(t => (t, oracle.df(t))).sortBy { case (t, d) => (-d, t) }
+        .take(cap).map(_._1)
+    for ((p, cap) <- Seq(("re", 64), ("fn_1", 8), ("i", 64), ("zzz_nosuch", 4))) {
+      val terms = Searcher.expandPrefix(ix, p, cap)
+      assert(terms == oracleExpand(p, cap), s"expansion mismatch for '$p'")
+      val got = Searcher.searchPrefix(ix, p, 10, cap).collect().sortBy(_.rank)
+      val want = Oracle.searchOr(oracle, terms, 10)
+      assert(got.length == want.length, s"prefix size mismatch for '$p': ${got.toSeq} vs $want")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.docId == w.docId, s"prefix docId mismatch for '$p': ${got.toSeq} vs $want")
+        assert(math.abs(g.score - w.score) < 1e-9, s"prefix score mismatch for '$p'")
+      }
+    }
+    // when the cap binds it takes a deterministic PREFIX of the full
+    // expansion order — never an arbitrary subset
+    val full = Searcher.expandPrefix(ix, "fn_1", 1024)
+    assert(full.size > 3)
+    assert(Searcher.expandPrefix(ix, "fn_1", 3) == full.take(3))
+    // the dictionary probe pushes StartsWith into the termstats parquet scan
+    import spark.implicits._
+    val probePlan = ix.termstats.filter($"term".startsWith("fn_1"))
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("StartsWith"),
+      s"prefix probe not pushed to the scan:\n$probePlan")
+  }
+
   test("phrase query matches oracle") {
     // 'return' followed by a zipf word occurs in many docs; also a never-
     // adjacent pair must return empty; repeated terms use per-slot shifts.
