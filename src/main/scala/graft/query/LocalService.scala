@@ -110,9 +110,32 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * (same postings, same lossy BM25, same tie rule), executor-side memory
     * instead of driver-side. */
   private def distributed(queryTerms: Seq[String], k: Int,
-                          phrase: Boolean): Seq[Oracle.Hit] =
-    Searcher.search(ix, queryTerms, k, phrase)
+                          phrase: Boolean, conjunctive: Boolean = true): Seq[Oracle.Hit] =
+    Searcher.search(ix, queryTerms, k, phrase, conjunctive = conjunctive)
       .collect().sortBy(_.rank).map(h => Oracle.Hit(h.docId, h.score)).toSeq
+
+  /** Resolve resident lists for `uniq` with bounded retry: between our
+    * fetch and our get, a concurrent client's insert may evict our term —
+    * re-fetch rather than misreport; pathological eviction contention
+    * (cache far smaller than the working set) returns null and the caller
+    * falls back to the distributed path, never an error. */
+  private def resolveLists(uniq: Seq[String], phrase: Boolean): Seq[TermList] = {
+    var lists: Seq[TermList] = null
+    var attempt = 0
+    while (lists == null && attempt < 8) {
+      val missing = synchronized {
+        uniq.filter { t =>
+          val v = cache.get(t)
+          v == null || (phrase && !v.hasPositions)
+        }
+      }
+      if (missing.nonEmpty) fetch(missing, phrase)
+      val got = synchronized { uniq.map(cache.get) }
+      if (got.forall(v => v != null && (!phrase || v.hasPositions))) lists = got
+      attempt += 1
+    }
+    lists
+  }
 
   /** Conjunctive (optionally phrase) BM25 top-k, evaluated on the driver
     * over the resident lists. Same semantics/tie rule as the distributed
@@ -131,24 +154,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     if (dfs.valuesIterator.exists(_ > maxFetchPostings))
       return distributed(queryTerms, k, phrase)
 
-    // resolve lists with bounded retry: between our fetch and our get, a
-    // concurrent client's insert may evict our term — re-fetch rather than
-    // misreport; pathological eviction contention (cache far smaller than
-    // the working set) falls back to the distributed path, never an error
-    var lists: Seq[TermList] = null
-    var attempt = 0
-    while (lists == null && attempt < 8) {
-      val missing = synchronized {
-        uniq.filter { t =>
-          val v = cache.get(t)
-          v == null || (phrase && !v.hasPositions)
-        }
-      }
-      if (missing.nonEmpty) fetch(missing, phrase)
-      val got = synchronized { uniq.map(cache.get) }
-      if (got.forall(v => v != null && (!phrase || v.hasPositions))) lists = got
-      attempt += 1
-    }
+    val lists = resolveLists(uniq, phrase)
     if (lists == null) return distributed(queryTerms, k, phrase)
 
     val byTerm = uniq.zip(lists).toMap
@@ -228,6 +234,46 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       }
     }
     heap.toSeq.sortBy(h => (-h.score, h.docId))
+  }
+
+  /** Cached dictionary expansions — one metadata probe per cold
+    * (prefix, cap); the dictionary is immutable for a loaded index. */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[String]]()
+
+  /** Prefix BM25 top-k on the serving path: expand against the dictionary
+    * ([[Searcher.expandPrefix]] — pushed StartsWith probe, deterministic
+    * df-desc cap), then score the expansion disjunctively over the resident
+    * lists, accumulating per doc in expansion-term order (the same FP order
+    * as [[graft.core.Oracle.searchOr]]). Any expanded term over the fetch
+    * budget routes the whole query to the distributed engine — same
+    * results, nothing hot materialized on the driver. */
+  def searchPrefix(prefix: String, k: Int, maxExpansion: Int = 64): Seq[Oracle.Hit] = {
+    if (prefix.isEmpty || k <= 0) return Nil
+    val terms = prefixCache.computeIfAbsent((prefix, maxExpansion),
+      _ => Searcher.expandPrefix(ix, prefix, maxExpansion))
+    if (terms.isEmpty) return Nil
+    val dfs = dfOf(terms)
+    if (dfs.valuesIterator.exists(_ > maxFetchPostings))
+      return distributed(terms, k, phrase = false, conjunctive = false)
+    val lists = resolveLists(terms, phrase = false)
+    if (lists == null) return distributed(terms, k, phrase = false, conjunctive = false)
+
+    val lenBytes = docLenBytes
+    val acc = scala.collection.mutable.HashMap.empty[Int, Double]
+    terms.iterator.zip(lists.iterator).foreach { case (_, tl) =>
+      val idf = Bm25.idf(ix.nDocs, tl.n.toLong)
+      var i = 0
+      while (i < tl.n) {
+        val d = tl.docIds(i)
+        val part = idf * Bm25.tfNormLossy(tl.tfs(i).toLong, lenBytes(d), ix.lossyCache)
+        acc.update(d, acc.getOrElse(d, 0.0) + part)
+        i += 1
+      }
+    }
+    // topK's boundary tie rule assumes candidates in ascending docId
+    Oracle.topK(acc.iterator.map { case (d, s) => Oracle.Hit(d, s) }
+      .toSeq.sortBy(_.docId), k)
   }
 
   /** Per-doc lossy length bytes, resident (one int per doc — 4 MB per

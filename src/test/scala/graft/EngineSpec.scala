@@ -359,6 +359,34 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(svc.residentPostings > 0L, "rare term should have been cached")
   }
 
+  test("LocalService: prefix search parity, warm path, and over-budget fallback") {
+    built
+    val svc = new graft.query.LocalService(ix)
+    for ((p, cap) <- Seq(("fn_1", 8), ("epsi", 4), ("zzz_nosuch", 4))) {
+      val terms = Searcher.expandPrefix(ix, p, cap)
+      val want = Oracle.searchOr(oracle, terms, 10)
+      val got = svc.searchPrefix(p, 10, cap)
+      assert(got.map(_.docId) == want.map(_.docId),
+        s"served prefix '$p': ${got.map(_.docId)} vs ${want.map(_.docId)}")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+    // warm repeat: expansion + lists resident, no new Spark work needed
+    val t0 = System.nanoTime()
+    val again = svc.searchPrefix("fn_1", 10, 8)
+    val warmMs = (System.nanoTime() - t0) / 1e6
+    assert(again.nonEmpty && warmMs < 200.0, s"warm prefix serve took ${warmMs}ms")
+    // a prefix expanding to a hot over-budget term must fall back to the
+    // distributed OR path with identical results and nothing materialized
+    val tiny = new graft.query.LocalService(ix, maxFetchPostings = 50L)
+    val hotTerms = Searcher.expandPrefix(ix, "i", 64) // includes 'if', df >> 50
+    val wantHot = Oracle.searchOr(oracle, hotTerms, 10)
+    val gotHot = tiny.searchPrefix("i", 10, 64)
+    assert(gotHot.map(_.docId) == wantHot.map(_.docId),
+      s"fallback prefix: ${gotHot.map(_.docId)} vs ${wantHot.map(_.docId)}")
+    assert(tiny.residentPostings == 0L,
+      "hot prefix expansion was materialized on the driver")
+  }
+
   test("LocalService: 16 concurrent clients, identical results under eviction pressure") {
     built
     // tiny cache bound forces constant eviction/refetch races between
