@@ -8,10 +8,20 @@ import org.apache.spark.sql.DataFrame
   * terms, a line wrapped in double quotes is a PHRASE query. Blank lines
   * and `#` comments are skipped. Terms are normalized through the engine
   * tokenizer so log text and index vocabulary always agree.
+  *
+  * Format extension (not in the reference, which has no range queries): a
+  * line consisting of a SINGLE token ending in `*` (e.g. `ret*`) is a
+  * PREFIX query — expanded against the index dictionary at run time
+  * ([[Searcher.expandPrefix]]: deterministic df-desc cap) and evaluated
+  * disjunctively.
   */
 object QueryLog {
 
-  final case class LogQuery(id: Int, terms: Seq[String], phrase: Boolean)
+  /** One parsed query. `prefix` set ⇒ a prefix query: `terms` may be empty
+    * until resolved against an index dictionary, and evaluation is
+    * disjunctive over the expansion. */
+  final case class LogQuery(id: Int, terms: Seq[String], phrase: Boolean,
+                            prefix: Option[String] = None)
 
   /** Parse one log line (None for blanks/comments). */
   def parseLine(line: String, id: Int): Option[LogQuery] = {
@@ -19,6 +29,11 @@ object QueryLog {
     if (t.isEmpty || t.startsWith("#")) None
     else if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
       Some(LogQuery(id, Tokenizer.terms(t.substring(1, t.length - 1)).toSeq, phrase = true))
+    else if (t.length >= 2 && t.endsWith("*") && !t.dropRight(1).exists(_.isWhitespace)) {
+      val stem = Tokenizer.terms(t.dropRight(1)).toSeq
+      if (stem.size == 1) Some(LogQuery(id, Nil, phrase = false, prefix = Some(stem.head)))
+      else None
+    }
     else Some(LogQuery(id, Tokenizer.terms(t).toSeq, phrase = false))
   }
 
@@ -29,20 +44,37 @@ object QueryLog {
     java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala
       .toSeq.zipWithIndex
       .flatMap { case (l, i) => parseLine(l, i) }
-      .filter(_.terms.nonEmpty)
+      .filter(q => q.terms.nonEmpty || q.prefix.nonEmpty)
   }
 
-  /** Run a full log against an index: term queries go through the batched
-    * [[Searcher.searchAll]] single-job path; phrase queries run through the
+  /** Resolve prefix queries against an index dictionary (no-op for queries
+    * whose terms are already known). One metadata probe per unresolved
+    * prefix. */
+  def resolve(ix: Searcher.LoadedIndex, queries: Seq[LogQuery],
+              maxExpansion: Int = 64): Seq[LogQuery] =
+    queries.map { q =>
+      q.prefix match {
+        case Some(p) if q.terms.isEmpty =>
+          q.copy(terms = Searcher.expandPrefix(ix, p, maxExpansion))
+        case _ => q
+      }
+    }
+
+  /** Run a full log against an index: term and prefix queries go through
+    * the batched [[Searcher.searchAll]] single-job path (prefix queries as
+    * disjunctive members of the same batch); phrase queries run through the
     * positional [[Searcher.search]] pipeline each (phrase evaluation is a
     * multi-stage job of its own). Returns (queryId, rank, docId, score). */
   def run(ix: Searcher.LoadedIndex, queries: Seq[LogQuery], k: Int): DataFrame = {
     import ix.spark.implicits._
     import org.apache.spark.sql.functions.lit
-    val termQs = queries.filter(!_.phrase).map(q => (q.id, q.terms))
-    val phraseQs = queries.filter(_.phrase)
+    val resolved = resolve(ix, queries)
+    val termQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty)
+      .map(q => (q.id, q.terms))
+    val disjunctive = resolved.filter(_.prefix.nonEmpty).map(_.id).toSet
+    val phraseQs = resolved.filter(q => q.phrase && q.terms.nonEmpty)
     val batched: Option[DataFrame] =
-      if (termQs.nonEmpty) Some(Searcher.searchAll(ix, termQs, k)) else None
+      if (termQs.nonEmpty) Some(Searcher.searchAll(ix, termQs, k, disjunctive)) else None
     val phrased: Seq[DataFrame] = phraseQs.map { q =>
       Searcher.search(ix, q.terms, k, phrase = true)
         .toDF("docId", "score", "rank")

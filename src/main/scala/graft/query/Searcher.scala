@@ -415,8 +415,15 @@ object Searcher {
     * query's terms lies in every term's coverage, hence in the
     * intersection), and extra blocks decoded for one query only add
     * candidate rows for another that its own `nMatched == nTerms`
-    * conjunctive filter discards. */
-  def searchAll(ix: LoadedIndex, queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    * conjunctive filter discards.
+    *
+    * Query ids listed in `disjunctive` evaluate in OR mode (the prefix /
+    * SearchOperator::OR semantics of [[search]]'s `conjunctive = false`):
+    * absent terms contribute nothing instead of voiding the query, block
+    * coverage is the union of the present terms' coverage, and the
+    * `nMatched == nTerms` filter does not apply. */
+  def searchAll(ix: LoadedIndex, queries: Seq[(Int, Seq[String])], k: Int,
+                disjunctive: Set[Int] = Set.empty): DataFrame = {
     val spark = ix.spark
     import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
@@ -424,14 +431,21 @@ object Searcher {
       .filter($"term".isin(allTerms: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
     val idfs = dfs.map { case (t, d) => t -> Bm25.idf(ix.nDocs, d) }
-    // only queries whose terms all exist can match (P2 guard); a repeated
-    // term scores once per slot → carry its multiplicity as a weight
-    val live = queries.filter(_._2.forall(dfs.contains))
+    // P2 guard: a conjunctive query is live only if EVERY term exists; a
+    // disjunctive one if ANY does (absent terms drop out of its term list).
+    // A repeated term scores once per slot → carry multiplicity as a weight.
+    val live = queries
+      .map { case (qid, ts) =>
+        (qid, if (disjunctive(qid)) ts.filter(dfs.contains) else ts)
+      }
+      .filter { case (qid, ts) =>
+        ts.nonEmpty && (disjunctive(qid) || ts.forall(dfs.contains))
+      }
     val q = live.flatMap { case (qid, ts) =>
       ts.groupBy(identity).toSeq.map { case (t, occ) =>
-        (qid, t, ts.distinct.size, occ.size)
+        (qid, t, ts.distinct.size, occ.size, disjunctive(qid))
       }
-    }.toDF("queryId", "term", "nTerms", "w")
+    }.toDF("queryId", "term", "nTerms", "w", "disj")
     // ---- per-query block-range pruning over collected block metadata ----
     val blocksAll = ix.postings.filter($"term".isin(allTerms: _*))
     val metaRaw = blocksAll
@@ -441,12 +455,14 @@ object Searcher {
       .map { case (t, rs) =>
         t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, r._4, 0.0))
       }
-    val neededKeys: Set[(String, Int)] = live.iterator.flatMap { case (_, ts) =>
+    val neededKeys: Set[(String, Int)] = live.iterator.flatMap { case (qid, ts) =>
       val uniq = ts.distinct
       val perTerm = uniq.map(t => meta.getOrElse(t, Array.empty[BlockMax.BlockMeta]))
       if (perTerm.exists(_.isEmpty)) Iterator.empty
       else {
-        val cand = BlockMax.intersectCoverage(perTerm)
+        val cand =
+          if (disjunctive(qid)) BlockMax.unionCoverage(perTerm)
+          else BlockMax.intersectCoverage(perTerm)
         uniq.iterator.flatMap { t =>
           val m = meta(t)
           BlockMax.overlapping(m, cand).iterator.map(i => (t, m(i).first))
@@ -477,9 +493,9 @@ object Searcher {
       .join(ix.doclen.select("docId", "lenByte"), "docId")
       .join(idfDf, "term")
       .withColumn("partScore", partScore)
-      .groupBy($"queryId", $"docId", $"nTerms")
+      .groupBy($"queryId", $"docId", $"nTerms", $"disj")
       .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
-      .filter($"nMatched" === $"nTerms")
+      .filter($"disj" || $"nMatched" === $"nTerms")
       .select($"queryId", $"docId".cast("int"), $"score")
       .as[(Int, Int, Double)]
       .groupByKey(_._1)

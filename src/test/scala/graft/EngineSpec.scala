@@ -426,19 +426,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val log = java.nio.file.Files.createTempFile("graft_queries", ".log")
     java.nio.file.Files.writeString(log,
-      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\n")
+      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\n")
     val qs = graft.query.QueryLog.load(log.toString)
-    assert(qs.map(_.phrase) == Seq(false, true, false, false))
+    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false))
     assert(qs(1).terms == Seq("if", "return"))
     assert(qs(3).terms == Seq("val", "index")) // tokenizer-normalized
+    assert(qs(4).prefix.contains("fn_1") && qs(4).terms.isEmpty)
+    assert(qs(5).prefix.contains("zzz_nosuch")) // expands to nothing → no rows
     val res = graft.query.QueryLog.run(ix, qs, 10)
       .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
     qs.foreach { q =>
-      val want = Searcher.search(ix, q.terms, 10, phrase = q.phrase)
-        .collect().sortBy(_.rank)
+      val want = q.prefix match {
+        case Some(p) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
+        case None => Searcher.search(ix, q.terms, 10, phrase = q.phrase)
+          .collect().sortBy(_.rank)
+      }
       val got = res.getOrElse(q.id, Array.empty).sortBy(_._2)
       assert(got.map(_._3).toSeq == want.map(_.docId).toSeq, s"log query $q")
+      got.map(_._4).zip(want.map(_.score)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"log query $q score")
+      }
     }
+    assert(res.getOrElse(qs(4).id, Array.empty).nonEmpty,
+      "prefix log query returned no rows")
     java.nio.file.Files.deleteIfExists(log)
   }
 
