@@ -212,7 +212,7 @@ object Bench {
     // one per line, "quoted" = phrase); falls back to the embedded mix
     val ix = Searcher.load(spark, s"$tmpRoot/ix4N")
     val logPath = sys.env.getOrElse("SPARK_GRAFT_QUERY_LOG", "data/queries.log")
-    val queryMix: Seq[graft.query.QueryLog.LogQuery] =
+    val rawMix: Seq[graft.query.QueryLog.LogQuery] =
       if (java.nio.file.Files.exists(java.nio.file.Paths.get(logPath)))
         graft.query.QueryLog.load(logPath)
       else Seq(
@@ -222,6 +222,10 @@ object Bench {
         Seq("if", "return", "int"), Seq("data", "result", "tmp"),
         Seq("if", "val", "def", "for"), Seq("query", "term", "doc", "block"))
         .zipWithIndex.map { case (q, i) => graft.query.QueryLog.LogQuery(i, q, phrase = false) }
+    // resolve prefix queries against the built index's dictionary ONCE, so
+    // the engine run and the lean oracle below score the same expansion
+    // (expansion determinism is itself oracle-gated by `p4_prefix_expand`)
+    val queryMix = graft.query.QueryLog.resolve(ix, rawMix)
     import spark.implicits._
     val (batch, searchSec) = timed {
       graft.query.QueryLog.run(ix, queryMix, 10).as[(Int, Int, Int, Double)].collect()
@@ -233,11 +237,17 @@ object Bench {
     // (its working set is memory-resident too)
     val (servedQps, servedQps16, servedP50Ms, servedP99Ms) = try {
       val svc = new graft.query.LocalService(ix)
-      queryMix.foreach(q => svc.search(q.terms, 10, q.phrase)) // cache misses
+      // prefix queries go through the service's own dictionary-expansion
+      // entry point (resident expansion cache), the rest through search
+      def serve(q: graft.query.QueryLog.LogQuery): Seq[Oracle.Hit] = q.prefix match {
+        case Some(p) => svc.searchPrefix(p, 10)
+        case None    => svc.search(q.terms, 10, q.phrase)
+      }
+      queryMix.foreach(serve) // cache misses
       val reps = 50
       val (_, sec) = timed {
         var r = 0
-        while (r < reps) { queryMix.foreach(q => svc.search(q.terms, 10, q.phrase)); r += 1 }
+        while (r < reps) { queryMix.foreach(serve); r += 1 }
       }
       // 16 concurrent sync clients against the shared resident service —
       // the reference's bench shape (16 clients, async server;
@@ -331,31 +341,42 @@ object Bench {
         val nDocs = rows.length.toLong
         val avg = lens.map(_.toLong).sum.toDouble / nDocs
         val cache = graft.core.Bm25.lossyCache(avg)
-        def oracleTopK(terms: Seq[String], k: Int, phrase: Boolean): Seq[Oracle.Hit] = {
-          val maps = terms.map(t => tfs(qIdx(t)))
-          if (maps.exists(_.isEmpty)) return Nil
-          val smallest = maps.minBy(_.size)
-          val idfs = terms.map(t => graft.core.Bm25.idf(nDocs, tfs(qIdx(t)).size.toLong))
+        def oracleTopK(terms0: Seq[String], k: Int, phrase: Boolean,
+                       disjunctive: Boolean): Seq[Oracle.Hit] = {
           import scala.jdk.CollectionConverters._
-          val hits = smallest.keySet.asScala.toArray.sorted.flatMap { d =>
-            if (maps.forall(_.containsKey(d)) &&
+          // disjunctive (prefix/OR): absent terms contribute nothing;
+          // conjunctive: any absent term voids the query (P2 guard)
+          val terms = if (disjunctive) terms0.filter(t => !tfs(qIdx(t)).isEmpty) else terms0
+          if (terms.isEmpty) return Nil
+          val maps = terms.map(t => tfs(qIdx(t)))
+          if (!disjunctive && maps.exists(_.isEmpty)) return Nil
+          val idfs = terms.map(t => graft.core.Bm25.idf(nDocs, tfs(qIdx(t)).size.toLong))
+          val cand: Array[Int] =
+            if (disjunctive)
+              maps.iterator.flatMap(_.keySet.asScala).map(_.intValue).toArray.distinct.sorted
+            else maps.minBy(_.size).keySet.asScala.toArray.map(_.intValue).sorted
+          val hits = cand.flatMap { d =>
+            val matchedAll = maps.forall(_.containsKey(d))
+            if (!disjunctive && !(matchedAll &&
                 (!phrase || Oracle.phraseMatch(
-                  terms.map(t => poss(qIdx(t)).get(d).sorted)))) {
+                  terms.map(t => poss(qIdx(t)).get(d).sorted))))) None
+            else {
               val lb = graft.core.LenByte.encode(lens(d).toLong)
               var s = 0.0
               var i = 0
               while (i < maps.size) {
-                s += idfs(i) * graft.core.Bm25.tfNormLossy(maps(i).get(d).toLong, lb, cache)
+                if (maps(i).containsKey(d))
+                  s += idfs(i) * graft.core.Bm25.tfNormLossy(maps(i).get(d).toLong, lb, cache)
                 i += 1
               }
               Some(Oracle.Hit(d, s))
-            } else None
+            }
           }
           Oracle.topK(hits, k)
         }
         val byQ = batch.groupBy(_._1)
         val matches = queryMix.count { q =>
-          val want = oracleTopK(q.terms, 10, q.phrase)
+          val want = oracleTopK(q.terms, 10, q.phrase, q.prefix.nonEmpty)
           val got = byQ.getOrElse(q.id, Array.empty).sortBy(_._2)
           got.length == want.length &&
             got.zip(want).forall { case (g, w) =>

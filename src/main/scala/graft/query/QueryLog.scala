@@ -60,27 +60,23 @@ object QueryLog {
       }
     }
 
-  /** Run a full log against an index: term and prefix queries go through
-    * the batched [[Searcher.searchAll]] single-job path (prefix queries as
-    * disjunctive members of the same batch); phrase queries run through the
-    * positional [[Searcher.search]] pipeline each (phrase evaluation is a
-    * multi-stage job of its own). Returns (queryId, rank, docId, score). */
+  /** Run a full log against an index in TWO Spark jobs: term and prefix
+    * queries through the batched [[Searcher.searchAll]] path (prefix
+    * queries as disjunctive members of the same batch), phrase queries
+    * through the batched positional [[Searcher.searchAllPhrase]] path.
+    * Returns (queryId, rank, docId, score). */
   def run(ix: Searcher.LoadedIndex, queries: Seq[LogQuery], k: Int): DataFrame = {
     import ix.spark.implicits._
-    import org.apache.spark.sql.functions.lit
     val resolved = resolve(ix, queries)
     val termQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty)
       .map(q => (q.id, q.terms))
     val disjunctive = resolved.filter(_.prefix.nonEmpty).map(_.id).toSet
     val phraseQs = resolved.filter(q => q.phrase && q.terms.nonEmpty)
-    val batched: Option[DataFrame] =
-      if (termQs.nonEmpty) Some(Searcher.searchAll(ix, termQs, k, disjunctive)) else None
-    val phrased: Seq[DataFrame] = phraseQs.map { q =>
-      Searcher.search(ix, q.terms, k, phrase = true)
-        .toDF("docId", "score", "rank")
-        .select(lit(q.id).as("queryId"), $"rank", $"docId", $"score")
-    }
-    (batched.toSeq ++ phrased) match {
+      .map(q => (q.id, q.terms))
+    val parts: Seq[DataFrame] =
+      (if (termQs.nonEmpty) Seq(Searcher.searchAll(ix, termQs, k, disjunctive)) else Nil) ++
+      (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k)) else Nil)
+    parts match {
       case Nil => Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")
       case head :: tail => tail.foldLeft(head)(_ unionByName _)
     }

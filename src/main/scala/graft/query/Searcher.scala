@@ -506,4 +506,114 @@ object Searcher {
       }
       .toDF("queryId", "rank", "docId", "score")
   }
+
+  /** Batch PHRASE search: every phrase query of a log in ONE Spark job
+    * (the phrase analog of [[searchAll]] — [[QueryLog.run]] previously ran
+    * a full multi-stage [[search]] pipeline per phrase query, paying
+    * per-query metadata collects and driver round-trips).
+    *
+    * Same semantics as the single-query phrase path (`query_processing.h`
+    * per-slot leapfrog): per query, block coverage is the intersection of
+    * its terms' block ranges; only the union of surviving blocks across the
+    * batch is position-decoded; a (query, doc) group matches when every
+    * distinct term is present and the slot-wise adjusted position lists
+    * intersect ([[graft.core.Oracle.phraseMatch]] — repeated terms reuse
+    * one list at different shifts). Matched docs score conjunctive BM25
+    * with per-slot idf multiplicity, then a bounded per-query top-k heap.
+    *
+    * The J5 bloom semi-join is not consulted here: it is a serving-path
+    * candidate pruner, while the batch path's cost is bounded up front by
+    * the block-range intersection; the positional check is exact either
+    * way. Returns (queryId, rank, docId, score). */
+  def searchAllPhrase(ix: LoadedIndex, queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+    val spark = ix.spark
+    import spark.implicits._
+    def empty = Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")
+    val allTerms = queries.flatMap(_._2).distinct
+    if (allTerms.isEmpty || k <= 0) return empty
+    val dfs: Map[String, Long] = ix.termstats
+      .filter($"term".isin(allTerms: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    // P2 guard — phrase queries are conjunctive by definition
+    val live = queries.filter(q => q._2.nonEmpty && q._2.forall(dfs.contains))
+    if (live.isEmpty) return empty
+    val liveTerms = live.flatMap(_._2).distinct
+    // per-(query, term) idf weight with slot multiplicity folded in
+    // (`scoring.h:133-142`: a repeated term scores once PER SLOT)
+    val idfW = live.flatMap { case (qid, ts) =>
+      ts.groupBy(identity).toSeq.map { case (t, occ) =>
+        (qid, t, Bm25.idf(ix.nDocs, dfs(t)) * occ.size)
+      }
+    }.toDF("queryId", "term", "idf")
+    // ---- per-query block-range intersection over collected metadata ----
+    val blocksAll = ix.postings.filter($"term".isin(liveTerms: _*))
+    val metaRaw = blocksAll
+      .select("term", "firstDocId", "lastDocId", "n")
+      .as[(String, Int, Int, Int)].collect()
+    val meta: Map[String, Array[BlockMax.BlockMeta]] = metaRaw.groupBy(_._1)
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, r._4, 0.0))
+      }
+    val neededKeys: Set[(String, Int)] = live.iterator.flatMap { case (_, ts) =>
+      val uniq = ts.distinct
+      val perTerm = uniq.map(t => meta.getOrElse(t, Array.empty[BlockMax.BlockMeta]))
+      if (perTerm.exists(_.isEmpty)) Iterator.empty
+      else {
+        val cand = BlockMax.intersectCoverage(perTerm)
+        uniq.iterator.flatMap { t =>
+          val m = meta(t)
+          BlockMax.overlapping(m, cand).iterator.map(i => (t, m(i).first))
+        }
+      }
+    }.toSet
+    if (neededKeys.isEmpty) return empty
+    val keysDf = broadcast(neededKeys.toSeq.toDF("term", "firstDocId"))
+    // decode (docIds, tfs, positions) of surviving blocks once for the batch
+    val decoded = blocksAll.join(keysDf, Seq("term", "firstDocId"), "left_semi")
+      .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
+      .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .flatMap { case (t, prev, n, ids, tfs, pos) =>
+        val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+        val ps = PostingCodec.decodePositions(n, pos)
+        dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i)) }
+      }.toDF("term", "docId", "tf", "pos")
+    // attach each decoded posting to every live query using that term, then
+    // run the per-slot positional intersection per (query, doc) group
+    val qTermDf = broadcast(live.flatMap { case (qid, ts) =>
+      ts.distinct.map(t => (qid, t))
+    }.toDF("queryId", "term"))
+    val bcQ = spark.sparkContext.broadcast(live.toMap)
+    val matched = decoded
+      .join(qTermDf, "term")
+      .select($"queryId", $"docId", $"term", $"tf", $"pos")
+      .as[(Int, Int, String, Int, Array[Int])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, String, Int, Array[Int])]) =>
+        val (qid, docId) = key
+        val byTerm = rows.toArray.groupBy(_._3)
+        val qts = bcQ.value(qid)
+        if (qts.distinct.forall(byTerm.contains) &&
+            graft.core.Oracle.phraseMatch(qts.map(t => byTerm(t).head._5))) {
+          byTerm.valuesIterator.map(_.head).map(r => (qid, docId, r._3, r._4))
+        } else Iterator.empty
+      }.toDF("queryId", "docId", "term", "tf")
+    val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
+    val partScore = $"idf" *
+      ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
+    matched
+      .join(ix.doclen.select("docId", "lenByte"), "docId")
+      .join(broadcast(idfW), Seq("queryId", "term"))
+      .withColumn("partScore", partScore)
+      .groupBy($"queryId", $"docId")
+      .agg(sum($"partScore").as("score"))
+      .select($"queryId", $"docId".cast("int"), $"score")
+      .as[(Int, Int, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((d, s), i) => (qid, i + 1, d, s) }
+      }
+      .toDF("queryId", "rank", "docId", "score")
+  }
 }

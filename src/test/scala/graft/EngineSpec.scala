@@ -421,6 +421,29 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.isEmpty, s"${errs.size} mismatches, first: ${errs.peek()}")
   }
 
+  test("batched phrase search matches the per-query phrase pipeline") {
+    built
+    import spark.implicits._
+    // mix: hot pair, medium pair, rare∧hot, repeated term, never-adjacent,
+    // absent term (P2 guard voids the whole phrase)
+    val qs: Seq[(Int, Seq[String])] = Seq(
+      0 -> Seq("if", "return"), 1 -> Seq("return", "val"),
+      2 -> Seq("int", "fn_0_0"), 3 -> Seq("if", "if"),
+      4 -> Seq("epsilon", "fn_1_0"), 5 -> Seq("if", "nosuchterm_xyz"))
+    val got = Searcher.searchAllPhrase(ix, qs, 10)
+      .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
+    qs.foreach { case (qid, terms) =>
+      val want = Searcher.search(ix, terms, 10, phrase = true).collect().sortBy(_.rank)
+      val rows = got.getOrElse(qid, Array.empty).sortBy(_._2)
+      assert(rows.map(_._3).toSeq == want.map(_.docId).toSeq, s"phrase batch q$qid $terms")
+      rows.map(_._4).zip(want.map(_.score)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"phrase batch q$qid score")
+      }
+    }
+    assert(got.getOrElse(5, Array.empty).isEmpty) // absent term => empty
+    assert(got(0).nonEmpty && got(3).nonEmpty)
+  }
+
   test("query log: reference format parsed, batched run matches per-query") {
     built
     import spark.implicits._
