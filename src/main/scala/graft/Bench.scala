@@ -136,8 +136,14 @@ object Bench {
     //               upward): at least MIN_LOOPS complete loops always run —
     //               the time budget extends for them, not truncates — and
     //               extra loops (up to maxLoops, budget-gated) are added
-    //               only while a level has < 2 CALM trials, a criterion
-    //               independent of the measured ratio.
+    //               while a level has < 2 CALM trials OR while either
+    //               level's running minimum is still dropping >10% per
+    //               loop (non-converged). Both criteria are symmetric
+    //               across levels and independent of the measured ratio —
+    //               the probe catches CPU contention but is blind to
+    //               IO-stall phases (a 166 s trial can carry a calm
+    //               probe), and a still-descending minimum is exactly
+    //               that signature.
     //   noise probe a fixed single-thread sha256 workload timed immediately
     //               before every trial. Probes measure the HOST, not the
     //               engine: a probe >1.5x the session-best marks its trial
@@ -173,10 +179,16 @@ object Bench {
     def probeRef: Double = (probesN ++ probes4N :+ warmProbe0).min
     def calmIdx(probes: Seq[Double]): Seq[Int] =
       probes.zipWithIndex.collect { case (p, i) if p <= 1.5 * probeRef => i }
+    // non-converged: the latest trial set a new minimum that improved the
+    // previous minimum by >10% — the level is still descending toward its
+    // attainable time (IO-stall phases the noise probe cannot see)
+    def descending(times: Seq[Double]): Boolean =
+      times.size < 2 || times.last < 0.9 * times.init.min
     var loop = 0
     while (loop < minLoops ||
            (loop < maxLoops && elapsed < maxIndexSec &&
-            (calmIdx(probesN.toSeq).size < 2 || calmIdx(probes4N.toSeq).size < 2))) {
+            (calmIdx(probesN.toSeq).size < 2 || calmIdx(probes4N.toSeq).size < 2 ||
+             descending(timesN.toSeq) || descending(times4N.toSeq)))) {
       if (loop % 2 == 0) {
         runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN)
         runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N)

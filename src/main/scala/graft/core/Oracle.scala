@@ -22,7 +22,7 @@ object Oracle {
   final case class Doc(docId: Int, content: String)
   final case class Hit(docId: Int, score: Double)
 
-  final class Index(docs: Seq[Doc]) {
+  final class Index(val docs: Seq[Doc]) {
     // term -> postings sorted by docId: (docId, tf, positions)
     val postings: Map[String, Array[(Int, Int, Array[Int])]] = {
       val m = scala.collection.mutable.HashMap

@@ -475,6 +475,67 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.deleteIfExists(log)
   }
 
+  test("randomized query log: batched run rank-identical vs oracle (50 queries)") {
+    built
+    import spark.implicits._
+    // seeded generator — failures reproduce; vocabulary in sorted order so
+    // term choice is deterministic across JVMs
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = oracle.postings.keys.toArray.sorted
+    def randTerm(): String = vocab(rnd.nextInt(vocab.length))
+    // adjacent token pairs from real docs give phrases that actually match
+    def adjacentPair(): Seq[String] = {
+      val doc = oracle.docs(rnd.nextInt(oracle.docs.length))
+      val toks = graft.core.Tokenizer.terms(doc.content)
+      if (toks.length < 2) Seq("if", "return")
+      else { val i = rnd.nextInt(toks.length - 1); Seq(toks(i), toks(i + 1)) }
+    }
+    val qs: Seq[graft.query.QueryLog.LogQuery] = (0 until 50).map { i =>
+      rnd.nextInt(10) match {
+        case 0 => // prefix query from a random term's stem
+          val t = randTerm()
+          val p = t.take(1 + rnd.nextInt(math.min(4, t.length)))
+          graft.query.QueryLog.LogQuery(i, Nil, phrase = false, prefix = Some(p))
+        case 1 | 2 => // phrase: mostly real adjacent pairs, sometimes random (≈empty)
+          val terms = if (rnd.nextInt(4) == 0) Seq(randTerm(), randTerm()) else adjacentPair()
+          graft.query.QueryLog.LogQuery(i, terms, phrase = true)
+        case _ => // conjunctive term query, AOL-ish arity, occasional absent term
+          val arity = 1 + rnd.nextInt(4)
+          val base = Seq.fill(arity)(randTerm())
+          val terms = if (rnd.nextInt(8) == 0) base :+ s"zz_absent_$i" else base
+          graft.query.QueryLog.LogQuery(i, terms, phrase = false)
+      }
+    }
+    val res = graft.query.QueryLog.run(ix, qs, 10)
+      .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
+    // scores must match rankwise; docIds exactly, except permutation is
+    // allowed inside FP-tie groups (engine sums partScores in
+    // partitioning-dependent order — see the class doc's tolerance note)
+    def assertRankEqual(label: String, got: Seq[(Int, Double)], want: Seq[Oracle.Hit]): Unit = {
+      assert(got.length == want.length, s"$label size ${got.length} vs ${want.length}")
+      got.zip(want).zipWithIndex.foreach { case (((_, gs), w), r) =>
+        assert(math.abs(gs - w.score) < 1e-9, s"$label score at rank $r: $gs vs ${w.score}")
+      }
+      var i = 0
+      while (i < got.length) {
+        var j = i + 1
+        while (j < got.length && math.abs(want(j).score - want(i).score) < 2e-9) j += 1
+        assert(got.slice(i, j).map(_._1).sorted.toSeq == want.slice(i, j).map(_.docId).sorted.toSeq,
+          s"$label docIds at ranks $i..${j - 1}")
+        i = j
+      }
+    }
+    graft.query.QueryLog.resolve(ix, qs).foreach { q =>
+      val want = q.prefix match {
+        case Some(_) => Oracle.searchOr(oracle, q.terms, 10) // same expansion as the engine
+        case None    => Oracle.search(oracle, q.terms, 10, phrase = q.phrase)
+      }
+      val got = res.getOrElse(q.id, Array.empty).sortBy(_._2).toSeq.map(r => (r._3, r._4))
+      assertRankEqual(s"rq${q.id} ${q.prefix.getOrElse(q.terms.mkString(" "))}", got, want)
+    }
+    assert(res.nonEmpty)
+  }
+
   test("Engine facade: search with snippets and doc freqs") {
     built
     val eng = Engine.load(spark, tmp)
