@@ -278,7 +278,7 @@ object Bench {
               while (r < reps) {
                 queryMix.foreach { q =>
                   val t0 = System.nanoTime()
-                  svc.search(q.terms, 10, q.phrase)
+                  serve(q)
                   lats.add(System.nanoTime() - t0)
                 }
                 r += 1
@@ -295,6 +295,36 @@ object Bench {
       (queryMix.size * reps / sec, nClients.toLong * queryMix.size * reps / sec16,
         pct(0.50), pct(0.99))
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
+
+    // --- streaming ingest: the incremental path's throughput. A corpus
+    // slice is appended as micro-batch segments (each segment commit is
+    // the resumability checkpoint), then compacted into one segment.
+    // Streamed-vs-batch query parity and crash-window safety are asserted
+    // in StreamingSpec; here we measure docs/sec and the compaction cost
+    // at bench scale. Defensive: the bench line must be emitted regardless.
+    val (streamDocs, streamDocsPerSec, compactSec) = try {
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+      val nBatches = 8
+      val streamN = math.min(benchDocs, 160000L).toInt
+      val ixS = s"$tmpRoot/ixStream"
+      val slice = spark.read.parquet(s"$tmpRoot/corpus").limit(streamN)
+        .withColumn("b", pmod(hash(col("repo"), col("path")), lit(nBatches)))
+        .cache()
+      slice.count()
+      val (_, ingestSec) = timed {
+        (0 until nBatches).foreach { b =>
+          graft.streaming.StreamingIndexer.appendSegment(spark,
+            slice.filter(col("b") === b).drop("b"), ixS, segId = b.toLong, partitions = 8)
+        }
+      }
+      val (_, cSec) = timed {
+        graft.streaming.StreamingIndexer.compact(spark, ixS, partitions = 8)
+      }
+      require(graft.streaming.StreamingIndexer.committedDocs(ixS) == streamN.toLong,
+        "streamed doc watermark mismatch")
+      slice.unpersist(false)
+      (streamN, streamN / ingestSec, cSec)
+    } catch { case _: Throwable => (0, -1.0, -1.0) }
 
     // oracle match rate (top-10 rank-identical, score tol 0.001): a lean
     // single-JVM oracle tracking only the query-mix terms (thread-parallel
@@ -415,7 +445,7 @@ object Bench {
       s""""all_trials_contaminated":$allContaminated,""" +
       s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
       s""""scaling_efficiency":$eff}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms},"match_rate":$matchRate}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms},"streaming":{"docs":$streamDocs,"docs_per_sec":$streamDocsPerSec,"compact_sec":$compactSec},"match_rate":$matchRate}""")
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
   }
