@@ -25,9 +25,17 @@ object BuildProfile {
     val cpus = args(0).toInt
     val corpusDir = args(1)
     val ixDir = args(2)
+    // mirror Bench.session exactly so stage times decompose the bench trial
+    val localDir = if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
+      java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("/dev/shm"), "graft_prof").toString
+    else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", localDir)
+      .config("spark.shuffle.file.buffer", "1m")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
