@@ -276,8 +276,10 @@ object IndexBuilder {
     * `docId % HotSampleMod == 0` — a pure function of docId, so the salt
     * span map is identical at any parallelism (N vs 4N). Spans only steer
     * encode-shard balance, never correctness (blocks are cut per
-    * (term, shard) group regardless), so an estimate suffices. */
-  val HotSampleMod = 8
+    * (term, shard) group regardless), so an estimate suffices — 1/32
+    * keeps the detection pass ~3% of a full tokenize while a term at the
+    * default salt threshold (df 8192) still draws ~256 sampled docs. */
+  val HotSampleMod = 32
 
   /** Full build: writes docstore/, doclen/, postings/, termstats/ under
     * `indexDir`, with a manifest per stage + a snapshot manifest.
