@@ -158,12 +158,15 @@ object Bench {
     //               probe), and a still-descending minimum is exactly
     //               that signature.
     //   noise probe a fixed single-thread sha256 workload timed immediately
-    //               before every trial. Probes measure the HOST, not the
-    //               engine: a probe >1.5x the session-best marks its trial
-    //               contaminated, and contaminated trials are excluded from
-    //               min-of-k (exclusions reported in the JSON, never
-    //               silent). If every trial of a level is contaminated the
-    //               min over all of them is used and flagged.
+    //               BEFORE AND AFTER every trial (a noise phase that starts
+    //               mid-trial is invisible to a pre-probe alone — r3e's only
+    //               "calm" 4N trial read 41 s against a 27 s Amdahl fit).
+    //               Probes measure the HOST, not the engine: max(pre, post)
+    //               >1.5x the session-best marks the trial contaminated,
+    //               and contaminated trials are excluded from min-of-k
+    //               (exclusions reported in the JSON, never silent). If
+    //               every trial of a level is contaminated the min over all
+    //               of them is used and flagged.
     // Estimator: min-of-k over calm trials per level — the standard
     // attainable-throughput estimator under one-sided noise. A per-loop
     // paired ratio was tried and REJECTED: host-noise phases are longer
@@ -178,12 +181,16 @@ object Bench {
     val times4N = scala.collection.mutable.ArrayBuffer.empty[Double]
     val probesN = scala.collection.mutable.ArrayBuffer.empty[Double]
     val probes4N = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val postProbesN = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val postProbes4N = scala.collection.mutable.ArrayBuffer.empty[Double]
     def runTrial(cpus: Int, dir: String, times: scala.collection.mutable.ArrayBuffer[Double],
-                 probes: scala.collection.mutable.ArrayBuffer[Double]): Unit = {
+                 probes: scala.collection.mutable.ArrayBuffer[Double],
+                 postProbes: scala.collection.mutable.ArrayBuffer[Double]): Unit = {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       settle()
       probes += noiseProbe()
       times += indexRun(cpus, s"$tmpRoot/corpus", dir)
+      postProbes += noiseProbe()
     }
     // warm-up (untimed for the estimate; recorded for transparency)
     val warmProbe0 = noiseProbe()
@@ -191,36 +198,45 @@ object Bench {
     // the small-corpus times — never comparable to the trials)
     val warmN = indexRun(nCores, s"$tmpRoot/corpus_warm", s"$tmpRoot/ixN")
     val warm4N = indexRun(n4Cores, s"$tmpRoot/corpus_warm", s"$tmpRoot/ix4N")
-    def probeRef: Double = (probesN ++ probes4N :+ warmProbe0).min
-    def calmIdx(probes: Seq[Double]): Seq[Int] =
-      probes.zipWithIndex.collect { case (p, i) if p <= 1.5 * probeRef => i }
+    def probeRef: Double =
+      (probesN ++ probes4N ++ postProbesN ++ postProbes4N :+ warmProbe0).min
+    // a trial is calm only if BOTH its bracketing probes are: the pre-probe
+    // catches contamination present at trial start, the post-probe phases
+    // that began mid-trial
+    def calmIdx(pre: Seq[Double], post: Seq[Double]): Seq[Int] =
+      pre.zip(post).zipWithIndex.collect {
+        case ((p, q), i) if math.max(p, q) <= 1.5 * probeRef => i
+      }
     // non-converged: the latest trial set a new minimum that improved the
     // previous minimum by >10% — the level is still descending toward its
     // attainable time (IO-stall phases the noise probe cannot see)
     def descending(times: Seq[Double]): Boolean =
       times.size < 2 || times.last < 0.9 * times.init.min
     var loop = 0
-    // zero-calm override: a level with NO calm trial yet makes the whole
-    // artifact a contaminated fallback — validity outranks the budget, so
-    // full (symmetric — both levels, no directional bias) loops keep
-    // running until each level has at least one calm trial or maxLoops.
+    // under-2-calm override: a level with fewer than TWO calm trials makes
+    // the estimate a single-draw (r3e's one calm 4N trial carried 50%
+    // IO-stall inflation and nothing to cross-check it against) — validity
+    // outranks the budget, so full (symmetric — both levels, no directional
+    // bias) loops keep running until each level has at least two calm
+    // trials or maxLoops. Only the convergence extension (descending
+    // minima) is budget-gated.
+    def calmN0 = calmIdx(probesN.toSeq, postProbesN.toSeq)
+    def calm4N0 = calmIdx(probes4N.toSeq, postProbes4N.toSeq)
     while (loop < minLoops ||
-           (loop < maxLoops &&
-            (calmIdx(probesN.toSeq).isEmpty || calmIdx(probes4N.toSeq).isEmpty)) ||
+           (loop < maxLoops && (calmN0.size < 2 || calm4N0.size < 2)) ||
            (loop < maxLoops && elapsed < maxIndexSec &&
-            (calmIdx(probesN.toSeq).size < 2 || calmIdx(probes4N.toSeq).size < 2 ||
-             descending(timesN.toSeq) || descending(times4N.toSeq)))) {
+            (descending(timesN.toSeq) || descending(times4N.toSeq)))) {
       if (loop % 2 == 0) {
-        runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN)
-        runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N)
+        runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN, postProbesN)
+        runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N, postProbes4N)
       } else {
-        runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N)
-        runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN)
+        runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N, postProbes4N)
+        runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN, postProbesN)
       }
       loop += 1
     }
-    val calmN = calmIdx(probesN.toSeq)
-    val calm4N = calmIdx(probes4N.toSeq)
+    val calmN = calmN0
+    val calm4N = calm4N0
     val allContaminated = calmN.isEmpty || calm4N.isEmpty
     val secN = if (calmN.nonEmpty) calmN.map(timesN).min else timesN.min
     val sec4N = if (calm4N.nonEmpty) calm4N.map(times4N).min else times4N.min
@@ -460,6 +476,8 @@ object Bench {
       s""""trials_local4N":[${times4N.mkString(",")}],""" +
       s""""noise_probes_localN":[${probesN.mkString(",")}],""" +
       s""""noise_probes_local4N":[${probes4N.mkString(",")}],""" +
+      s""""noise_probes_post_localN":[${postProbesN.mkString(",")}],""" +
+      s""""noise_probes_post_local4N":[${postProbes4N.mkString(",")}],""" +
       s""""noise_probe_ref":$probeRef,""" +
       s""""excluded_localN":[${exclN.mkString(",")}],""" +
       s""""excluded_local4N":[${excl4N.mkString(",")}],""" +

@@ -241,6 +241,18 @@ final class LocalService(val ix: Searcher.LoadedIndex,
   private val prefixCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[String]]()
 
+  /** Per-thread dense score accumulator for the disjunctive serving path
+    * (one double per doc). A HashMap accumulator here boxes ~Σdf entries
+    * and sorts the full candidate set on EVERY call — under 16 concurrent
+    * clients that allocation storm was a multi-second p99 tail. The dense
+    * array is only used when it is small (≤ [[LocalService.maxDenseDocs]]
+    * docs, ≈128 MB/thread worst case); larger indexes keep the boxed path
+    * — but at that scale the df gate routes hot prefixes to the
+    * distributed engine anyway. */
+  private val scoreBuf = new ThreadLocal[Array[Double]]() {
+    override def initialValue(): Array[Double] = new Array[Double](ix.nDocs.toInt)
+  }
+
   /** Prefix BM25 top-k on the serving path: expand against the dictionary
     * ([[Searcher.expandPrefix]] — pushed StartsWith probe, deterministic
     * df-desc cap), then score the expansion disjunctively over the resident
@@ -260,8 +272,54 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     if (lists == null) return distributed(terms, k, phrase = false, conjunctive = false)
 
     val lenBytes = docLenBytes
+    if (ix.nDocs <= LocalService.maxDenseDocs) scoreDense(lists, lenBytes, k)
+    else scoreBoxed(lists, lenBytes, k)
+  }
+
+  /** Dense-array disjunctive scoring: accumulate in expansion-term order
+    * (the same FP sequence as [[Oracle.searchOr]]'s slot-outer loop), then
+    * a single ascending-docId scan feeds the bounded heap — identical tie
+    * rule to [[Oracle.topK]]. BM25 parts are strictly positive, so
+    * score > 0 ⇔ matched; the scan resets touched slots, leaving the
+    * thread-local buffer clean for the next call. */
+  private def scoreDense(lists: Seq[TermList], lenBytes: Array[Int],
+                         k: Int): Seq[Oracle.Hit] = {
+    val scores = scoreBuf.get()
+    try {
+      lists.foreach { tl =>
+        val idf = Bm25.idf(ix.nDocs, tl.n.toLong)
+        var i = 0
+        while (i < tl.n) {
+          val d = tl.docIds(i)
+          scores(d) += idf * Bm25.tfNormLossy(tl.tfs(i).toLong, lenBytes(d), ix.lossyCache)
+          i += 1
+        }
+      }
+      val heap = scala.collection.mutable.PriorityQueue.empty[Oracle.Hit](
+        Ordering.by[Oracle.Hit, (Double, Int)](h => (-h.score, h.docId)))
+      var d = 0
+      while (d < scores.length) {
+        val s = scores(d)
+        if (s > 0.0) {
+          scores(d) = 0.0
+          // ascending-docId feed: equal-score boundary keeps lowest docId
+          if (heap.size < k) heap.enqueue(Oracle.Hit(d, s))
+          else if (s > heap.head.score) { heap.dequeue(); heap.enqueue(Oracle.Hit(d, s)) }
+        }
+        d += 1
+      }
+      heap.toSeq.sortBy(h => (-h.score, h.docId))
+    } catch {
+      case t: Throwable => java.util.Arrays.fill(scores, 0.0); throw t
+    }
+  }
+
+  /** Boxed-map fallback for indexes too large for a per-thread dense
+    * buffer; candidate set is still df-gated by the caller. */
+  private def scoreBoxed(lists: Seq[TermList], lenBytes: Array[Int],
+                         k: Int): Seq[Oracle.Hit] = {
     val acc = scala.collection.mutable.HashMap.empty[Int, Double]
-    terms.iterator.zip(lists.iterator).foreach { case (_, tl) =>
+    lists.foreach { tl =>
       val idf = Bm25.idf(ix.nDocs, tl.n.toLong)
       var i = 0
       while (i < tl.n) {
@@ -290,6 +348,10 @@ final class LocalService(val ix: Searcher.LoadedIndex,
 }
 
 object LocalService {
+  /** Largest index (docs) served with the dense per-thread accumulator:
+    * 2^24 docs = 128 MB of doubles per serving thread. */
+  val maxDenseDocs: Long = 1L << 24
+
   /** Allocation-free adjusted-position adjacency: does a position p exist in
     * slot 0 with p+i present in every slot i? Same semantics as
     * `Oracle.phraseMatch` (shifted intersection non-empty,
