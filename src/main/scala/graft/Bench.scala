@@ -173,20 +173,24 @@ object Bench {
     //               probe), and a still-descending minimum is exactly
     //               that signature.
     //   noise probe a fixed single-thread sha256 workload timed immediately
-    //               BEFORE AND AFTER every trial (a noise phase that starts
-    //               mid-trial is invisible to a pre-probe alone — r3e's only
-    //               "calm" 4N trial read 41 s against a 27 s Amdahl fit).
-    //               Probes measure the HOST, not the engine: max(pre, post)
-    //               >1.3x the session MEDIAN marks the trial contaminated,
-    //               and contaminated trials are excluded from min-of-k
-    //               (exclusions reported in the JSON, never silent). If
-    //               every trial of a level is contaminated the min over all
-    //               of them is used and flagged.
-    // Estimator: min-of-k over calm trials per level — the standard
-    // attainable-throughput estimator under one-sided noise. A per-loop
-    // paired ratio was tried and REJECTED: host-noise phases are longer
-    // than one loop, so a noise-inflated N run pairs with a calm 4N run and
-    // max-of-pairs cherry-picks exactly those loops.
+    //               BEFORE AND AFTER every trial, reported in the JSON as
+    //               host-condition evidence (probe >1.3x the session median
+    //               => the trial lands in flagged_*). Probes do NOT gate the
+    //               estimate — see the measured-uncorrelation note below.
+    // Estimator: min over ALL trials per level — the attainable-throughput
+    // estimator under one-sided noise (contention only ever ADDS time, so
+    // including a contaminated trial cannot lower a level's min, while
+    // excluding can remove the true min — and measurably did). Validity
+    // comes from SUPPORT, not exclusion: each level must show >=2 trials
+    // within 15% of its min before the loop may stop. A per-loop paired
+    // ratio was tried and REJECTED: host-noise phases are longer than one
+    // loop, so a noise-inflated N run pairs with a calm 4N run and
+    // max-of-pairs cherry-picks exactly those loops. Probe-based exclusion
+    // was tried and REJECTED on measurement: IO-stall phases that inflate
+    // a trial 2-8x carry calm sha256 probes, and mildly elevated probes
+    // bracket session-best trials, so exclusion kept 185-234 s stalled
+    // trials while dropping true minima (artifacts of 1.45 and 0.135 from
+    // the same engine).
     val minLoops = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_LOOPS", "3").toInt)
     val maxLoops = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOOPS", "10").toInt
     val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "1500").toInt
@@ -213,42 +217,49 @@ object Bench {
     // the small-corpus times — never comparable to the trials)
     val warmN = indexRun(nCores, s"$tmpRoot/corpus_warm", s"$tmpRoot/ixN")
     val warm4N = indexRun(n4Cores, s"$tmpRoot/corpus_warm", s"$tmpRoot/ix4N")
-    // reference = MEDIAN of all probes, not the minimum: within-calm probe
-    // times already spread ~1.6x (0.055-0.091 s observed in one session), so
-    // a single lucky fast draw as the reference excludes perfectly calm
-    // trials — one run kept 1 of 8 N trials "calm" (an IO-stalled 185 s one)
-    // because the genuinely fast trials were bracketed by typical 0.08-0.09 s
-    // probes against a 0.055 s session-best. The median sits inside the calm
-    // cluster unless >half the session is contaminated (and then min-of-k +
-    // the descending extension are the remaining guard, documented).
+    // Probes are DIAGNOSTIC ONLY — they no longer exclude trials from the
+    // estimate. Measured head-to-head on this host (three full runs), probe
+    // readings and trial contamination are nearly uncorrelated: IO-stall
+    // phases that inflate a trial 2-8x carry perfectly calm sha256 probes
+    // (185 s and 234 s trials bracketed by sub-median probes), while
+    // mildly elevated probes bracket trials that hit the session-best time
+    // (a 30.6 s 4N trial — the true minimum — was excluded by a 1.3x-median
+    // threshold while two stalled 190-234 s trials were kept, emitting a
+    // 0.135 artifact). The estimator below needs no exclusion: host noise
+    // is strictly one-sided (contention only ADDS time), so the minimum
+    // over ALL trials is robust to including contaminated ones, and
+    // excluding can only remove the true minimum. Probes stay in the JSON
+    // (flagged_* lists) as host-condition evidence for the reader.
     def probeRef: Double = {
       val all = (probesN ++ probes4N ++ postProbesN ++ postProbes4N :+ warmProbe0).sorted
       all(all.size / 2)
     }
-    // a trial is calm only if BOTH its bracketing probes are: the pre-probe
-    // catches contamination present at trial start, the post-probe phases
-    // that began mid-trial
-    def calmIdx(pre: Seq[Double], post: Seq[Double]): Seq[Int] =
+    def flaggedIdx(pre: Seq[Double], post: Seq[Double]): Seq[Int] =
       pre.zip(post).zipWithIndex.collect {
-        case ((p, q), i) if math.max(p, q) <= 1.3 * probeRef => i
+        case ((p, q), i) if math.max(p, q) > 1.3 * probeRef => i
       }
+    // validity criterion: a level's minimum is SUPPORTED when >=2 trials
+    // land within 15% of it — two independent draws near the min mean the
+    // min is attainable host throughput, not a lucky or unlucky fluke
+    def support(times: Seq[Double]): Int =
+      if (times.isEmpty) 0 else times.count(_ <= 1.15 * times.min)
     // non-converged: the latest trial set a new minimum that improved the
     // previous minimum by >10% — the level is still descending toward its
     // attainable time (IO-stall phases the noise probe cannot see)
     def descending(times: Seq[Double]): Boolean =
       times.size < 2 || times.last < 0.9 * times.init.min
     var loop = 0
-    // under-2-calm override: a level with fewer than TWO calm trials makes
-    // the estimate a single-draw (r3e's one calm 4N trial carried 50%
-    // IO-stall inflation and nothing to cross-check it against) — validity
-    // outranks the budget, so full (symmetric — both levels, no directional
-    // bias) loops keep running until each level has at least two calm
-    // trials or maxLoops. Only the convergence extension (descending
-    // minima) is budget-gated.
-    def calmN0 = calmIdx(probesN.toSeq, postProbesN.toSeq)
-    def calm4N0 = calmIdx(probes4N.toSeq, postProbes4N.toSeq)
+    // under-supported override: a level whose minimum has <2 supporting
+    // trials makes the estimate a single draw (one run's single "good" 4N
+    // trial carried 50% invisible IO-stall inflation) — validity outranks
+    // the budget, so full (symmetric — both levels, no directional bias)
+    // loops keep running until each level's minimum is supported or
+    // maxLoops. Only the convergence extension (descending minima) is
+    // budget-gated. Both criteria are per-level statistics, never the
+    // measured ratio — stopping is independent of the efficiency value.
     while (loop < minLoops ||
-           (loop < maxLoops && (calmN0.size < 2 || calm4N0.size < 2)) ||
+           (loop < maxLoops &&
+            (support(timesN.toSeq) < 2 || support(times4N.toSeq) < 2)) ||
            (loop < maxLoops && elapsed < maxIndexSec &&
             (descending(timesN.toSeq) || descending(times4N.toSeq)))) {
       if (loop % 2 == 0) {
@@ -260,16 +271,15 @@ object Bench {
       }
       loop += 1
     }
-    val calmN = calmN0
-    val calm4N = calm4N0
-    val allContaminated = calmN.isEmpty || calm4N.isEmpty
-    val secN = if (calmN.nonEmpty) calmN.map(timesN).min else timesN.min
-    val sec4N = if (calm4N.nonEmpty) calm4N.map(times4N).min else times4N.min
+    // min over ALL trials per level: noise is one-sided, so the min is the
+    // attainable-throughput estimator and never benefits from exclusion
+    val secN = timesN.min
+    val sec4N = times4N.min
     val tputN = benchDocs / secN
     val tput4N = benchDocs / sec4N
     val eff = tput4N / (4.0 * tputN)
-    val exclN = timesN.indices.filterNot(calmN.contains)
-    val excl4N = times4N.indices.filterNot(calm4N.contains)
+    val flagN = flaggedIdx(probesN.toSeq, postProbesN.toSeq)
+    val flag4N = flaggedIdx(probes4N.toSeq, postProbes4N.toSeq)
 
     // --- operator queries + search ---
     val spark = session(8)
@@ -504,9 +514,10 @@ object Bench {
       s""""noise_probes_post_localN":[${postProbesN.mkString(",")}],""" +
       s""""noise_probes_post_local4N":[${postProbes4N.mkString(",")}],""" +
       s""""noise_probe_ref":$probeRef,""" +
-      s""""excluded_localN":[${exclN.mkString(",")}],""" +
-      s""""excluded_local4N":[${excl4N.mkString(",")}],""" +
-      s""""all_trials_contaminated":$allContaminated,""" +
+      s""""flagged_localN":[${flagN.mkString(",")}],""" +
+      s""""flagged_local4N":[${flag4N.mkString(",")}],""" +
+      s""""min_support_localN":${support(timesN.toSeq)},""" +
+      s""""min_support_local4N":${support(times4N.toSeq)},""" +
       s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
       s""""scaling_efficiency":$eff}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms},"streaming":{"docs":$streamDocs,"docs_per_sec":$streamDocsPerSec,"compact_sec":$compactSec},"match_rate":$matchRate}""")
