@@ -191,7 +191,10 @@ object Bench {
     // bracket session-best trials, so exclusion kept 185-234 s stalled
     // trials while dropping true minima (artifacts of 1.45 and 0.135 from
     // the same engine).
-    val minLoops = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_LOOPS", "3").toInt)
+    // 4 full loops minimum: each loop is ~2.5 min calm, and this host's
+    // noise phases persist for several minutes — a 3-loop session can sit
+    // entirely inside one phase and never sample calm host conditions
+    val minLoops = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_LOOPS", "4").toInt)
     val maxLoops = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOOPS", "10").toInt
     val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "1500").toInt
     val t0 = System.nanoTime()
@@ -239,10 +242,14 @@ object Bench {
         case ((p, q), i) if math.max(p, q) > 1.3 * probeRef => i
       }
     // validity criterion: a level's minimum is SUPPORTED when >=2 trials
-    // land within 15% of it — two independent draws near the min mean the
-    // min is attainable host throughput, not a lucky or unlucky fluke
+    // land within 10% of it — two independent draws near the min mean the
+    // min is attainable host throughput, not a lucky or unlucky fluke.
+    // 10%, not wider: this host's stall phases span several minutes, so two
+    // draws inside one phase mutually "support" a 45 s reading of a 30 s
+    // attainable when the margin is loose (a measured 0.53 artifact whose
+    // 45.3 s min was backed by a 51.6 s neighbor at a 15% margin).
     def support(times: Seq[Double]): Int =
-      if (times.isEmpty) 0 else times.count(_ <= 1.15 * times.min)
+      if (times.isEmpty) 0 else times.count(_ <= 1.10 * times.min)
     // non-converged: the latest trial set a new minimum that improved the
     // previous minimum by >10% — the level is still descending toward its
     // attainable time (IO-stall phases the noise probe cannot see)
