@@ -66,10 +66,13 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     terms.map(t => t -> dfCache.get(t).longValue()).toMap
   }
 
-  /** Fetch+decode posting lists for `terms` in ONE Spark job. Callers must
-    * have df-gated `terms` (each under `maxFetchPostings`). */
-  private def fetch(terms: Seq[String], withPositions: Boolean): Unit = {
-    val spark = ix.spark
+  /** Fetch+decode posting lists for `terms` in ONE Spark job, returning the
+    * decoded lists AND inserting them into the cache (best-effort — eviction
+    * may reclaim them immediately; the returned references stay valid, so
+    * callers serve from the return value, never re-read the cache). Callers
+    * must have df-gated `terms` (each under `maxFetchPostings`). */
+  private def fetchLists(terms: Seq[String],
+                         withPositions: Boolean): Map[String, TermList] = {
     import org.apache.spark.sql.functions.col
     val cols =
       if (withPositions) Seq("term", "prevDocId", "firstDocId", "n", "docIds", "tfs", "positions")
@@ -79,6 +82,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       .select(cols.head, cols.tail: _*)
       .collect()
     val byTerm = rows.groupBy(_.getString(0))
+    val out = Map.newBuilder[String, TermList]
     terms.foreach { t =>
       val blocks = byTerm.getOrElse(t, Array.empty).sortBy(_.getInt(2)) // firstDocId
       if (blocks.nonEmpty) {
@@ -96,6 +100,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
         }
         val tl = TermList(ids.result(), tfs.result(),
           if (withPositions) pos.toArray else null)
+        out += t -> tl
         synchronized {
           evictUntilFits(tl.n.toLong)
           val old = cache.put(t, tl)
@@ -104,6 +109,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
         }
       }
     }
+    out.result()
   }
 
   /** Fall back to the distributed engine — identical semantics/scores
@@ -114,27 +120,62 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     Searcher.search(ix, queryTerms, k, phrase, conjunctive = conjunctive)
       .collect().sortBy(_.rank).map(h => Oracle.Hit(h.docId, h.score)).toSeq
 
-  /** Resolve resident lists for `uniq` with bounded retry: between our
-    * fetch and our get, a concurrent client's insert may evict our term —
-    * re-fetch rather than misreport; pathological eviction contention
-    * (cache far smaller than the working set) returns null and the caller
-    * falls back to the distributed path, never an error. */
+  /** In-flight fetches, keyed by term (suffix "#p" = with positions):
+    * concurrent clients missing the same term share ONE Spark job instead
+    * of a thundering herd of identical collects. */
+  private val inflight =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[Unit]]()
+
+  /** Resolve term lists for `uniq`, serving from fetch RESULTS, never from
+    * a cache re-read after a fetch: the cache is a bound on resident bytes,
+    * not a correctness structure, so a concurrent client's insert evicting
+    * our term between fetch and read must not force a retry (the round-2
+    * retry loop degenerated to per-thread Spark-job storms under eviction
+    * pressure). Misses first wait on another client's in-flight fetch of
+    * the same term (single-flight); anything still unresolved after that
+    * wait — not yet fetched, or fetched-then-evicted — is fetched directly
+    * and served from the returned references. Returns null only when a term
+    * has vanished from the postings (callers df-gate, so this is a fall
+    * back-to-distributed signal, never an error). */
   private def resolveLists(uniq: Seq[String], phrase: Boolean): Seq[TermList] = {
-    var lists: Seq[TermList] = null
-    var attempt = 0
-    while (lists == null && attempt < 8) {
-      val missing = synchronized {
-        uniq.filter { t =>
-          val v = cache.get(t)
-          v == null || (phrase && !v.hasPositions)
-        }
-      }
-      if (missing.nonEmpty) fetch(missing, phrase)
-      val got = synchronized { uniq.map(cache.get) }
-      if (got.forall(v => v != null && (!phrase || v.hasPositions))) lists = got
-      attempt += 1
+    def ok(v: TermList): Boolean = v != null && (!phrase || v.hasPositions)
+    def key(t: String): String = if (phrase) t + "#p" else t
+    val cached: Map[String, TermList] =
+      synchronized { uniq.map(t => t -> cache.get(t)) }.toMap
+    val missing = uniq.filterNot(t => ok(cached(t)))
+    if (missing.isEmpty) return uniq.map(cached)
+    // claim: terms we own (we created the in-flight entry) vs terms another
+    // client is already fetching (we wait on its future)
+    val owned = scala.collection.mutable.ArrayBuffer.empty[String]
+    val waits = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.CompletableFuture[Unit]]
+    missing.foreach { t =>
+      val fresh = new java.util.concurrent.CompletableFuture[Unit]()
+      val cur = inflight.putIfAbsent(key(t), fresh)
+      if (cur == null) owned += t else waits += cur
     }
-    lists
+    val fetched: Map[String, TermList] =
+      if (owned.isEmpty) Map.empty
+      else try fetchLists(owned.toSeq, phrase)
+      finally owned.foreach { t =>
+        val f = inflight.remove(key(t))
+        if (f != null) f.complete(())
+      }
+    waits.foreach { f =>
+      try f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: Throwable => () } // fall through to the direct fetch
+    }
+    val after: Map[String, TermList] =
+      synchronized { missing.map(t => t -> cache.get(t)) }.toMap
+    def resolved(t: String): TermList =
+      fetched.getOrElse(t, {
+        val v = cached(t)
+        if (ok(v)) v else { val w = after.getOrElse(t, null); if (ok(w)) w else null }
+      })
+    val still = uniq.filter(t => resolved(t) == null)
+    val direct = if (still.isEmpty) Map.empty[String, TermList]
+                 else fetchLists(still, phrase)
+    val lists = uniq.map(t => if (resolved(t) != null) resolved(t) else direct.getOrElse(t, null))
+    if (lists.forall(ok)) lists else null
   }
 
   /** Conjunctive (optionally phrase) BM25 top-k, evaluated on the driver
