@@ -32,4 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // entrypoints (run) index 600k docs at local[8] where 8g GC-thrashes on
 // map-heavy stages, so `run` defaults higher. Both honor SPARK_DRIVER_MEM.
 Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}"
-run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}"
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}"
+// Xms = Xmx for `run` (the bench): G1 returns idle regions to the OS after
+// each trial's session stop, and on a lazily-backed VM (see BASELINE.md)
+// the host reclaims those frames, so the NEXT trial re-materializes them at
+// ~10-25 MB/s inside its timing window. Pinning the committed heap keeps
+// once-touched pages resident across all trials. Virtual commit without
+// touch is free, so Verify (same config) is unaffected.
+run / javaOptions += s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "40g")}"

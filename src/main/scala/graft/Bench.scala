@@ -92,6 +92,63 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** First-touch fault-rate probe: time writing one byte per 4 KiB page of
+    * `mb` MB of FRESH allocation, in MB/s. A healthy host zeroes fresh
+    * pages at GB/s; a lazily-backed VM (e.g. a snapshot-restored
+    * microVM whose memory materializes host-side on first touch) runs at
+    * tens of MB/s — 50x+ slower — while staying invisible to the
+    * cache-resident sha256 probe (measured on this sandbox: 0.089 s sha256
+    * probe next to a 31 s / 256 MB fresh alloc). Memory-hungry trials on
+    * such a host are fault-bound, not engine-bound. */
+  private def faultProbeMbPerSec(mb: Int = 32): Double = {
+    val t0 = System.nanoTime()
+    val a = new Array[Byte](mb << 20)
+    var i = 0
+    while (i < a.length) { a(i) = 1; i += 4096 }
+    val sec = math.max((System.nanoTime() - t0) / 1e9, 1e-9)
+    // keep `a` observably live so the touch loop cannot be elided
+    if (a(0) == 2) println("")
+    mb / sec
+  }
+
+  /** Untimed host-page warm-up: touch up to `targetGb` of fresh heap (one
+    * byte per page), bounded by `maxSec`. Pages touched here stay
+    * materialized for the JVM's lifetime (the heap is pinned with
+    * Xms = Xmx, so G1 never returns the regions for the host to reclaim),
+    * and the GC recycles them for trial allocations — the one-time
+    * materialization cost moves into this UNTIMED phase instead of
+    * contaminating every timed trial as it grows the heap high-water mark.
+    *
+    * Early stop: after 8 GB of SUSTAINED fast touching (every chunk of the
+    * trailing 8 GB at >= 500 MB/s) the backing is healthy and the rest of
+    * the target is skipped (~4 s on a healthy host). The window is wide
+    * because lazily-backed hosts serve a fast BURST from recently-freed
+    * frames before collapsing to the ~10-25 MB/s materialization floor —
+    * a single fast probe proves nothing. Returns (gbTouched, sec). */
+  private def pageWarm(targetGb: Long, maxSec: Int): (Double, Double) = {
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    val chunkBytes = 256 << 20
+    val fastWindow = 32 // 8 GB of consecutive >=500 MB/s chunks
+    val held = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var touched = 0L
+    var fastRun = 0
+    try {
+      while (touched < (targetGb << 30) && elapsed < maxSec && fastRun < fastWindow) {
+        val c0 = System.nanoTime()
+        val a = new Array[Byte](chunkBytes)
+        var i = 0
+        while (i < a.length) { a(i) = 1; i += 4096 }
+        held += a
+        touched += chunkBytes
+        val mbPerSec = 256.0 / math.max((System.nanoTime() - c0) / 1e9, 1e-9)
+        fastRun = if (mbPerSec >= 500.0) fastRun + 1 else 0
+      }
+    } catch { case _: OutOfMemoryError => held.clear() }
+    held.clear()
+    (touched.toDouble / (1L << 30), elapsed)
+  }
+
   /** Index-build wall time at a given parallelism, reading the SAME
     * materialized parquet corpus (the north rule measures indexing an
     * existing source table; corpus synthesis is not part of the job). */
@@ -138,6 +195,23 @@ object Bench {
         java.nio.file.Files.createTempDirectory(shm, "graft_bench").toString
       else java.nio.file.Files.createTempDirectory("graft_bench").toString
     }
+
+    // --- untimed host-page warm-up (lazily-backed-VM guard) ---
+    // Measured on this sandbox: after a microVM snapshot restore, fresh
+    // pages materialize at ~25 MB/s (serial, and WORSE under parallel
+    // touch), so a 2.4M-doc build whose JVM grows tens of GB of heap is
+    // fault-bound for its first ~30 GB — trials inflate 3-13x with calm
+    // sha256 probes, and the contamination decays over loops as the heap
+    // high-water rises (exactly the "descending minima" signature the
+    // loop extension watches for). Touching the expected working set ONCE,
+    // untimed, moves that cost out of every timed trial; pageWarm's
+    // sustained-fast early stop keeps the phase to seconds on a healthy
+    // host. fault_mb_per_sec_* are evidence for the reader, not gates.
+    val faultRateBefore = faultProbeMbPerSec()
+    val warmTargetGb = sys.env.getOrElse("SPARK_GRAFT_PAGE_WARM_GB", "28").toLong
+    val warmMaxSec = sys.env.getOrElse("SPARK_GRAFT_PAGE_WARM_MAX_SEC", "1500").toInt
+    val (warmedGb, warmSec) = pageWarm(warmTargetGb, warmMaxSec)
+    val faultRateAfter = faultProbeMbPerSec()
 
     // materialize the synthetic source-code corpus once (untimed input)
     locally {
@@ -264,11 +338,15 @@ object Bench {
     // trial carried 50% invisible IO-stall inflation) — validity outranks
     // the budget, so full (symmetric — both levels, no directional bias)
     // loops keep running until each level's minimum is supported or
-    // maxLoops. Only the convergence extension (descending minima) is
-    // budget-gated. Both criteria are per-level statistics, never the
-    // measured ratio — stopping is independent of the efficiency value.
+    // maxLoops, up to a 3x budget hard wall (a host sick for the WHOLE
+    // session — e.g. fault-bound trials that never warm — must not consume
+    // unbounded wall clock; an unsupported estimate is then reported
+    // honestly via the min_support_* fields). Only the convergence
+    // extension (descending minima) is gated by the 1x budget. Both
+    // criteria are per-level statistics, never the measured ratio —
+    // stopping is independent of the efficiency value.
     while (loop < minLoops ||
-           (loop < maxLoops &&
+           (loop < maxLoops && elapsed < 3.0 * maxIndexSec &&
             (support(timesN.toSeq) < 2 || support(times4N.toSeq) < 2)) ||
            (loop < maxLoops && elapsed < maxIndexSec &&
             (descending(timesN.toSeq) || descending(times4N.toSeq)))) {
@@ -529,6 +607,9 @@ object Bench {
       s""""min_support_localN":${support(timesN.toSeq)},""" +
       s""""min_support_local4N":${support(times4N.toSeq)},""" +
       s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
+      s""""page_warm":{"fault_mb_per_sec_before":$faultRateBefore,""" +
+      s""""fault_mb_per_sec_after":$faultRateAfter,""" +
+      s""""warmed_gb":$warmedGb,"warm_sec":$warmSec},""" +
       s""""scaling_efficiency":$eff}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms},"streaming":{"docs":$streamDocs,"docs_per_sec":$streamDocsPerSec,"compact_sec":$compactSec},"match_rate":$matchRate}""")
     spark.stop()
