@@ -486,19 +486,59 @@ object Bench {
       (streamN, streamN / ingestSec, cSec)
     } catch { case _: Throwable => (0, -1.0, -1.0) }
 
-    // oracle match rate (top-10 rank-identical, score tol 0.001): a lean
-    // single-JVM oracle tracking only the query-mix terms (thread-parallel
-    // tokenize; full corpus lengths + per-doc tfs for those terms).
+    // oracle match rate (top-10 rank-identical, score tol 0.001).
     // Defensive: the bench line must be emitted even if this phase dies.
     val matchRate = try {
-      val qTerms = queryMix.flatMap(_.terms).distinct
-      val qIdx = qTerms.zipWithIndex.toMap
-      // positions are tracked only for terms used by phrase queries
-      val phraseTermIdx: Set[Int] =
-        queryMix.filter(_.phrase).flatMap(_.terms).distinct.flatMap(qIdx.get).toSet
-      val nT = 8
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(nT)
-      try {
+      val (rate, mismatches) = matchRateDetail(queryMix, batch, benchDocs)
+      mismatches.foreach(m => System.err.println(s"[bench] match mismatch: $m"))
+      rate
+    } catch { case _: Throwable => -1.0 }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val indexing =
+      s"""{"docs":$benchDocs,"n_cores":$nCores,"n4_cores":$n4Cores,""" +
+      s""""sec_localN":$secN,"sec_local4N":$sec4N,""" +
+      s""""loops":$loop,"warmup_localN":$warmN,"warmup_local4N":$warm4N,""" +
+      s""""trials_localN":[${timesN.mkString(",")}],""" +
+      s""""trials_local4N":[${times4N.mkString(",")}],""" +
+      s""""noise_probes_localN":[${probesN.mkString(",")}],""" +
+      s""""noise_probes_local4N":[${probes4N.mkString(",")}],""" +
+      s""""noise_probes_post_localN":[${postProbesN.mkString(",")}],""" +
+      s""""noise_probes_post_local4N":[${postProbes4N.mkString(",")}],""" +
+      s""""noise_probe_ref":$probeRef,""" +
+      s""""flagged_localN":[${flagN.mkString(",")}],""" +
+      s""""flagged_local4N":[${flag4N.mkString(",")}],""" +
+      s""""min_support_localN":${support(timesN.toSeq)},""" +
+      s""""min_support_local4N":${support(times4N.toSeq)},""" +
+      s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
+      s""""page_warm":{"fault_mb_per_sec_before":$faultRateBefore,""" +
+      s""""fault_mb_per_sec_after":$faultRateAfter,""" +
+      s""""warmed_gb":$warmedGb,"warm_sec":$warmSec},""" +
+      s""""scaling_efficiency":$eff}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms},"streaming":{"docs":$streamDocs,"docs_per_sec":$streamDocsPerSec,"compact_sec":$compactSec},"match_rate":$matchRate}""")
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+  }
+
+  /** Oracle match check (top-10 rank-identical, score tol 0.001) against a
+    * lean single-JVM oracle tracking only the query-mix terms
+    * (thread-parallel tokenize; full corpus lengths + per-doc tfs for those
+    * terms). Returns (rate, mismatch detail lines) — detail names the
+    * query and the first diverging rank so a <1.0 rate in the artifact is
+    * diagnosable rather than a bare number.
+    * `batch` rows are (queryId, rank, docId, score) from [[QueryLog.run]]. */
+  def matchRateDetail(queryMix: Seq[graft.query.QueryLog.LogQuery],
+                      batch: Array[(Int, Int, Int, Double)],
+                      benchDocs: Long): (Double, Seq[String]) = {
+    val qTerms = queryMix.flatMap(_.terms).distinct
+    val qIdx = qTerms.zipWithIndex.toMap
+    // positions are tracked only for terms used by phrase queries
+    val phraseTermIdx: Set[Int] =
+      queryMix.filter(_.phrase).flatMap(_.terms).distinct.flatMap(qIdx.get).toSet
+    val nT = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nT)
+    try {
         val rows = {
           val out = new Array[(String, String, String)](benchDocs.toInt) // (repo, path, content)
           val futs = (0 until nT).map { t =>
@@ -577,42 +617,31 @@ object Bench {
           Oracle.topK(hits, k)
         }
         val byQ = batch.groupBy(_._1)
-        val matches = queryMix.count { q =>
+        val details = queryMix.flatMap { q =>
           val want = oracleTopK(q.terms, 10, q.phrase, q.prefix.nonEmpty)
           val got = byQ.getOrElse(q.id, Array.empty).sortBy(_._2)
-          got.length == want.length &&
+          val ok = got.length == want.length &&
             got.zip(want).forall { case (g, w) =>
               g._3 == w.docId && math.abs(g._4 - w.score) <= 0.001
             }
+          if (ok) None
+          else {
+            // name the first diverging rank: (rank, engine (docId, score),
+            // oracle (docId, score)) — a <1.0 artifact must be diagnosable
+            val firstDiff = got.map(g => (g._3, g._4))
+              .zipAll(want.map(w => (w.docId, w.score)), (-1, -1.0), (-1, -1.0))
+              .zipWithIndex
+              .find { case (((gd, gs), (wd, ws)), _) =>
+                gd != wd || math.abs(gs - ws) > 0.001 }
+              .map { case (((gd, gs), (wd, ws)), r) =>
+                s"rank ${r + 1}: engine=($gd, $gs) oracle=($wd, $ws)" }
+              .getOrElse("length mismatch only")
+            Some(s"q${q.id} [${q.terms.mkString(" ")}] phrase=${q.phrase} " +
+              s"prefix=${q.prefix.getOrElse("-")} got=${got.length} " +
+              s"want=${want.length} $firstDiff")
+          }
         }
-        matches.toDouble / queryMix.size
-      } finally pool.shutdown()
-    } catch { case _: Throwable => -1.0 }
-
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val indexing =
-      s"""{"docs":$benchDocs,"n_cores":$nCores,"n4_cores":$n4Cores,""" +
-      s""""sec_localN":$secN,"sec_local4N":$sec4N,""" +
-      s""""loops":$loop,"warmup_localN":$warmN,"warmup_local4N":$warm4N,""" +
-      s""""trials_localN":[${timesN.mkString(",")}],""" +
-      s""""trials_local4N":[${times4N.mkString(",")}],""" +
-      s""""noise_probes_localN":[${probesN.mkString(",")}],""" +
-      s""""noise_probes_local4N":[${probes4N.mkString(",")}],""" +
-      s""""noise_probes_post_localN":[${postProbesN.mkString(",")}],""" +
-      s""""noise_probes_post_local4N":[${postProbes4N.mkString(",")}],""" +
-      s""""noise_probe_ref":$probeRef,""" +
-      s""""flagged_localN":[${flagN.mkString(",")}],""" +
-      s""""flagged_local4N":[${flag4N.mkString(",")}],""" +
-      s""""min_support_localN":${support(timesN.toSeq)},""" +
-      s""""min_support_local4N":${support(times4N.toSeq)},""" +
-      s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
-      s""""page_warm":{"fault_mb_per_sec_before":$faultRateBefore,""" +
-      s""""fault_mb_per_sec_after":$faultRateAfter,""" +
-      s""""warmed_gb":$warmedGb,"warm_sec":$warmSec},""" +
-      s""""scaling_efficiency":$eff}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms},"streaming":{"docs":$streamDocs,"docs_per_sec":$streamDocsPerSec,"compact_sec":$compactSec},"match_rate":$matchRate}""")
-    spark.stop()
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
+        ((queryMix.size - details.size).toDouble / queryMix.size, details)
+    } finally pool.shutdown()
   }
 }

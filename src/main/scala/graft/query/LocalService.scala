@@ -375,6 +375,59 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       .toSeq.sortBy(_.docId), k)
   }
 
+  // LRU over fetched doc bodies for the snippet path (bounded by total
+  // chars — body sizes vary by orders of magnitude, a count bound is not a
+  // memory bound). Same discipline as the posting cache: map ops under the
+  // monitor, parquet probe and highlighting outside it.
+  private val bodyCache = new java.util.LinkedHashMap[Int, String](64, 0.75f, true)
+  private var cachedBodyChars = 0L
+  private val maxCachedBodyChars = 64L << 20
+
+  private def bodiesOf(docIds: Seq[Int]): Map[Int, String] = {
+    val cached = synchronized { docIds.flatMap(d => Option(bodyCache.get(d)).map(d -> _)) }.toMap
+    val missing = docIds.filterNot(cached.contains)
+    if (missing.isEmpty) return cached
+    val spark = ix.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one pushed-filter parquet probe, k rows to the driver — the serving
+    // analog of the reference's per-hit doc-store reads
+    // (`vacuum_engine.h:243-255`); row-group stats prune on docId
+    val rows = ix.docstore.filter(col("docId").isin(missing: _*))
+      .select("docId", "content").as[(Int, String)].collect()
+    synchronized {
+      rows.foreach { case (d, body) =>
+        val it = bodyCache.entrySet().iterator()
+        while (cachedBodyChars + body.length > maxCachedBodyChars && it.hasNext) {
+          cachedBodyChars -= it.next().getValue.length; it.remove()
+        }
+        val old = bodyCache.put(d, body)
+        if (old != null) cachedBodyChars -= old.length
+        cachedBodyChars += body.length
+      }
+    }
+    cached ++ rows
+  }
+
+  /** Search reply WITH highlighted snippets — the reference's serving shape
+    * (its gRPC `SearchReply` carries per-hit snippets; `qq_server.cc:61-132`
+    * scores, then `SimpleHighlighter` reads each hit's body from the doc
+    * store, `vacuum_engine.h:243-255`). Hits are [[search]]'s exact result;
+    * each hit's snippet is [[Highlighter.snippet]] over its stored body
+    * (identical passages to the batch A6 path). Bodies come from one
+    * k-row pushed-filter probe on a cold path, the LRU body cache when
+    * warm. */
+  def searchWithSnippets(queryTerms: Seq[String], k: Int, phrase: Boolean = false,
+                         maxPassages: Int = 3): Seq[(Oracle.Hit, String)] = {
+    val hits = search(queryTerms, k, phrase)
+    if (hits.isEmpty) return Nil
+    val bodies = bodiesOf(hits.map(_.docId))
+    val qset = queryTerms.toSet
+    hits.map { h =>
+      h -> bodies.get(h.docId).map(Highlighter.snippet(_, qset, maxPassages)).getOrElse("")
+    }
+  }
+
   /** Per-doc lossy length bytes, resident (one int per doc — 4 MB per
     * million docs; the reference keeps the same store in memory,
     * `doc_length_store.h`). */

@@ -198,12 +198,30 @@ object Searcher {
     }
 
     val lenByteOf = ix.doclen.select($"docId", $"lenByte")
-    val idfDf = broadcast(idfW.toSeq.toDF("term", "idf"))
+    // per-SLOT scoring: the reference (and the oracle) sums a doc's score
+    // slot by slot in query order (`scoring.h:133-142`), while a hash-agg
+    // sum(partScore) accumulates in partition-dependent order — equal up to
+    // ulps, which is enough to flip a rank TIE between two template docs
+    // with equal true scores at corpus scale (and makes scores vary run to
+    // run). One broadcast row per (slot, term) — a repeated term is a
+    // separate slot, an absent (disjunctive) slot contributes no rows —
+    // then the aggregation pivots per-slot sums (each has <=1 contribution
+    // per doc, so no accumulation happens inside a slot) and the score adds
+    // them LEFT TO RIGHT in slot order: bitwise-deterministic and
+    // bitwise-identical to the oracle's loop.
+    val nSlots = queryTerms.size
+    val slotDf = broadcast(queryTerms.zipWithIndex.map { case (t, i) =>
+      (i, t, idfs.getOrElse(t, 0.0))
+    }.toDF("slot", "term", "idf"))
+    val slotSums = (0 until nSlots).map(i =>
+      sum(when($"slot" === i, $"partScore")).as(s"_s$i"))
+    val slotOrderedScore = (0 until nSlots)
+      .map(i => coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
     val cacheLit = array(cache.map(lit).toSeq: _*)
     val partScoreExpr = $"idf" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
-    // conjunctive AND + score sum in one hash aggregation over decoded
-    // (term, docId, tf) triples — (P3) only scoring columns are read
+    // conjunctive AND + per-slot score pivot in one hash aggregation over
+    // decoded (term, docId, tf) triples — (P3) only scoring columns are read
     def scoreOf(sel: DataFrame): DataFrame = {
       val agg = sel.select("term", "prevDocId", "n", "docIds", "tfs")
         .as[(String, Int, Int, Array[Byte], Array[Byte])]
@@ -213,10 +231,11 @@ object Searcher {
         }
         .toDF("term", "docId", "tf")
         .join(lenByteOf, "docId")
-        .join(idfDf, "term")
+        .join(slotDf, "term")
         .withColumn("partScore", partScoreExpr)
         .groupBy($"docId")
-        .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
+        .agg(countDistinct($"term").as("nMatched"), slotSums: _*)
+        .withColumn("score", slotOrderedScore)
       if (conjunctive) agg.filter($"nMatched" === nTerms) else agg
     }
 
@@ -331,10 +350,11 @@ object Searcher {
       if (!phrase) scoreOf(pruned)
       else matched.toDF("term", "docId", "tf")
         .join(lenByteOf, "docId")
-        .join(idfDf, "term")
+        .join(slotDf, "term")
         .withColumn("partScore", partScoreExpr)
         .groupBy($"docId")
-        .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
+        .agg(countDistinct($"term").as("nMatched"), slotSums: _*)
+        .withColumn("score", slotOrderedScore)
         .filter($"nMatched" === nTerms)
     val hits = scored
       .orderBy(desc("score"), asc("docId"))
@@ -441,11 +461,17 @@ object Searcher {
       .filter { case (qid, ts) =>
         ts.nonEmpty && (disjunctive(qid) || ts.forall(dfs.contains))
       }
+    // one row per query SLOT (repeated terms are separate slots): scores
+    // are re-added in slot order below, so engine scores are bitwise-
+    // deterministic and bitwise-identical to the oracle's slot loop
+    // (`scoring.h:133-142`) — an order-free sum(partScore) differs by ulps
+    // run to run, which flips rank ties between equal-score docs.
     val q = live.flatMap { case (qid, ts) =>
-      ts.groupBy(identity).toSeq.map { case (t, occ) =>
-        (qid, t, ts.distinct.size, occ.size, disjunctive(qid))
+      ts.zipWithIndex.map { case (t, slot) =>
+        (qid, t, ts.distinct.size, slot, disjunctive(qid))
       }
-    }.toDF("queryId", "term", "nTerms", "w", "disj")
+    }.toDF("queryId", "term", "nTerms", "slot", "disj")
+    val maxSlots = live.iterator.map(_._2.size).max
     // ---- per-query block-range pruning over collected block metadata ----
     val blocksAll = ix.postings.filter($"term".isin(allTerms: _*))
     val metaRaw = blocksAll
@@ -483,8 +509,12 @@ object Searcher {
       }.toDF("term", "docId", "tf")
     val idfDf = broadcast(idfs.toSeq.toDF("term", "idf"))
     val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
-    val partScore = $"idf" * $"w" *
+    val partScore = $"idf" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
+    val slotSums = (0 until maxSlots).map(i =>
+      sum(when($"slot" === i, $"partScore")).as(s"_s$i"))
+    val slotOrderedScore = (0 until maxSlots)
+      .map(i => coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
     // per-query exact top-k via the bounded-heap Aggregator (A5): partial
     // per-partition heaps + pairwise merge — no per-query full sort (a
     // window row_number would sort every matched doc)
@@ -494,7 +524,8 @@ object Searcher {
       .join(idfDf, "term")
       .withColumn("partScore", partScore)
       .groupBy($"queryId", $"docId", $"nTerms", $"disj")
-      .agg(count(lit(1)).as("nMatched"), sum($"partScore").as("score"))
+      .agg(countDistinct($"term").as("nMatched"), slotSums: _*)
+      .withColumn("score", slotOrderedScore)
       .filter($"disj" || $"nMatched" === $"nTerms")
       .select($"queryId", $"docId".cast("int"), $"score")
       .as[(Int, Int, Double)]
@@ -538,13 +569,21 @@ object Searcher {
     val live = queries.filter(q => q._2.nonEmpty && q._2.forall(dfs.contains))
     if (live.isEmpty) return empty
     val liveTerms = live.flatMap(_._2).distinct
-    // per-(query, term) idf weight with slot multiplicity folded in
-    // (`scoring.h:133-142`: a repeated term scores once PER SLOT)
+    // one row per (query, SLOT): a repeated term scores once per slot
+    // (`scoring.h:133-142`), and the per-slot pivot below re-adds the
+    // contributions in slot order — bitwise-identical to the oracle's loop
+    // (an order-free sum differs by ulps and flips rank ties; see
+    // [[searchAll]])
     val idfW = live.flatMap { case (qid, ts) =>
-      ts.groupBy(identity).toSeq.map { case (t, occ) =>
-        (qid, t, Bm25.idf(ix.nDocs, dfs(t)) * occ.size)
+      ts.zipWithIndex.map { case (t, slot) =>
+        (qid, t, slot, Bm25.idf(ix.nDocs, dfs(t)))
       }
-    }.toDF("queryId", "term", "idf")
+    }.toDF("queryId", "term", "slot", "idf")
+    val maxSlots = live.iterator.map(_._2.size).max
+    val slotSums = (0 until maxSlots).map(i =>
+      sum(when($"slot" === i, $"partScore")).as(s"_s$i"))
+    val slotOrderedScore = (0 until maxSlots)
+      .map(i => coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
     // ---- per-query block-range intersection over collected metadata ----
     val blocksAll = ix.postings.filter($"term".isin(liveTerms: _*))
     val metaRaw = blocksAll
@@ -605,7 +644,8 @@ object Searcher {
       .join(broadcast(idfW), Seq("queryId", "term"))
       .withColumn("partScore", partScore)
       .groupBy($"queryId", $"docId")
-      .agg(sum($"partScore").as("score"))
+      .agg(slotSums.head, slotSums.tail: _*)
+      .withColumn("score", slotOrderedScore)
       .select($"queryId", $"docId".cast("int"), $"score")
       .as[(Int, Int, Double)]
       .groupByKey(_._1)

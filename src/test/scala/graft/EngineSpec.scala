@@ -421,6 +421,28 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.isEmpty, s"${errs.size} mismatches, first: ${errs.peek()}")
   }
 
+  test("LocalService: served snippets = highlighter over stored bodies") {
+    built
+    val svc = new graft.query.LocalService(ix)
+    val byId = oracle.docs.map(d => d.docId -> d.content).toMap
+    val queries = Seq(
+      (Seq("if", "return"), false), (Seq("if", "return"), true), (Seq("epsilon"), false))
+    queries.foreach { case (q, p) =>
+      val served = svc.searchWithSnippets(q, 5, p)
+      // hits are exactly the plain search result
+      assert(served.map(_._1) == svc.search(q, 5, p), s"$q phrase=$p hit drift")
+      served.foreach { case (h, snip) =>
+        val want = graft.query.Highlighter.snippet(byId(h.docId), q.toSet)
+        assert(snip == want, s"$q phrase=$p doc ${h.docId}")
+        assert(snip.contains("<b>"), s"$q phrase=$p doc ${h.docId}: no highlight")
+      }
+    }
+    // warm path serves from the body cache — identical reply
+    val again = svc.searchWithSnippets(Seq("if", "return"), 5)
+    assert(again.map(_._1) == svc.search(Seq("if", "return"), 5))
+    assert(again.forall(_._2.nonEmpty))
+  }
+
   test("batched phrase search matches the per-query phrase pipeline") {
     built
     import spark.implicits._
