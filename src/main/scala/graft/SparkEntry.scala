@@ -25,6 +25,38 @@ object SparkEntry {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** LSH candidate pairs over the full documents table — shared by the
+    * `dedup_minhash_pairs` and `dedup_components` graded queries, so the
+    * signature pass (tokenize + one md5 per shingle) runs once, memoized
+    * like [[tfTable]]. Staged projections (tokens → shingles → digests →
+    * signature) keep the tokenizer at once-per-doc and md5 at
+    * once-per-shingle; the signature intermediate is released once the
+    * (small) pair set is materialized. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir), {
+      val base = docs(s, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), TextOps.shingles(col("t"), 3).as("sh"))
+        .select(col("doc_id"), transform(col("sh"), md5 _).as("hs"))
+        .select(col("doc_id"), Dedup.minhashSigFromHashes(col("hs"), sigLen = 8).as("sig"))
+        .cache()
+      val bands = base.select(col("doc_id"), posexplode(
+        array((0 until 4).map(b =>
+          md5(concat_ws("|", slice(col("sig"), lit(b * 2 + 1), lit(2))))): _*)))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      val pairs = bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+        .cache()
+      pairs.count() // materialize while the signature cache is resident
+      base.unpersist(false)
+      pairs
+    })
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -136,7 +168,8 @@ object SparkEntry {
     * (TakeOrderedAndProject: per-partition bounded heaps merged on the
     * driver), with ranks assigned to the <=k survivors by [[rankTopK]]. */
   private def bm25TopK(s: SparkSession, dir: String, terms: Seq[String], k: Int,
-                       conjunctive: Boolean = true): DataFrame = {
+                       conjunctive: Boolean = true,
+                       eligible: Option[DataFrame] = None): DataFrame = {
     val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
     val pivoted0 = tfq.groupBy("doc_id")
       .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
@@ -146,10 +179,17 @@ object SparkEntry {
     // OR keeps docs matching ANY term (each slot contributes 0.0 when its
     // term is absent from the doc — the reference declares SearchOperator::OR
     // at types.h:70 but never implements it; these are the natural semantics)
-    val pivoted =
+    val pivoted1 =
       if (conjunctive)
         pivoted0.filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
       else pivoted0
+    // metadata filter (e.g. lang = 'de'): restricts the CANDIDATE set only —
+    // df/avg-length stats stay corpus-global, so a doc's score is identical
+    // filtered or not (standard search-engine filter-query semantics). A
+    // left-semi join on doc_id: Catalyst broadcasts the filtered id set when
+    // small, shuffles when not — never a row-duplicating join.
+    val pivoted = eligible.map(e => pivoted1.join(e, Seq("doc_id"), "left_semi"))
+      .getOrElse(pivoted1)
     val dfs = tfq.agg(
       count(when(col("term") === terms.head, lit(1))).cast("long").as("df0"),
       terms.tail.zipWithIndex.map { case (t, i) =>
@@ -402,6 +442,11 @@ object SparkEntry {
     // SearchOperator::OR) but never implemented there; completed here
     "a5_bm25_or_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
       conjunctive = false)),
+    // filtered search: BM25 top-k restricted to a metadata predicate
+    // (candidate filter; corpus-global stats — scores identical to the
+    // unfiltered query, standard filter-query semantics)
+    "a5_bm25_filtered_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
+      eligible = Some(docs(s, dir).filter(col("lang") === "de").select("doc_id")))),
 
     // P4: dictionary prefix probe (trie equal_prefix_range analog) — cap 4
     // of the 6 's'-terms makes the deterministic (df desc, term asc) cap
@@ -609,23 +654,14 @@ object SparkEntry {
     // table — the rotation-derived signature keeps buckets small (no doc_id
     // cap, no bucket cap needed at this scale; the engine-side variant with
     // sub-bucket splitting for pathological skew is Dedup.minhashCandidates)
-    "dedup_minhash_pairs" -> { (s, dir) =>
-      val base = docs(s, dir)
-        .select(col("doc_id"), toks.as("t"))
-        .select(col("doc_id"), TextOps.shingles(col("t"), 3).as("sh"))
-        .select(col("doc_id"), transform(col("sh"), md5 _).as("hs"))
-        .select(col("doc_id"), Dedup.minhashSigFromHashes(col("hs"), sigLen = 8).as("sig"))
-        .cache()
-      val bands = base.select(col("doc_id"), posexplode(
-        array((0 until 4).map(b =>
-          md5(concat_ws("|", slice(col("sig"), lit(b * 2 + 1), lit(2))))): _*)))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      bands.as("a").join(bands.as("b"), Seq("band", "bkey"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-        .orderBy("id_a", "id_b")
-    },
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      minhashPairs(s, dir).orderBy("id_a", "id_b")),
+
+    // connected components over the LSH candidate graph — the pipeline
+    // step after pair generation: cluster id = min reachable doc_id,
+    // `id === comp` marks the keep representative. Oracle: recursive CTE.
+    "dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(minhashPairs(s, dir)).orderBy("id")),
 
     // exact n-gram Jaccard on bounded pairs
     "dedup_ngram_jaccard" -> { (s, dir) =>
@@ -648,6 +684,11 @@ object SparkEntry {
     "fp_content" -> ((s, dir) => docs(s, dir)
       .select(col("doc_id"), TextOps.contentFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")),
+
+    // deterministic content-keyed train/val/test assignment (duplicate-safe:
+    // identical normalized content always lands in the same split)
+    "fp_split_assign" -> ((s, dir) =>
+      TextOps.splitAssign(docs(s, dir), "text", "doc_id").orderBy("doc_id")),
 
     // winnowing fingerprints: Rabin-Karp rolling hash over token 4-grams
     // (mod 2^61-1), per-8-window minima, distinct — the MOSS-style
@@ -805,11 +846,13 @@ object SparkEntry {
   private val PUNCT =
     "regexp_replace(regexp_replace(text, ' a ', '. ', 'g'), ' the ', '; ', 'g')"
 
-  private def bm25Sql(terms: Seq[String], k: Int): String = {
+  private def bm25Sql(terms: Seq[String], k: Int,
+                      filterWhere: Option[String] = None): String = {
     val joins = terms.zipWithIndex.map { case (t, i) =>
       s"JOIN (SELECT doc_id, tf AS tf$i FROM tf WHERE term = '$t') t$i USING (doc_id) " +
         s"CROSS JOIN (SELECT count(*)::BIGINT df$i FROM tf WHERE term = '$t') d$i"
-    }.mkString(" ")
+    }.mkString(" ") + filterWhere.map(w =>
+      s" JOIN (SELECT doc_id FROM documents WHERE $w) flt USING (doc_id)").getOrElse("")
     val score = terms.indices.map { i =>
       s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
     }.mkString(" + ")
@@ -980,6 +1023,8 @@ object SparkEntry {
     "a5_bm25_topk" -> bm25Sql(Seq("spark", "query"), 10),
     "a5_bm25_topk3" -> bm25Sql(Seq("join", "hash", "dup"), 10),
     "a5_bm25_or_topk" -> bm25OrSql(Seq("spark", "query"), 10),
+    "a5_bm25_filtered_topk" -> bm25Sql(Seq("spark", "query"), 10,
+      filterWhere = Some("lang = 'de'")),
 
     "f5_idf" ->
       s"""WITH tf AS (SELECT * FROM $TF),
@@ -1152,6 +1197,31 @@ object SparkEntry {
          |WHERE a.doc_id < b.doc_id ORDER BY id_a, id_b""".stripMargin
     },
 
+    // connected components over the LSH candidate graph: comp = min doc_id
+    // reachable in the pair graph (recursive transitive closure — exact,
+    // engine-independent ground truth for the iterative Spark propagation)
+    "dedup_components" -> {
+      val comps = (0 until 8).map { i =>
+        val rot = 4 * i
+        if (rot == 0) s"list_min(hs) mh$i"
+        else s"list_min(list_transform(hs, h -> substr(h, ${rot + 1}) || substr(h, 1, $rot))) mh$i"
+      }.mkString(", ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, ${b}::BIGINT band, md5(mh${b * 2} || '|' || mh${b * 2 + 1}) bkey FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH RECURSIVE sig AS (SELECT doc_id, $comps FROM
+         |   (SELECT doc_id, list_transform($SHING, s -> md5(s)) hs FROM documents)),
+         | bands AS ($bandRows),
+         | pairs AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+         |   FROM bands a JOIN bands b USING (band, bkey) WHERE a.doc_id < b.doc_id),
+         | edges AS (SELECT id_a s, id_b d FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         | walk(id, r) AS (
+         |   SELECT s, d FROM edges
+         |   UNION
+         |   SELECT w.id, e.d FROM walk w JOIN edges e ON w.r = e.s)
+         |SELECT id, least(id, min(r)) comp FROM walk GROUP BY id ORDER BY id""".stripMargin
+    },
+
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct($SHING) s FROM documents),
          | small AS (SELECT * FROM sh WHERE doc_id < 20),
@@ -1167,6 +1237,14 @@ object SparkEntry {
 
     "fp_content" ->
       s"SELECT doc_id, md5(array_to_string($T, ' ')) fingerprint FROM documents ORDER BY doc_id",
+
+    "fp_split_assign" ->
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val'
+         |       ELSE 'test' END split
+         |FROM (SELECT doc_id,
+         |        ('0x' || substr(md5(array_to_string($T, ' ')), 1, 15))::BIGINT % 100 bucket
+         |      FROM documents) ORDER BY doc_id""".stripMargin,
 
     "fp_winnow" -> {
       val M = "2305843009213693951" // 2^61 - 1

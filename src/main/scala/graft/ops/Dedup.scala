@@ -145,6 +145,60 @@ object Dedup {
     pairs
   }
 
+  /** Connected components over a candidate-pair graph — the step AFTER
+    * LSH in a dedup pipeline: pairs → clusters → keep/drop lists. Each
+    * node's component id is the MINIMUM doc id reachable from it, so
+    * `id === comp` marks the cluster representative (the keep-list) and
+    * everything else is a drop.
+    *
+    * Input: (id_a, id_b) undirected candidate edges (e.g.
+    * [[minhashCandidates]] output). Output: (id, comp) for every id that
+    * appears in a pair; docs absent from the output are singletons.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbours' labels, one
+    * shuffle (groupBy on the node id) per round, converging in
+    * graph-diameter rounds. Dedup graphs are near-star-shaped by
+    * construction (exact-dup groups enter as rep<->member stars, LSH
+    * buckets as cliques), so the diameter — and the round count — stays
+    * small regardless of corpus size; for adversarial long-chain graphs
+    * the O(log n)-round star-contraction variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) drops in
+    * with the same DataFrame shape. Scale notes: the label table is one
+    * row per PAIRED doc (≪ corpus), `localCheckpoint` cuts the lineage
+    * each round so the plan never grows with iterations, and the
+    * convergence check rides the same shuffle as the propagation. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neigh = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
+        .groupBy("src").agg(min("ncomp").as("ncomp"))
+        .withColumnRenamed("src", "id")
+      val next = labels
+        .join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   /** Exact n-gram Jaccard similarity for (candidate) pairs — the verifier
     * after LSH, and a direct metric for small corpora. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,

@@ -103,6 +103,27 @@ object TextOps {
   def contentFingerprint(textCol: Column): Column =
     md5(concat_ws(" ", tokens(textCol)))
 
+  /** Deterministic train/val/test split assignment for reproducible
+    * training-data pipelines. The split key is the CONTENT fingerprint
+    * (md5 over the normalized token stream), not the doc id, so
+    * byte-identical (post-normalization) duplicates always land in the
+    * SAME split — no train/test leakage through duplicate copies — and
+    * the assignment is stable under re-sharding, re-ingestion, or id
+    * reassignment. bucket = first 60 fingerprint bits mod 100;
+    * `train` below `trainPct`, `val` below `trainPct+valPct`, `test`
+    * otherwise. Pure per-row map, no shuffle — scales. */
+  def splitAssign(df: DataFrame, textCol: String, idCol: String,
+                  trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    val bucket = pmod(
+      conv(substring(contentFingerprint(col(textCol)), 1, 15), 16, 10).cast("long"),
+      lit(100L))
+    df.select(col(idCol), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
   private val WinnowM = (1L << 61) - 1 // Mersenne prime 2^61-1
 
   /** `(a * b) mod (2^61-1)` without overflow for small `b` (< ~2^20):

@@ -164,6 +164,44 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(j((0L, 3L)) == 1000000L)
   }
 
+  test("connected components: chains need multiple rounds, stars one") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),                                         // path of 3
+      (10L, 11L),                                                 // lone pair
+      (30L, 31L), (31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L), // chain of 6
+      (40L, 41L), (40L, 42L), (40L, 43L)                          // star
+    ).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(cc(_) == 1L))
+    assert(cc(10L) == 10L && cc(11L) == 10L)
+    assert((30L to 35L).forall(cc(_) == 30L), s"chain not converged: $cc")
+    assert((40L to 43L).forall(cc(_) == 40L))
+    assert(cc.size == 15) // only paired ids appear; singletons are absent
+  }
+
+  test("components over LSH candidates cluster the near-dup group") {
+    import spark.implicits._
+    val cand = Dedup.minhashCandidates(docs, "text", "doc_id", n = 3, sigLen = 8, bands = 4)
+    val cc = Dedup.connectedComponents(cand).as[(Long, Long)].collect().toMap
+    // docs 0, 1, 3 are exact/near dups of each other -> one cluster rooted at 0
+    assert(cc(3L) == 0L && cc.getOrElse(1L, 0L) == 0L)
+  }
+
+  test("split assignment is content-keyed: exact dups share a split") {
+    import spark.implicits._
+    val s = TextOps.splitAssign(docs, "text", "doc_id")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(s.size == 5)
+    assert(s(0L) == s(3L)) // doc 3 is the exact dup of doc 0 -> same bucket+split
+    assert(s.values.forall { case (b, sp) =>
+      b >= 0 && b < 100 && Set("train", "val", "test").contains(sp) })
+    // re-running yields the identical assignment (determinism)
+    val s2 = TextOps.splitAssign(docs, "text", "doc_id")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(s == s2)
+  }
+
   test("simhash candidates include exact dups at hamming 0") {
     import spark.implicits._
     val c = Dedup.simhashCandidates(docs, "text", "doc_id")
