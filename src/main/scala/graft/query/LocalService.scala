@@ -20,7 +20,8 @@ import graft.index.PostingCodec
   */
 final class LocalService(val ix: Searcher.LoadedIndex,
                          maxCachedPostings: Long = 50000000L,
-                         maxFetchPostings: Long = 10000000L) {
+                         maxFetchPostings: Long = 10000000L,
+                         scanThreshold: Int = 1 << 16) {
 
   private final case class TermList(docIds: Array[Int], tfs: Array[Int],
                                     positions: Array[Array[Int]]) {
@@ -199,21 +200,66 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     if (lists == null) return distributed(queryTerms, k, phrase)
 
     val byTerm = uniq.zip(lists).toMap
-    val slots = queryTerms.map(byTerm)
+    val slots = queryTerms.map(byTerm).toIndexedSeq
     val idfs = queryTerms.map { t =>
       Bm25.idf(ix.nDocs, byTerm(t).n.toLong)
+    }.toArray
+    val lenBytes = docLenBytes
+    // parallel range scan for heavy queries: the leapfrog cost is bounded
+    // by the SMALLEST list (every candidate aligns on it), so when that
+    // list is large — a hot∧hot conjunction or a full-corpus phrase, the
+    // serving tail that grows linearly with corpus size — the docId domain
+    // is split at equal-count boundaries of the smallest list and each
+    // range scanned on its own core with its own bounded heap. Per-doc
+    // scores are range-independent (slot-ordered FP sum), each range heap
+    // keeps its top-k by the global (score desc, docId asc) total order,
+    // and the merge takes the first k of the union by the same order —
+    // bitwise-identical results to the sequential scan (asserted in
+    // EngineSpec). Cheap queries stay on the caller thread: below the
+    // threshold the split overhead exceeds the scan.
+    val minN = slots.map(_.n).min
+    val w = LocalService.scanParallelism
+    if (minN < math.max(scanThreshold, w) || w < 2)
+      scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue)
+    else {
+      val small = slots.minBy(_.n)
+      val bounds = (1 until w).map(i => small.docIds((small.n.toLong * i / w).toInt))
+      val ranges = (0 +: bounds).zip(bounds :+ Int.MaxValue)
+      val tasks = ranges.map { case (lo, hi) =>
+        LocalService.scanPool.submit(new java.util.concurrent.Callable[Seq[Oracle.Hit]] {
+          def call(): Seq[Oracle.Hit] = scanRange(slots, idfs, lenBytes, k, phrase, lo, hi)
+        })
+      }
+      tasks.flatMap(_.get()).sortBy(h => (-h.score, h.docId)).take(k)
     }
-    // k-way max-pivot leapfrog over docId-sorted arrays (reference
-    // `query_processing.h:710-852`), lossy BM25, inline bounded heap —
-    // candidates are never materialized (hot single-term queries score
-    // every posting; an intermediate buffer would allocate df objects)
+  }
+
+  /** One bounded-heap leapfrog pass over docIds in `[fromDoc, untilDoc)` —
+    * the k-way max-pivot intersection of the reference
+    * (`query_processing.h:710-852`), lossy BM25, inline bounded heap:
+    * candidates are never materialized (hot single-term queries score
+    * every posting; an intermediate buffer would allocate df objects). */
+  private def scanRange(slots: IndexedSeq[TermList], idfs: Array[Double],
+                        lenBytes: Array[Int], k: Int, phrase: Boolean,
+                        fromDoc: Int, untilDoc: Int): Seq[Oracle.Hit] = {
     val nL = slots.size
     val cursors = new Array[Int](nL)
+    var j0 = 0
+    while (j0 < nL) { // first posting with docId >= fromDoc, per list
+      val arr = slots(j0).docIds
+      var lo = 0
+      var hi = slots(j0).n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < fromDoc) lo = mid + 1 else hi = mid
+      }
+      cursors(j0) = lo
+      j0 += 1
+    }
     val posBuf = new Array[Array[Int]](nL)      // reused per candidate doc
     val posCursors = new Array[Int](nL)         // phraseAdjacent scratch
     val heap = scala.collection.mutable.PriorityQueue.empty[Oracle.Hit](
       Ordering.by[Oracle.Hit, (Double, Int)](h => (-h.score, h.docId))) // head = worst kept
-    val lenBytes = docLenBytes
     var done = false
     while (!done) {
       var maxDoc = -1
@@ -228,6 +274,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
         }
         i += 1
       }
+      if (!done && maxDoc >= untilDoc) done = true // range end: no candidate below untilDoc remains
       if (!done) {
         if (aligned) {
           val ok = !phrase || {
@@ -445,6 +492,18 @@ object LocalService {
   /** Largest index (docs) served with the dense per-thread accumulator:
     * 2^24 docs = 128 MB of doubles per serving thread. */
   val maxDenseDocs: Long = 1L << 24
+
+  /** Ranges a heavy scan splits into — one per core, capped: past ~8 the
+    * per-range heap-merge and task overhead outgrow the marginal core. */
+  val scanParallelism: Int =
+    math.min(8, Runtime.getRuntime.availableProcessors())
+
+  /** Shared work-stealing pool for range scans. CPU-bound tasks only; under
+    * concurrent clients the pool saturates the cores and per-query latency
+    * degrades toward the sequential time — throughput is never worse. */
+  private[query] lazy val scanPool =
+    java.util.concurrent.Executors.newWorkStealingPool(
+      Runtime.getRuntime.availableProcessors())
 
   /** Allocation-free adjusted-position adjacency: does a position p exist in
     * slot 0 with p+i present in every slot i? Same semantics as

@@ -342,6 +342,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(warmMs < 200.0, s"warm serve took ${warmMs}ms — not a resident path")
   }
 
+  test("LocalService: parallel range scan is bitwise-identical to sequential") {
+    built
+    val seqSvc = new graft.query.LocalService(ix) // threshold keeps these sequential
+    val parSvc = new graft.query.LocalService(ix, scanThreshold = 1) // every query splits
+    val queries = Seq(
+      (Seq("if"), false), (Seq("if", "return"), false),
+      (Seq("hash", "seed", "mask"), false), (Seq("epsilon"), false),
+      (Seq("if", "return"), true), (Seq("return", "val"), true))
+    queries.foreach { case (terms, phrase) =>
+      val want = seqSvc.search(terms, 10, phrase)
+      val got = parSvc.search(terms, 10, phrase)
+      assert(got.map(_.docId) == want.map(_.docId), s"parallel $terms phrase=$phrase")
+      // per-doc scores are range-independent slot-ordered sums — the split
+      // must not change a single bit, not just the ranking
+      got.zip(want).foreach { case (g, w) => assert(g.score == w.score) }
+    }
+  }
+
   test("LocalService: over-budget term is never materialized on the driver") {
     built
     // df gate: any term above maxFetchPostings routes the query to the
