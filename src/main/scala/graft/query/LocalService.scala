@@ -369,37 +369,88 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * a single ascending-docId scan feeds the bounded heap — identical tie
     * rule to [[Oracle.topK]]. BM25 parts are strictly positive, so
     * score > 0 ⇔ matched; the scan resets touched slots, leaving the
-    * thread-local buffer clean for the next call. */
+    * thread-local buffer clean for the next call.
+    *
+    * Heavy expansions (Σdf over the threshold — a hot prefix like `ret*`
+    * unions several full-corpus lists) split the docId domain at
+    * equal-count boundaries of the LARGEST list: each range accumulates
+    * and scans a DISJOINT segment of the shared dense array on its own
+    * core (no two workers touch the same doc slot — race-free without
+    * locks), keeping the per-doc list-order FP sequence of the sequential
+    * loop, so the split never changes a bit of any score. */
   private def scoreDense(lists: Seq[TermList], lenBytes: Array[Int],
                          k: Int): Seq[Oracle.Hit] = {
     val scores = scoreBuf.get()
+    val idfs = lists.map(tl => Bm25.idf(ix.nDocs, tl.n.toLong)).toArray
+    val w = LocalService.scanParallelism
+    val total = lists.foldLeft(0L)(_ + _.n)
     try {
-      lists.foreach { tl =>
-        val idf = Bm25.idf(ix.nDocs, tl.n.toLong)
-        var i = 0
-        while (i < tl.n) {
-          val d = tl.docIds(i)
-          scores(d) += idf * Bm25.tfNormLossy(tl.tfs(i).toLong, lenBytes(d), ix.lossyCache)
-          i += 1
+      if (total < math.max(scanThreshold.toLong, w.toLong) || w < 2)
+        denseRange(lists, idfs, lenBytes, scores, k, 0, scores.length)
+      else {
+        val big = lists.maxBy(_.n)
+        val bounds = (1 until w).map(i => big.docIds((big.n.toLong * i / w).toInt))
+        val ranges = (0 +: bounds).zip(bounds :+ scores.length)
+        val tasks = ranges.map { case (lo, hi) =>
+          LocalService.scanPool.submit(new java.util.concurrent.Callable[Seq[Oracle.Hit]] {
+            def call(): Seq[Oracle.Hit] = denseRange(lists, idfs, lenBytes, scores, k, lo, hi)
+          })
+        }
+        // every task must FINISH (not just fail fast) before any cleanup:
+        // a worker still writing its segment during a reset would leave
+        // residue for the next query on this thread's buffer
+        val done = tasks.map(t => scala.util.Try(t.get()))
+        done.collectFirst { case scala.util.Failure(e) => e } match {
+          case Some(e) => throw e // outer catch resets the (quiescent) buffer
+          case None => done.flatMap(_.get).sortBy(h => (-h.score, h.docId)).take(k)
         }
       }
-      val heap = scala.collection.mutable.PriorityQueue.empty[Oracle.Hit](
-        Ordering.by[Oracle.Hit, (Double, Int)](h => (-h.score, h.docId)))
-      var d = 0
-      while (d < scores.length) {
-        val s = scores(d)
-        if (s > 0.0) {
-          scores(d) = 0.0
-          // ascending-docId feed: equal-score boundary keeps lowest docId
-          if (heap.size < k) heap.enqueue(Oracle.Hit(d, s))
-          else if (s > heap.head.score) { heap.dequeue(); heap.enqueue(Oracle.Hit(d, s)) }
-        }
-        d += 1
-      }
-      heap.toSeq.sortBy(h => (-h.score, h.docId))
     } catch {
       case t: Throwable => java.util.Arrays.fill(scores, 0.0); throw t
     }
+  }
+
+  /** One disjunctive accumulate+scan pass over docIds in `[fromDoc,
+    * untilDoc)` — writes only that segment of `scores` and resets the
+    * slots it touched. */
+  private def denseRange(lists: Seq[TermList], idfs: Array[Double],
+                         lenBytes: Array[Int], scores: Array[Double], k: Int,
+                         fromDoc: Int, untilDoc: Int): Seq[Oracle.Hit] = {
+    var li = 0
+    lists.foreach { tl =>
+      val idf = idfs(li)
+      val arr = tl.docIds
+      var i = { // first posting with docId >= fromDoc
+        var lo = 0
+        var hi = tl.n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid) < fromDoc) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      while (i < tl.n && arr(i) < untilDoc) {
+        val d = arr(i)
+        scores(d) += idf * Bm25.tfNormLossy(tl.tfs(i).toLong, lenBytes(d), ix.lossyCache)
+        i += 1
+      }
+      li += 1
+    }
+    val heap = scala.collection.mutable.PriorityQueue.empty[Oracle.Hit](
+      Ordering.by[Oracle.Hit, (Double, Int)](h => (-h.score, h.docId)))
+    var d = fromDoc
+    val end = math.min(untilDoc, scores.length)
+    while (d < end) {
+      val s = scores(d)
+      if (s > 0.0) {
+        scores(d) = 0.0
+        // ascending-docId feed: equal-score boundary keeps lowest docId
+        if (heap.size < k) heap.enqueue(Oracle.Hit(d, s))
+        else if (s > heap.head.score) { heap.dequeue(); heap.enqueue(Oracle.Hit(d, s)) }
+      }
+      d += 1
+    }
+    heap.toSeq.sortBy(h => (-h.score, h.docId))
   }
 
   /** Boxed-map fallback for indexes too large for a per-thread dense

@@ -380,6 +380,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("LocalService: prefix search parity, warm path, and over-budget fallback") {
     built
     val svc = new graft.query.LocalService(ix)
+    val parSvc = new graft.query.LocalService(ix, scanThreshold = 1) // dense path splits
     for ((p, cap) <- Seq(("fn_1", 8), ("epsi", 4), ("zzz_nosuch", 4))) {
       val terms = Searcher.expandPrefix(ix, p, cap)
       val want = Oracle.searchOr(oracle, terms, 10)
@@ -387,6 +388,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got.map(_.docId) == want.map(_.docId),
         s"served prefix '$p': ${got.map(_.docId)} vs ${want.map(_.docId)}")
       got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+      // the range-split dense accumulator must not change a bit
+      val par = parSvc.searchPrefix(p, 10, cap)
+      assert(par.map(_.docId) == got.map(_.docId), s"parallel prefix '$p'")
+      par.zip(got).foreach { case (g, w) => assert(g.score == w.score) }
     }
     // warm repeat: expansion + lists resident, no new Spark work needed
     val t0 = System.nanoTime()
