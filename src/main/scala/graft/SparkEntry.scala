@@ -690,6 +690,22 @@ object SparkEntry {
     "fp_split_assign" -> ((s, dir) =>
       TextOps.splitAssign(docs(s, dir), "text", "doc_id").orderBy("doc_id")),
 
+    // tumbling-window event aggregation — the batch face of the
+    // Structured Streaming plan (windowCountsStream shares it behind a
+    // watermark; parity asserted in StreamingSpec)
+    "ev_window_counts" -> ((s, dir) =>
+      graft.streaming.EventWindows.windowCounts(
+        s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("hour_start", "event_type")),
+
+    // per-user sessionization (30-min gap rule) — partitioned-window batch
+    // path; the flatMapGroupsWithState streaming path emits identical
+    // sessions (StreamingSpec)
+    "ev_sessions" -> ((s, dir) =>
+      graft.streaming.EventWindows.sessionize(
+        s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("user_id", "session_idx")),
+
     // winnowing fingerprints: Rabin-Karp rolling hash over token 4-grams
     // (mod 2^61-1), per-8-window minima, distinct — the MOSS-style
     // plagiarism/near-dup sketch; oracle recomputes the full rolling hash
@@ -1245,6 +1261,33 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |        ('0x' || substr(md5(array_to_string($T, ' ')), 1, 15))::BIGINT % 100 bucket
          |      FROM documents) ORDER BY doc_id""".stripMargin,
+
+    // epoch-hour tumbling windows; value summed as integer cents (both
+    // engines round the identical double, so the sum is exact)
+    "ev_window_counts" ->
+      """SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT hour_start,
+        |  event_type, count(*)::BIGINT n_events,
+        |  sum(round(value * 100)::BIGINT)::BIGINT value_cents
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+
+    // gap-rule sessionization as pure window SQL: new-session flags via
+    // lag, session ids via running sum — the exact transitive closure of
+    // the 30-min gap rule (event times floored to whole epoch seconds,
+    // matching Spark's CAST(ts AS LONG))
+    "ev_sessions" ->
+      """WITH e AS (SELECT user_id, floor(epoch(ts))::BIGINT tse,
+        |             round(value * 100)::BIGINT cents FROM events),
+        | g AS (SELECT user_id, tse, cents,
+        |         CASE WHEN lag(tse) OVER w IS NULL
+        |              OR tse - lag(tse) OVER w > 1800 THEN 1 ELSE 0 END ns
+        |       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tse)),
+        | s AS (SELECT user_id, tse, cents,
+        |         sum(ns) OVER (PARTITION BY user_id ORDER BY tse)::BIGINT session_idx
+        |       FROM g)
+        |SELECT user_id, session_idx, min(tse) session_start,
+        |  max(tse) session_end, count(*)::BIGINT n_events,
+        |  sum(cents)::BIGINT value_cents
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
 
     "fp_winnow" -> {
       val M = "2305843009213693951" // 2^61 - 1

@@ -192,4 +192,98 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.index.Manifest.committedSegments(dir) == Seq(3L))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  // ---- event-stream analytics (EventWindows) ----
+
+  /** Deterministic synthetic events: 5 users, ~3 hours, bursts separated by
+    * >30-min gaps so sessionization has multi-event sessions AND gaps.
+    * Time-sorted so MemoryStream batches respect the 0-second watermark
+    * (a real stream's bounded disorder is the lateness parameter's job). */
+  private def synthEvents: Seq[(Long, java.sql.Timestamp, String, Double)] = {
+    val base = 1700000000L // fixed epoch
+    val types = Array("view", "click", "purchase")
+    val rows = for {
+      user <- 0L until 5L
+      burst <- 0 until 4
+      i <- 0 until (1 + ((user + burst) % 3).toInt)
+    } yield {
+      val tse = base + burst * 2400L + user * 17L + i * 60L // bursts 40 min apart
+      (user, new java.sql.Timestamp(tse * 1000L),
+        types(((user + burst + i) % 3).toInt), (user * 7 + burst * 3 + i) * 0.25)
+    }
+    rows.sortBy(_._2.getTime)
+  }
+
+  test("streamed window counts equal the batch plan once windows close") {
+    import graft.streaming.EventWindows
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = synthEvents
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val streamed = EventWindows.windowCountsStream(
+      in.toDF().toDF("user_id", "ts", "event_type", "value"), lateness = "0 seconds")
+    val q = streamed.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      in.addData(evs.take(evs.size / 2))
+      q.processAllAvailable()
+      in.addData(evs.drop(evs.size / 2))
+      q.processAllAvailable()
+      // a far-future sentinel advances the watermark past every real window;
+      // the second batch lets the engine emit the newly-closed windows
+      val sentinel = (99L, new java.sql.Timestamp((1700000000L + 86400L) * 1000L), "view", 0.0)
+      in.addData(sentinel)
+      q.processAllAvailable()
+      in.addData(sentinel)
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .filter(col("hour_start") < 1700000000L + 86000L)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val want = EventWindows.windowCounts(
+        evs.toDF("user_id", "ts", "event_type", "value"))
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == want, s"streamed windows ${got.size} vs batch ${want.size}")
+      assert(want.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streamed sessionization equals the batch window-SQL plan") {
+    import graft.streaming.EventWindows
+    import graft.streaming.EventWindows.{Ev, SessionOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = synthEvents
+    val in = MemoryStream[Ev]
+    val sessions = EventWindows.sessionizeStream(in.toDS(), gapSec = 1800L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      val asEv = evs.map { case (u, ts, _, v) =>
+        Ev(u, ts, math.round(v * 100)) }
+      in.addData(asEv.take(asEv.size / 2))
+      q.processAllAvailable()
+      in.addData(asEv.drop(asEv.size / 2))
+      q.processAllAvailable()
+      // sentinel user advances the watermark; next batch fires the
+      // event-time timeouts that close every real user's open session
+      val late = new java.sql.Timestamp((1700000000L + 86400L) * 1000L)
+      in.addData(Ev(999L, late, 0L))
+      q.processAllAvailable()
+      in.addData(Ev(999L, new java.sql.Timestamp((1700000000L + 2 * 86400L) * 1000L), 0L))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[SessionOut].collect()
+        .filter(_.user_id != 999L)
+        .map(s => (s.user_id, s.session_idx, s.session_start, s.session_end,
+          s.n_events, s.value_cents)).toSet
+      val want = EventWindows.sessionize(
+        evs.toDF("user_id", "ts", "event_type", "value"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"streamed sessions ${got.size} vs batch ${want.size}")
+      // the synthetic shape guarantees multi-event sessions exist
+      assert(want.exists(_._5 > 1))
+    } finally q.stop()
+  }
 }

@@ -15,8 +15,12 @@ def main():
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    # every table in the sf dir, like the driver (the contract example
+    # queries lineitem, so the full TESTDATA set is registered there)
+    import os
+    for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        t = os.path.splitext(os.path.basename(p))[0]
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     n_pass = n_fail = 0
     for name in sorted(oracles):
         if only and name not in only:
