@@ -169,9 +169,13 @@ object Dedup {
     * each round so the plan never grows with iterations, and the
     * convergence check rides the same shuffle as the propagation. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // both orientations in ONE pass over the pairs plan (a union of two
+    // selects would evaluate the upstream LSH pipeline twice)
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
@@ -184,15 +188,16 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
         .groupBy("src").agg(min("ncomp").as("ncomp"))
         .withColumnRenamed("src", "id")
+      // carry the previous label through the checkpoint so the convergence
+      // count reads materialized rows — no extra join-back per round
       val next = labels
         .join(neigh, Seq("id"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          col("comp").as("old"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("comp") =!= col("old")).count()
+      labels = next.drop("old")
       it += 1
     }
     edges.unpersist(false)
