@@ -834,6 +834,23 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    // audio/video container metadata — WAV RIFF-chunk walk (sample rate,
+    // channels, duration from declared data size / byte rate) and MP4
+    // box walk (mvhd timescale+duration, tkhd 16.16 track dims); pure
+    // byte parsing over header prefixes, no codec libs. Oracle restates
+    // every parsed field from the fixture formulas.
+    "mm_av_probe" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val r = Multimodal.probeAv(Multimodal.syntheticAvHeader(id))
+          (id, r.format, r.width, r.height, r.sample_rate, r.channels, r.duration_ms)
+        }
+        .toDF("media_id", "format", "width", "height",
+          "sample_rate", "channels", "duration_ms")
+        .orderBy("media_id")
+    },
+
     // multimodal REAL feature extraction: byte histogram / mean / entropy
     // over the binary payload column (batched mapPartitions, no stub)
     "mm_bytestats" -> { (s, dir) =>
@@ -1413,6 +1430,22 @@ object SparkEntry {
          | (CASE WHEN doc_id % 6 <= 3 THEN 1 + (doc_id * 7) % 769 ELSE 0 END)::BIGINT height,
          | (CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 43 + doc_id % 32 WHEN 2 THEN 13
          |   WHEN 3 THEN 54 WHEN 4 THEN 12 ELSE 12 END)::BIGINT n_bytes
+         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // integer division in both engines: Spark's Long / truncates, DuckDB's
+    // // floors — identical for the non-negative operands here
+    "mm_av_probe" ->
+      s"""SELECT doc_id media_id,
+         | CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4' ELSE 'unknown' END format,
+         | (CASE WHEN doc_id % 3 = 1 THEN 16 * (1 + doc_id % 120) ELSE 0 END)::BIGINT width,
+         | (CASE WHEN doc_id % 3 = 1 THEN 16 * (1 + (doc_id * 3) % 68) ELSE 0 END)::BIGINT height,
+         | (CASE WHEN doc_id % 3 = 0 THEN 8000 * (1 + doc_id % 5) ELSE 0 END)::BIGINT sample_rate,
+         | (CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 2 ELSE 0 END)::BIGINT channels,
+         | (CASE doc_id % 3
+         |   WHEN 0 THEN ((1 + doc_id % 100) * 1024 * 1000)
+         |     // (8000 * (1 + doc_id % 5) * (1 + doc_id % 2) * 2)
+         |   WHEN 1 THEN ((1 + doc_id % 1000) * 60 * 1000) // (600 * (1 + doc_id % 4))
+         |   ELSE 0 END)::BIGINT duration_ms
          |FROM documents ORDER BY media_id""".stripMargin,
 
     "mm_bytestats" -> {

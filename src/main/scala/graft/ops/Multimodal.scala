@@ -146,6 +146,132 @@ object Multimodal {
     } catch { case _: IndexOutOfBoundsException => SniffResult("unknown", 0, 0) }
   }
 
+  final case class AvProbe(format: String, width: Long, height: Long,
+                           sample_rate: Long, channels: Long, duration_ms: Long)
+
+  /** REAL audio/video container metadata, no codec library: a WAV
+    * RIFF-chunk walk (fmt → sample rate / channels / byte rate, data →
+    * declared payload size, duration = size/byteRate) and an MP4
+    * (ISO-BMFF) box walk (moov/mvhd → timescale+duration, moov/trak/tkhd →
+    * 16.16 fixed-point track dimensions). Declared chunk/box sizes are
+    * trusted only as cursors — every field read is bounds-checked, and any
+    * malformed/truncated/non-AV payload degrades to `unknown`, never an
+    * exception (this runs in executor map tasks over untrusted bytes).
+    * Works on header PREFIXES: the WAV data chunk's bytes need not be
+    * present, so a pipeline can probe multi-GB media from a ranged read
+    * of the first few hundred bytes. */
+  def probeAv(p: Array[Byte]): AvProbe = {
+    val unknown = AvProbe("unknown", 0L, 0L, 0L, 0L, 0L)
+    def u8(i: Int) = p(i) & 0xff
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)) & 0xffffffffL
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)) & 0xffffffffL
+    def ascii(i: Int, s: String) =
+      p.length >= i + s.length && s.indices.forall(j => p(i + j) == s.charAt(j).toByte)
+    try {
+      if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
+        var i = 12
+        var sr = 0L; var ch = 0L; var byteRate = 0L; var dataSize = -1L
+        while (i + 8 <= p.length && (sr == 0L || dataSize < 0L)) {
+          val size = le32(i + 4)
+          if (ascii(i, "fmt ") && i + 24 <= p.length) {
+            ch = le16(i + 10).toLong; sr = le32(i + 12); byteRate = le32(i + 16)
+          } else if (ascii(i, "data")) dataSize = size
+          // chunks pad to even length; a giant declared size just ends the walk
+          i += (8L + size + (size & 1L)).min(Int.MaxValue.toLong).toInt
+        }
+        if (sr > 0L && byteRate > 0L && dataSize >= 0L)
+          AvProbe("wav", 0L, 0L, sr, ch, dataSize * 1000L / byteRate)
+        else unknown
+      } else if (p.length >= 12 && ascii(4, "ftyp")) {
+        var ts = 0L; var dur = -1L; var w = 0L; var h = 0L
+        def walk(start: Int, end: Int, depth: Int): Unit = {
+          var j = start
+          var ok = true
+          while (ok && j + 8 <= end) {
+            val size = be32(j)
+            val next = j + size
+            if (size < 8L || next > end) ok = false
+            else {
+              if (ascii(j + 4, "moov") || (ascii(j + 4, "trak") && depth < 4))
+                walk(j + 8, next.toInt, depth + 1)
+              else if (ascii(j + 4, "mvhd") && j + 28 <= end && u8(j + 8) == 0) {
+                ts = be32(j + 20); dur = be32(j + 24)
+              } else if (ascii(j + 4, "tkhd") && j + 92 <= end && u8(j + 8) == 0) {
+                w = be32(j + 84) >> 16; h = be32(j + 88) >> 16
+              }
+              j = next.toInt
+            }
+          }
+        }
+        walk(0, p.length, 0)
+        if (ts > 0L && dur >= 0L) AvProbe("mp4", w, h, 0L, 0L, dur * 1000L / ts)
+        else unknown
+      } else unknown
+    } catch { case _: IndexOutOfBoundsException => unknown }
+  }
+
+  /** Deterministic AV-header fixtures for [[probeAv]]'s oracle row: a
+    * canonical 44-byte WAV header (fmt + data chunks; the declared data
+    * bytes are intentionally NOT materialized — the parser must work on a
+    * header prefix) and a structurally-real minimal MP4
+    * (ftyp + moov[mvhd + trak[tkhd]], identity matrices, 16.16 track
+    * dims). Every parsed field is a pure integer function of `id`. */
+  def syntheticAvHeader(id: Long): Array[Byte] = {
+    (id % 3) match {
+      case 0 =>
+        val sr = (8000L * (1 + id % 5)).toInt
+        val ch = (1 + id % 2).toInt
+        val byteRate = sr * ch * 2
+        val dataSize = ((1 + id % 100) * 1024L).toInt
+        val bb = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+        bb.put("fmt ".getBytes).putInt(16)
+        bb.putShort(1.toShort).putShort(ch.toShort).putInt(sr).putInt(byteRate)
+          .putShort((ch * 2).toShort).putShort(16.toShort)
+        bb.put("data".getBytes).putInt(dataSize)
+        bb.array()
+      case 1 =>
+        val ts = (600L * (1 + id % 4)).toInt
+        val dur = ((1 + id % 1000) * 60L).toInt
+        val w = (16L * (1 + id % 120)).toInt
+        val h = (16L * (1 + (id * 3) % 68)).toInt
+        val bb = java.nio.ByteBuffer.allocate(232) // big-endian (ISO-BMFF)
+        bb.putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(512)
+        bb.putInt(216).put("moov".getBytes)
+        // mvhd v0 (108 bytes): ver/flags, ctime, mtime, timescale, duration,
+        // rate, volume+pad, reserved(8), matrix(36), predefined(24), nextTrack
+        bb.putInt(108).put("mvhd".getBytes).putInt(0)
+        bb.putInt(0).putInt(0).putInt(ts).putInt(dur)
+        bb.putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort)
+        bb.putLong(0L)
+        bb.putInt(0x00010000).putInt(0).putInt(0)
+        bb.putInt(0).putInt(0x00010000).putInt(0)
+        bb.putInt(0).putInt(0).putInt(0x40000000)
+        (0 until 6).foreach(_ => bb.putInt(0))
+        bb.putInt(2)
+        // trak(100) = hdr(8) + tkhd v0 (92)
+        bb.putInt(100).put("trak".getBytes)
+        bb.putInt(92).put("tkhd".getBytes).putInt(7) // v0, flags=enabled
+        bb.putInt(0).putInt(0).putInt(1).putInt(0).putInt(dur)
+        bb.putLong(0L)
+        bb.putShort(0.toShort).putShort(0.toShort).putShort(0.toShort).putShort(0.toShort)
+        bb.putInt(0x00010000).putInt(0).putInt(0)
+        bb.putInt(0).putInt(0x00010000).putInt(0)
+        bb.putInt(0).putInt(0).putInt(0x40000000)
+        bb.putInt(w << 16).putInt(h << 16)
+        bb.array()
+      case _ =>
+        val bb = java.nio.ByteBuffer.allocate(12)
+        bb.put("noavmedia".getBytes).put((id % 251).toByte)
+          .put(((id / 251) % 251).toByte).put(0.toByte)
+        bb.array()
+    }
+  }
+
   /** Deterministic header fixtures for [[sniffHeader]]'s oracle row:
     * structurally-real minimal containers whose format, dimensions and
     * total byte count are pure functions of `id` (so a SQL oracle can

@@ -123,6 +123,52 @@ class SniffSpec extends AnyFunSuite {
         s"fid=$fid kind=$k got=$r")
     }
   }
+
+  test("AV probe: WAV fmt/data walk and MP4 box walk match the fixture formulas") {
+    import graft.ops.Multimodal.{probeAv, syntheticAvHeader}
+    (0L until 96L).foreach { id =>
+      val r = probeAv(syntheticAvHeader(id))
+      (id % 3) match {
+        case 0 =>
+          val sr = 8000L * (1 + id % 5); val ch = 1 + id % 2
+          assert(r.format == "wav" && r.sample_rate == sr && r.channels == ch, s"id=$id $r")
+          assert(r.duration_ms == (1 + id % 100) * 1024L * 1000L / (sr * ch * 2), s"id=$id dur")
+        case 1 =>
+          assert(r.format == "mp4", s"id=$id $r")
+          assert(r.width == 16L * (1 + id % 120) && r.height == 16L * (1 + (id * 3) % 68),
+            s"id=$id dims $r")
+          assert(r.duration_ms == (1 + id % 1000) * 60L * 1000L / (600L * (1 + id % 4)),
+            s"id=$id dur $r")
+        case _ => assert(r.format == "unknown", s"id=$id $r")
+      }
+    }
+  }
+
+  test("AV probe: truncation, garbage and hostile declared sizes never throw") {
+    import graft.ops.Multimodal.{probeAv, syntheticAvHeader}
+    (0L until 6L).foreach { id =>
+      val p = syntheticAvHeader(id)
+      (0 until p.length).foreach { cut =>
+        assert(probeAv(java.util.Arrays.copyOf(p, cut)) != null)
+      }
+    }
+    assert(probeAv(Array.empty[Byte]).format == "unknown")
+    // RIFF/WAVE with a chunk whose declared size is 0xFFFFFFFF: walk must
+    // terminate without overflow (cursor advance saturates past the array)
+    val hostile = java.nio.ByteBuffer.allocate(24)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hostile.put("RIFF".getBytes).putInt(-1).put("WAVE".getBytes)
+    hostile.put("junk".getBytes).putInt(-1).putInt(0)
+    assert(probeAv(hostile.array()).format == "unknown")
+    // a WAV whose fmt chunk claims a byteRate of 0 must not divide by zero
+    val zr = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    zr.put("RIFF".getBytes).putInt(36).put("WAVE".getBytes)
+    zr.put("fmt ".getBytes).putInt(16)
+    zr.putShort(1.toShort).putShort(1.toShort).putInt(0).putInt(0)
+      .putShort(2.toShort).putShort(16.toShort)
+    zr.put("data".getBytes).putInt(0)
+    assert(probeAv(zr.array()).format == "unknown")
+  }
 }
 
 class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
