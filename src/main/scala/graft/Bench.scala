@@ -413,7 +413,7 @@ object Bench {
       // entry point (resident expansion cache), the rest through search
       def serve(q: graft.query.QueryLog.LogQuery): Seq[Oracle.Hit] = q.prefix match {
         case Some(p) => svc.searchPrefix(p, 10)
-        case None    => svc.search(q.terms, 10, q.phrase)
+        case None    => svc.search(q.terms, 10, q.phrase, q.exclude)
       }
       queryMix.foreach(serve) // cache misses
       val reps = 50
@@ -531,7 +531,7 @@ object Bench {
   def matchRateDetail(queryMix: Seq[graft.query.QueryLog.LogQuery],
                       batch: Array[(Int, Int, Int, Double)],
                       benchDocs: Long): (Double, Seq[String]) = {
-    val qTerms = queryMix.flatMap(_.terms).distinct
+    val qTerms = queryMix.flatMap(q => q.terms ++ q.exclude).distinct
     val qIdx = qTerms.zipWithIndex.toMap
     // positions are tracked only for terms used by phrase queries
     val phraseTermIdx: Set[Int] =
@@ -584,12 +584,14 @@ object Bench {
         val avg = lens.map(_.toLong).sum.toDouble / nDocs
         val cache = graft.core.Bm25.lossyCache(avg)
         def oracleTopK(terms0: Seq[String], k: Int, phrase: Boolean,
-                       disjunctive: Boolean): Seq[Oracle.Hit] = {
+                       disjunctive: Boolean,
+                       exclude: Seq[String] = Nil): Seq[Oracle.Hit] = {
           import scala.jdk.CollectionConverters._
           // disjunctive (prefix/OR): absent terms contribute nothing;
           // conjunctive: any absent term voids the query (P2 guard)
           val terms = if (disjunctive) terms0.filter(t => !tfs(qIdx(t)).isEmpty) else terms0
           if (terms.isEmpty) return Nil
+          val exMaps = exclude.map(t => tfs(qIdx(t)))
           val maps = terms.map(t => tfs(qIdx(t)))
           if (!disjunctive && maps.exists(_.isEmpty)) return Nil
           val idfs = terms.map(t => graft.core.Bm25.idf(nDocs, tfs(qIdx(t)).size.toLong))
@@ -598,6 +600,8 @@ object Bench {
               maps.iterator.flatMap(_.keySet.asScala).map(_.intValue).toArray.distinct.sorted
             else maps.minBy(_.size).keySet.asScala.toArray.map(_.intValue).sorted
           val hits = cand.flatMap { d =>
+            if (exMaps.exists(_.containsKey(d))) None // NOT term present in doc
+            else {
             val matchedAll = maps.forall(_.containsKey(d))
             if (!disjunctive && !(matchedAll &&
                 (!phrase || Oracle.phraseMatch(
@@ -613,12 +617,13 @@ object Bench {
               }
               Some(Oracle.Hit(d, s))
             }
+            }
           }
           Oracle.topK(hits, k)
         }
         val byQ = batch.groupBy(_._1)
         val details = queryMix.flatMap { q =>
-          val want = oracleTopK(q.terms, 10, q.phrase, q.prefix.nonEmpty)
+          val want = oracleTopK(q.terms, 10, q.phrase, q.prefix.nonEmpty, q.exclude)
           val got = byQ.getOrElse(q.id, Array.empty).sortBy(_._2)
           val ok = got.length == want.length &&
             got.zip(want).forall { case (g, w) =>
@@ -637,8 +642,8 @@ object Bench {
                 s"rank ${r + 1}: engine=($gd, $gs) oracle=($wd, $ws)" }
               .getOrElse("length mismatch only")
             Some(s"q${q.id} [${q.terms.mkString(" ")}] phrase=${q.phrase} " +
-              s"prefix=${q.prefix.getOrElse("-")} got=${got.length} " +
-              s"want=${want.length} $firstDiff")
+              s"prefix=${q.prefix.getOrElse("-")} not=${q.exclude.mkString(",")} " +
+              s"got=${got.length} want=${want.length} $firstDiff")
           }
         }
         ((queryMix.size - details.size).toDouble / queryMix.size, details)

@@ -169,7 +169,8 @@ object SparkEntry {
     * driver), with ranks assigned to the <=k survivors by [[rankTopK]]. */
   private def bm25TopK(s: SparkSession, dir: String, terms: Seq[String], k: Int,
                        conjunctive: Boolean = true,
-                       eligible: Option[DataFrame] = None): DataFrame = {
+                       eligible: Option[DataFrame] = None,
+                       excludeTerms: Seq[String] = Nil): DataFrame = {
     val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
     val pivoted0 = tfq.groupBy("doc_id")
       .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
@@ -188,8 +189,17 @@ object SparkEntry {
     // filtered or not (standard search-engine filter-query semantics). A
     // left-semi join on doc_id: Catalyst broadcasts the filtered id set when
     // small, shuffles when not — never a row-duplicating join.
-    val pivoted = eligible.map(e => pivoted1.join(e, Seq("doc_id"), "left_semi"))
+    val pivoted2 = eligible.map(e => pivoted1.join(e, Seq("doc_id"), "left_semi"))
       .getOrElse(pivoted1)
+    // NOT terms (Lucene MUST_NOT): drop docs containing ANY excluded term —
+    // an anti-join against the excluded terms' doc set; excluded terms never
+    // contribute to the score (engine path: Searcher.search excludeTerms)
+    val pivoted =
+      if (excludeTerms.isEmpty) pivoted2
+      else pivoted2.join(
+        tfTable(s, dir).filter(col("term").isin(excludeTerms: _*))
+          .select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
     val dfs = tfq.agg(
       count(when(col("term") === terms.head, lit(1))).cast("long").as("df0"),
       terms.tail.zipWithIndex.map { case (t, i) =>
@@ -401,6 +411,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // J6: posting-list difference (NOT) — docs containing "spark" minus
+    // docs containing "query"; the anti-join analog of J1's semi-join
+    "j6_except" -> { (s, dir) =>
+      val tf = tfTable(s, dir)
+      tf.filter(col("term") === "spark").select(col("doc_id"))
+        .join(tf.filter(col("term") === "query").select(col("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // J2: k-way conjunctive intersection (3 terms)
     "j2_intersect3" -> { (s, dir) =>
       val tf = tfTable(s, dir)
@@ -447,6 +467,11 @@ object SparkEntry {
     // unfiltered query, standard filter-query semantics)
     "a5_bm25_filtered_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
       eligible = Some(docs(s, dir).filter(col("lang") === "de").select("doc_id")))),
+    // NOT operator (Lucene MUST_NOT): conjunctive match minus docs
+    // containing the excluded term; completes the Boolean family (AND done
+    // by the reference, OR declared-only, NOT absent)
+    "a5_bm25_not_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
+      excludeTerms = Seq("dup"))),
 
     // P4: dictionary prefix probe (trie equal_prefix_range analog) — cap 4
     // of the 6 's'-terms makes the deterministic (df desc, term asc) cap
@@ -880,12 +905,16 @@ object SparkEntry {
     "regexp_replace(regexp_replace(text, ' a ', '. ', 'g'), ' the ', '; ', 'g')"
 
   private def bm25Sql(terms: Seq[String], k: Int,
-                      filterWhere: Option[String] = None): String = {
+                      filterWhere: Option[String] = None,
+                      excludeTerms: Seq[String] = Nil): String = {
     val joins = terms.zipWithIndex.map { case (t, i) =>
       s"JOIN (SELECT doc_id, tf AS tf$i FROM tf WHERE term = '$t') t$i USING (doc_id) " +
         s"CROSS JOIN (SELECT count(*)::BIGINT df$i FROM tf WHERE term = '$t') d$i"
     }.mkString(" ") + filterWhere.map(w =>
-      s" JOIN (SELECT doc_id FROM documents WHERE $w) flt USING (doc_id)").getOrElse("")
+      s" JOIN (SELECT doc_id FROM documents WHERE $w) flt USING (doc_id)").getOrElse("") +
+      (if (excludeTerms.isEmpty) ""
+       else s" ANTI JOIN (SELECT DISTINCT doc_id FROM tf WHERE term IN (" +
+         excludeTerms.map(t => s"'$t'").mkString(",") + ")) ex USING (doc_id)")
     val score = terms.indices.map { i =>
       s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
     }.mkString(" + ")
@@ -1058,6 +1087,15 @@ object SparkEntry {
     "a5_bm25_or_topk" -> bm25OrSql(Seq("spark", "query"), 10),
     "a5_bm25_filtered_topk" -> bm25Sql(Seq("spark", "query"), 10,
       filterWhere = Some("lang = 'de'")),
+    "a5_bm25_not_topk" -> bm25Sql(Seq("spark", "query"), 10,
+      excludeTerms = Seq("dup")),
+
+    "j6_except" ->
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id FROM $TF WHERE term = 'spark'
+         |  EXCEPT
+         |  SELECT doc_id FROM $TF WHERE term = 'query'
+         |) ORDER BY doc_id""".stripMargin,
 
     "f5_idf" ->
       s"""WITH tf AS (SELECT * FROM $TF),

@@ -44,11 +44,20 @@ object Oracle {
   }
 
   /** Conjunctive (optionally phrase) BM25 top-k. Empty if any term missing
-    * (`qq_mem_engine.h:345-347`). */
-  def search(ix: Index, queryTerms: Seq[String], k: Int, phrase: Boolean = false): Seq[Hit] = {
+    * (`qq_mem_engine.h:345-347`).
+    *
+    * `excludeTerms` completes the Boolean set-operator family (the reference
+    * declares only AND; OR/NOT are natural closures — Lucene MUST_NOT
+    * semantics): a doc containing ANY excluded term is dropped from the
+    * candidate set, and excluded terms never contribute to the score. */
+  def search(ix: Index, queryTerms: Seq[String], k: Int, phrase: Boolean = false,
+             excludeTerms: Seq[String] = Nil): Seq[Hit] = {
     if (queryTerms.isEmpty || k <= 0) return Nil
     val lists = queryTerms.map(t => ix.postings.getOrElse(t, return Nil))
     val idfs = queryTerms.map(t => Bm25.idf(ix.nDocs, ix.df(t)))
+    val excluded: Set[Int] = excludeTerms.distinct.iterator
+      .flatMap(t => ix.postings.getOrElse(t, Array.empty[(Int, Int, Array[Int])]))
+      .map(_._1).toSet
 
     // k-way max-pivot leapfrog over docId-sorted lists
     val cursors = Array.fill(lists.size)(0)
@@ -70,7 +79,8 @@ object Oracle {
       if (!done) {
         if (allAligned) {
           val docId = maxDoc
-          val matches = !phrase || phraseMatch(lists.indices.map(j => lists(j)(cursors(j))._3))
+          val matches = !excluded.contains(docId) &&
+            (!phrase || phraseMatch(lists.indices.map(j => lists(j)(cursors(j))._3)))
           if (matches) {
             val lenByte = LenByte.encode(ix.docLen(docId).toLong)
             var score = 0.0
@@ -101,19 +111,25 @@ object Oracle {
     * completed here: score = sum over query slots whose term contains the
     * doc (slot order, so the FP sequence is deterministic), absent terms
     * contribute nothing, all-terms-absent => empty. */
-  def searchOr(ix: Index, queryTerms: Seq[String], k: Int): Seq[Hit] = {
+  def searchOr(ix: Index, queryTerms: Seq[String], k: Int,
+               excludeTerms: Seq[String] = Nil): Seq[Hit] = {
     if (k <= 0) return Nil
     val present = queryTerms.filter(ix.postings.contains)
     if (present.isEmpty) return Nil
+    val excluded: Set[Int] = excludeTerms.distinct.iterator
+      .flatMap(t => ix.postings.getOrElse(t, Array.empty[(Int, Int, Array[Int])]))
+      .map(_._1).toSet
     val acc = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
     // slot-outer iteration: every doc's contributions accumulate in query
     // slot order — same FP order as a per-doc slot loop
     present.foreach { t =>
       val idf = Bm25.idf(ix.nDocs, ix.df(t))
       ix.postings(t).foreach { case (docId, tf, _) =>
-        val lenByte = LenByte.encode(ix.docLen(docId).toLong)
-        val part = idf * Bm25.tfNormLossy(tf.toLong, lenByte, ix.lossyCache)
-        acc.update(docId, acc.getOrElse(docId, 0.0) + part)
+        if (!excluded.contains(docId)) {
+          val lenByte = LenByte.encode(ix.docLen(docId).toLong)
+          val part = idf * Bm25.tfNormLossy(tf.toLong, lenByte, ix.lossyCache)
+          acc.update(docId, acc.getOrElse(docId, 0.0) + part)
+        }
       }
     }
     // topK's boundary tie rule assumes candidates in ascending docId

@@ -117,8 +117,10 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * (same postings, same lossy BM25, same tie rule), executor-side memory
     * instead of driver-side. */
   private def distributed(queryTerms: Seq[String], k: Int,
-                          phrase: Boolean, conjunctive: Boolean = true): Seq[Oracle.Hit] =
-    Searcher.search(ix, queryTerms, k, phrase, conjunctive = conjunctive)
+                          phrase: Boolean, conjunctive: Boolean = true,
+                          excludeTerms: Seq[String] = Nil): Seq[Oracle.Hit] =
+    Searcher.search(ix, queryTerms, k, phrase, conjunctive = conjunctive,
+        excludeTerms = excludeTerms)
       .collect().sortBy(_.rank).map(h => Oracle.Hit(h.docId, h.score)).toSeq
 
   /** In-flight fetches, keyed by term (suffix "#p" = with positions):
@@ -188,16 +190,32 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * A term whose df exceeds `maxFetchPostings` routes the query to the
     * distributed [[Searcher]] instead of materializing the list on the
     * driver — one hot term on a 100 TB corpus must never OOM the server. */
-  def search(queryTerms: Seq[String], k: Int, phrase: Boolean = false): Seq[Oracle.Hit] = {
+  def search(queryTerms: Seq[String], k: Int, phrase: Boolean = false,
+             excludeTerms: Seq[String] = Nil): Seq[Oracle.Hit] = {
     if (queryTerms.isEmpty || k <= 0) return Nil
     val uniq = queryTerms.distinct
+    // NOT terms (Lucene MUST_NOT; same semantics as Searcher.search's
+    // excludeTerms): required∧excluded is unsatisfiable; absent excluded
+    // terms drop out on the df gate; a hot excluded list over the fetch
+    // budget routes the whole query to the distributed engine.
+    val exUniq = excludeTerms.distinct
+    if (exUniq.exists(uniq.contains)) return Nil
     val dfs = dfOf(uniq)
     if (dfs.valuesIterator.exists(_ == 0L)) return Nil // P2 guard, zero jobs on a warm dfCache
-    if (dfs.valuesIterator.exists(_ > maxFetchPostings))
-      return distributed(queryTerms, k, phrase)
+    val exPresent = { val ed = dfOf(exUniq); exUniq.filter(t => ed(t) > 0L) }
+    if (dfs.valuesIterator.exists(_ > maxFetchPostings) ||
+        exPresent.exists(t => dfCache.get(t).longValue() > maxFetchPostings))
+      return distributed(queryTerms, k, phrase, excludeTerms = exPresent)
 
     val lists = resolveLists(uniq, phrase)
-    if (lists == null) return distributed(queryTerms, k, phrase)
+    if (lists == null) return distributed(queryTerms, k, phrase, excludeTerms = exPresent)
+    val exLists: IndexedSeq[TermList] =
+      if (exPresent.isEmpty) IndexedSeq.empty
+      else {
+        val r = resolveLists(exPresent, phrase = false)
+        if (r == null) return distributed(queryTerms, k, phrase, excludeTerms = exPresent)
+        r.toIndexedSeq
+      }
 
     val byTerm = uniq.zip(lists).toMap
     val slots = queryTerms.map(byTerm).toIndexedSeq
@@ -220,14 +238,15 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val minN = slots.map(_.n).min
     val w = LocalService.scanParallelism
     if (minN < math.max(scanThreshold, w) || w < 2)
-      scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue)
+      scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue, exLists)
     else {
       val small = slots.minBy(_.n)
       val bounds = (1 until w).map(i => small.docIds((small.n.toLong * i / w).toInt))
       val ranges = (0 +: bounds).zip(bounds :+ Int.MaxValue)
       val tasks = ranges.map { case (lo, hi) =>
         LocalService.scanPool.submit(new java.util.concurrent.Callable[Seq[Oracle.Hit]] {
-          def call(): Seq[Oracle.Hit] = scanRange(slots, idfs, lenBytes, k, phrase, lo, hi)
+          def call(): Seq[Oracle.Hit] =
+            scanRange(slots, idfs, lenBytes, k, phrase, lo, hi, exLists)
         })
       }
       tasks.flatMap(_.get()).sortBy(h => (-h.score, h.docId)).take(k)
@@ -241,9 +260,28 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * every posting; an intermediate buffer would allocate df objects). */
   private def scanRange(slots: IndexedSeq[TermList], idfs: Array[Double],
                         lenBytes: Array[Int], k: Int, phrase: Boolean,
-                        fromDoc: Int, untilDoc: Int): Seq[Oracle.Hit] = {
+                        fromDoc: Int, untilDoc: Int,
+                        exSlots: IndexedSeq[TermList] = IndexedSeq.empty): Seq[Oracle.Hit] = {
     val nL = slots.size
     val cursors = new Array[Int](nL)
+    // exclusion membership: one binary search per EXCLUSION LIST per aligned
+    // candidate — candidates are bounded by the smallest positive list, so
+    // a hot excluded term costs O(matched × log df), never a full merge
+    def excluded(docId: Int): Boolean = {
+      var e = 0
+      while (e < exSlots.size) {
+        val arr = exSlots(e).docIds
+        var lo = 0
+        var hi = arr.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid) < docId) lo = mid + 1 else hi = mid
+        }
+        if (lo < arr.length && arr(lo) == docId) return true
+        e += 1
+      }
+      false
+    }
     var j0 = 0
     while (j0 < nL) { // first posting with docId >= fromDoc, per list
       val arr = slots(j0).docIds
@@ -277,11 +315,11 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       if (!done && maxDoc >= untilDoc) done = true // range end: no candidate below untilDoc remains
       if (!done) {
         if (aligned) {
-          val ok = !phrase || {
+          val ok = !excluded(maxDoc) && (!phrase || {
             var j = 0
             while (j < nL) { posBuf(j) = slots(j).positions(cursors(j)); j += 1 }
             LocalService.phraseAdjacent(posBuf, posCursors)
-          }
+          })
           if (ok) {
             val lb = lenBytes(maxDoc)
             var s = 0.0

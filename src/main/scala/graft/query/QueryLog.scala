@@ -9,19 +9,23 @@ import org.apache.spark.sql.DataFrame
   * and `#` comments are skipped. Terms are normalized through the engine
   * tokenizer so log text and index vocabulary always agree.
   *
-  * Format extension (not in the reference, which has no range queries): a
-  * line consisting of a SINGLE token ending in `*` (e.g. `ret*`) is a
-  * PREFIX query — expanded against the index dictionary at run time
-  * ([[Searcher.expandPrefix]]: deterministic df-desc cap) and evaluated
-  * disjunctively.
+  * Format extensions (not in the reference, which has no range queries):
+  *  - a line consisting of a SINGLE token ending in `*` (e.g. `ret*`) is a
+  *    PREFIX query — expanded against the index dictionary at run time
+  *    ([[Searcher.expandPrefix]]: deterministic df-desc cap) and evaluated
+  *    disjunctively;
+  *  - on an unquoted line, a token prefixed with `-` (e.g. `if -epsilon`)
+  *    is a NOT term (Lucene MUST_NOT): matching docs must not contain it.
   */
 object QueryLog {
 
   /** One parsed query. `prefix` set ⇒ a prefix query: `terms` may be empty
     * until resolved against an index dictionary, and evaluation is
-    * disjunctive over the expansion. */
+    * disjunctive over the expansion. `exclude` nonEmpty ⇒ a NOT query:
+    * matching docs must not contain any excluded term. */
   final case class LogQuery(id: Int, terms: Seq[String], phrase: Boolean,
-                            prefix: Option[String] = None)
+                            prefix: Option[String] = None,
+                            exclude: Seq[String] = Nil)
 
   /** Parse one log line (None for blanks/comments). */
   def parseLine(line: String, id: Int): Option[LogQuery] = {
@@ -34,7 +38,11 @@ object QueryLog {
       if (stem.size == 1) Some(LogQuery(id, Nil, phrase = false, prefix = Some(stem.head)))
       else None
     }
-    else Some(LogQuery(id, Tokenizer.terms(t).toSeq, phrase = false))
+    else {
+      val (neg, pos) = t.split("\\s+").toSeq.partition(_.startsWith("-"))
+      Some(LogQuery(id, pos.flatMap(w => Tokenizer.terms(w)), phrase = false,
+        exclude = neg.flatMap(w => Tokenizer.terms(w.drop(1)))))
+    }
   }
 
   /** Load a query log from a local file (driver-side — logs are the small
@@ -64,18 +72,28 @@ object QueryLog {
     * queries through the batched [[Searcher.searchAll]] path (prefix
     * queries as disjunctive members of the same batch), phrase queries
     * through the batched positional [[Searcher.searchAllPhrase]] path.
+    * NOT queries (`exclude` nonEmpty — a small minority of real logs; the
+    * AOL analysis has no exclusion syntax at all) are evaluated per query
+    * through [[Searcher.search]]'s skip-pruned exclusion path.
     * Returns (queryId, rank, docId, score). */
   def run(ix: Searcher.LoadedIndex, queries: Seq[LogQuery], k: Int): DataFrame = {
     import ix.spark.implicits._
     val resolved = resolve(ix, queries)
-    val termQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty)
+    val termQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty && q.exclude.isEmpty)
       .map(q => (q.id, q.terms))
     val disjunctive = resolved.filter(_.prefix.nonEmpty).map(_.id).toSet
     val phraseQs = resolved.filter(q => q.phrase && q.terms.nonEmpty)
       .map(q => (q.id, q.terms))
+    val notQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty && q.exclude.nonEmpty)
+    val notRows: Seq[(Int, Int, Int, Double)] = notQs.flatMap { q =>
+      Searcher.search(ix, q.terms, k, conjunctive = !disjunctive(q.id),
+          excludeTerms = q.exclude)
+        .collect().map(h => (q.id, h.rank, h.docId, h.score))
+    }
     val parts: Seq[DataFrame] =
       (if (termQs.nonEmpty) Seq(Searcher.searchAll(ix, termQs, k, disjunctive)) else Nil) ++
-      (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k)) else Nil)
+      (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k)) else Nil) ++
+      (if (notRows.nonEmpty) Seq(notRows.toDF("queryId", "rank", "docId", "score")) else Nil)
     parts match {
       case Nil => Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")
       case head :: tail => tail.foldLeft(head)(_ unionByName _)

@@ -121,12 +121,19 @@ object Searcher {
   def search(ix: LoadedIndex, queryTerms: Seq[String], k: Int,
              phrase: Boolean = false, bloomFactor: Int = 1,
              wandMinPostings: Long = 50000L,
-             conjunctive: Boolean = true): Dataset[Hit] = {
+             conjunctive: Boolean = true,
+             excludeTerms: Seq[String] = Nil): Dataset[Hit] = {
     require(conjunctive || !phrase, "phrase queries are conjunctive by definition")
     val spark = ix.spark
     import spark.implicits._
     val terms0 = queryTerms.distinct
     if (terms0.isEmpty || k <= 0) return spark.emptyDataset[Hit]
+    // NOT (set difference — Lucene MUST_NOT; completes the Boolean family
+    // alongside the OR completion above): a required term that is also
+    // excluded is unsatisfiable by construction.
+    val exTerms = excludeTerms.distinct
+    if (conjunctive && exTerms.exists(terms0.contains))
+      return spark.emptyDataset[Hit]
 
     // (P1/P2) df per query term from the broadcast-sized termstats.
     // Conjunctive: empty result if any term is absent
@@ -186,6 +193,38 @@ object Searcher {
     val estPostings = terms.iterator
       .map(t => rangeSurvivors(t).iterator.map(i => meta(t)(i).n.toLong).sum).sum
 
+    // Excluded-doc set, skip-pruned: only exclusion blocks whose docId range
+    // overlaps the POSITIVE terms' candidate coverage are decoded — a hot
+    // excluded term (`-return` over source code) costs only the slice of its
+    // postings that can intersect the required terms, never a full decode.
+    // Applied inside scoreOf so the WAND pilot's θ is computed over
+    // post-exclusion docs (otherwise θ could exceed the true kth final
+    // score and over-prune).
+    val exDocs: Option[DataFrame] =
+      if (exTerms.isEmpty) None
+      else {
+        val exBlocks = ix.postings.filter($"term".isin(exTerms: _*))
+        val exMetaRaw = exBlocks.select("term", "firstDocId", "lastDocId")
+          .as[(String, Int, Int)].collect()
+        val exKeys = exMetaRaw.groupBy(_._1).iterator.flatMap { case (t, rs) =>
+          val m = rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
+          BlockMax.overlapping(m, candidates).iterator.map(i => (t, m(i).first))
+        }.toSeq
+        if (exKeys.isEmpty) None
+        else {
+          val keysDf = broadcast(exKeys.toDF("term", "firstDocId"))
+          Some(exBlocks.join(keysDf, Seq("term", "firstDocId"), "left_semi")
+            .select("prevDocId", "n", "docIds", "tfs")
+            .as[(Int, Int, Array[Byte], Array[Byte])]
+            .flatMap { case (prev, n, ids, tfs) =>
+              PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(_._1)
+            }
+            .toDF("docId").distinct())
+        }
+      }
+    def minusExcluded(df: DataFrame): DataFrame =
+      exDocs.map(e => df.join(e, Seq("docId"), "left_anti")).getOrElse(df)
+
     val decodedAcc = spark.sparkContext.longAccumulator("graft.decodedPostings")
     def blocksFor(sel: Map[String, Array[Int]]): DataFrame = {
       val keys: Set[(String, Int)] = sel.iterator.flatMap { case (t, idxs) =>
@@ -236,7 +275,7 @@ object Searcher {
         .groupBy($"docId")
         .agg(countDistinct($"term").as("nMatched"), slotSums: _*)
         .withColumn("score", slotOrderedScore)
-      if (conjunctive) agg.filter($"nMatched" === nTerms) else agg
+      minusExcluded(if (conjunctive) agg.filter($"nMatched" === nTerms) else agg)
     }
 
     val usedWand = !phrase && estPostings > wandMinPostings
@@ -348,14 +387,14 @@ object Searcher {
     // merge.
     val scored =
       if (!phrase) scoreOf(pruned)
-      else matched.toDF("term", "docId", "tf")
+      else minusExcluded(matched.toDF("term", "docId", "tf")
         .join(lenByteOf, "docId")
         .join(slotDf, "term")
         .withColumn("partScore", partScoreExpr)
         .groupBy($"docId")
         .agg(countDistinct($"term").as("nMatched"), slotSums: _*)
         .withColumn("score", slotOrderedScore)
-        .filter($"nMatched" === nTerms)
+        .filter($"nMatched" === nTerms))
     val hits = scored
       .orderBy(desc("score"), asc("docId"))
       .limit(k)

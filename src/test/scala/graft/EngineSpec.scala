@@ -138,6 +138,51 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orN >= andN)
   }
 
+  test("NOT (exclusion) top-10 rank-identical vs oracle") {
+    // set-difference operator (Lucene MUST_NOT) — completes the Boolean
+    // family; differential vs the oracle with exclusion applied, covering
+    // conjunctive, disjunctive, phrase, hot-excluded and absent-excluded
+    val cases: Seq[(Seq[String], Seq[String])] = Seq(
+      (Seq("epsilon"), Seq("return")),          // rare +, hot −
+      (Seq("if", "return"), Seq("val")),        // hot∧hot, hot −
+      (Seq("hash", "seed"), Seq("nosuchterm_xyz")), // excluded term absent
+      (Seq("posting"), Seq("epsilon", "score")))    // multi-term exclusion
+    cases.foreach { case (q, ex) =>
+      val got = Searcher.search(ix, q, 10, excludeTerms = ex).collect().sortBy(_.rank)
+      val want = Oracle.search(oracle, q, 10, excludeTerms = ex)
+      assert(got.length == want.length, s"NOT size mismatch for $q -$ex: ${got.toSeq} vs $want")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.docId == w.docId, s"NOT docId mismatch for $q -$ex: ${got.toSeq} vs $want")
+        assert(math.abs(g.score - w.score) < 1e-9, s"NOT score mismatch for $q -$ex")
+      }
+      // no returned doc contains an excluded term (semantic invariant)
+      val exDocs = ex.flatMap(t =>
+        oracle.postings.getOrElse(t, Array.empty[(Int, Int, Array[Int])]).map(_._1)).toSet
+      assert(got.forall(h => !exDocs.contains(h.docId)))
+    }
+    // disjunctive NOT
+    val gotOr = Searcher.search(ix, Seq("epsilon", "posting"), 10,
+      conjunctive = false, excludeTerms = Seq("return")).collect().sortBy(_.rank)
+    val wantOr = Oracle.searchOr(oracle, Seq("epsilon", "posting"), 10,
+      excludeTerms = Seq("return"))
+    assert(gotOr.map(_.docId).toSeq == wantOr.map(_.docId))
+    // phrase NOT
+    val gotPh = Searcher.search(ix, Seq("if", "return"), 10, phrase = true,
+      excludeTerms = Seq("epsilon")).collect().sortBy(_.rank)
+    val wantPh = Oracle.search(oracle, Seq("if", "return"), 10, phrase = true,
+      excludeTerms = Seq("epsilon"))
+    assert(gotPh.map(_.docId).toSeq == wantPh.map(_.docId))
+    // required∧excluded same term is unsatisfiable
+    assert(Searcher.search(ix, Seq("if"), 10, excludeTerms = Seq("if")).isEmpty)
+    // WAND path with exclusion: θ must be computed post-exclusion (forced
+    // pilot via wandMinPostings=0) — still rank-identical
+    val gotW = Searcher.search(ix, Seq("if", "return"), 10,
+      wandMinPostings = 0L, excludeTerms = Seq("val")).collect().sortBy(_.rank)
+    val wantW = Oracle.search(oracle, Seq("if", "return"), 10, excludeTerms = Seq("val"))
+    assert(gotW.map(_.docId).toSeq == wantW.map(_.docId))
+    wantW.zip(gotW).foreach { case (w, g) => assert(math.abs(g.score - w.score) < 1e-9) }
+  }
+
   test("prefix search (trie equal_prefix_range analog) rank-identical vs oracle") {
     // oracle-side expansion: same deterministic (df desc, term asc) cap over
     // the single-JVM index's dictionary
@@ -360,6 +405,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("LocalService: NOT (exclusion) parity with the oracle, warm and over-budget") {
+    built
+    val svc = new graft.query.LocalService(ix)
+    val cases: Seq[(Seq[String], Seq[String])] = Seq(
+      (Seq("epsilon"), Seq("return")),          // rare +, hot −
+      (Seq("if", "return"), Seq("val")),        // hot∧hot, hot −
+      (Seq("hash", "seed"), Seq("zzz_absent"))) // excluded term absent
+    cases.foreach { case (terms, ex) =>
+      val want = Oracle.search(oracle, terms, 10, excludeTerms = ex)
+      val got = svc.search(terms, 10, excludeTerms = ex)
+      assert(got.map(_.docId) == want.map(_.docId), s"svc NOT $terms -$ex")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+    // required∧excluded same term is unsatisfiable on the serving path too
+    assert(svc.search(Seq("if"), 10, excludeTerms = Seq("if")).isEmpty)
+    // over-budget excluded term: the whole query routes to the distributed
+    // engine — identical results, no hot list on the driver
+    val tight = new graft.query.LocalService(ix, maxFetchPostings = 50L)
+    val got = tight.search(Seq("epsilon"), 10, excludeTerms = Seq("return"))
+    val want = Oracle.search(oracle, Seq("epsilon"), 10, excludeTerms = Seq("return"))
+    assert(got.map(_.docId) == want.map(_.docId))
+    assert(tight.residentPostings == 0L,
+      "over-budget exclusion list was materialized on the driver")
+  }
+
   test("LocalService: over-budget term is never materialized on the driver") {
     built
     // df gate: any term above maxFetchPostings routes the query to the
@@ -494,20 +564,21 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val log = java.nio.file.Files.createTempFile("graft_queries", ".log")
     java.nio.file.Files.writeString(log,
-      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\n")
+      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\n")
     val qs = graft.query.QueryLog.load(log.toString)
-    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false))
+    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false))
     assert(qs(1).terms == Seq("if", "return"))
     assert(qs(3).terms == Seq("val", "index")) // tokenizer-normalized
     assert(qs(4).prefix.contains("fn_1") && qs(4).terms.isEmpty)
     assert(qs(5).prefix.contains("zzz_nosuch")) // expands to nothing → no rows
+    assert(qs(6).terms == Seq("if") && qs(6).exclude == Seq("epsilon")) // NOT syntax
     val res = graft.query.QueryLog.run(ix, qs, 10)
       .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
     qs.foreach { q =>
       val want = q.prefix match {
         case Some(p) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
-        case None => Searcher.search(ix, q.terms, 10, phrase = q.phrase)
-          .collect().sortBy(_.rank)
+        case None => Searcher.search(ix, q.terms, 10, phrase = q.phrase,
+          excludeTerms = q.exclude).collect().sortBy(_.rank)
       }
       val got = res.getOrElse(q.id, Array.empty).sortBy(_._2)
       assert(got.map(_._3).toSeq == want.map(_.docId).toSeq, s"log query $q")
