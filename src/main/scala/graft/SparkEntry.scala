@@ -688,6 +688,20 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.connectedComponents(minhashPairs(s, dir)).orderBy("id")),
 
+    // benchmark decontamination: corpus docs sharing >= 5 distinct token
+    // 3-grams with a deterministic "eval set" proxy (doc_id % 37 == 0) —
+    // the n-gram collision check run before any training-data release;
+    // eval n-grams broadcast, corpus side map-only
+    "decon_ngram_overlap" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.contaminationOverlap(
+          d.filter(col("doc_id") % 37 =!= 0),
+          d.filter(col("doc_id") % 37 === 0),
+          "text", "doc_id", n = 3, minShared = 5)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
     // exact n-gram Jaccard on bounded pairs
     "dedup_ngram_jaccard" -> { (s, dir) =>
       val d = docs(s, dir).filter(col("doc_id") < 20)
@@ -1292,6 +1306,15 @@ object SparkEntry {
          |   SELECT w.id, e.d FROM walk w JOIN edges e ON w.r = e.s)
          |SELECT id, least(id, min(r)) comp FROM walk GROUP BY id ORDER BY id""".stripMargin
     },
+
+    "decon_ngram_overlap" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($SHING) g FROM documents),
+         | ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 37 = 0)
+         |SELECT doc_id, count(DISTINCT g)::BIGINT n_shared
+         |FROM sh JOIN ev USING (g)
+         |WHERE doc_id % 37 <> 0
+         |GROUP BY doc_id HAVING count(DISTINCT g) >= 5
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct($SHING) s FROM documents),

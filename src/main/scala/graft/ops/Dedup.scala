@@ -268,4 +268,32 @@ object Dedup {
       .distinct()
       .filter($"hamming" <= maxHamming)
   }
+
+  /** Benchmark decontamination: flag corpus docs sharing at least
+    * `minShared` distinct token n-grams with an evaluation set — the
+    * GPT-3/PaLM-style contamination check every training pipeline runs
+    * before a data release (n-gram collision against held-out benchmarks).
+    *
+    * Returns (id, n_shared) for flagged corpus docs. Scale shape: the eval
+    * side is benchmarks — thousands of docs, millions of n-grams — so its
+    * distinct n-gram set is BROADCAST and the corpus side is one map-only
+    * pass (explode → broadcast semi-ish join → partial-agg count): no
+    * corpus-sized shuffle at 100 TB. Counting distinct shared n-grams
+    * (not occurrences) makes the score insensitive to repetition inside a
+    * single doc. For eval sets too big to broadcast, the same plan without
+    * `broadcast()` degrades to a shuffle join on the n-gram key — Catalyst
+    * picks it automatically when the hint is dropped. */
+  def contaminationOverlap(corpus: DataFrame, evalDocs: DataFrame,
+                           textCol: String, idCol: String,
+                           n: Int = 3, minShared: Int = 5): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("g"))
+    val evalGrams = grams(evalDocs).select("g").distinct()
+    grams(corpus)
+      .join(broadcast(evalGrams), "g")
+      .groupBy("id")
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -234,6 +234,27 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cc(3L) == 0L && cc.getOrElse(1L, 0L) == 0L)
   }
 
+  test("contamination overlap flags docs sharing eval n-grams, counts distinct") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),  // 4 shared 3-grams with eval
+      (2L, "alpha beta gamma alpha beta gamma"),    // repeated gram counts ONCE per distinct
+      (3L, "totally different words here now")      // no overlap
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val hits = Dedup.contaminationOverlap(corpus, eval, "text", "doc_id",
+      n = 3, minShared = 2).as[(Long, Long)].collect().toMap
+    assert(hits(1L) == 4L) // all 4 of doc 1's 3-grams appear in eval
+    // doc 2 has distinct grams {a b g, b g a, g a b, a b g} → only "alpha beta
+    // gamma" is in eval, and it must count once, below the threshold of 2
+    assert(!hits.contains(2L), s"repetition inflated the overlap: $hits")
+    assert(!hits.contains(3L))
+    // threshold 1 admits doc 2 with exactly one distinct shared gram
+    val loose = Dedup.contaminationOverlap(corpus, eval, "text", "doc_id",
+      n = 3, minShared = 1).as[(Long, Long)].collect().toMap
+    assert(loose(2L) == 1L)
+  }
+
   test("split assignment is content-keyed: exact dups share a split") {
     import spark.implicits._
     val s = TextOps.splitAssign(docs, "text", "doc_id")
