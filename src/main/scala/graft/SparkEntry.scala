@@ -253,9 +253,28 @@ object SparkEntry {
     * both engines). The engine path ([[graft.query.Searcher.searchPrefix]])
     * keeps full double precision. */
   private def bm25PrefixTopK(s: SparkSession, dir: String, prefix: String,
-                             k: Int, maxExpansion: Int): DataFrame = {
+                             k: Int, maxExpansion: Int): DataFrame =
+    bm25ExpandTopK(s, dir, prefixExpand(s, dir, prefix, maxExpansion), k)
+
+  /** Fuzzy dictionary expansion (P5): dictionary terms within `maxDist`
+    * Levenshtein edits of `term` — typo tolerance, same deterministic
+    * (df desc, term asc) cap as [[prefixExpand]]. The length band is the
+    * cheap pre-filter; `levenshtein(_,_,threshold)` early-exits above the
+    * bound. Engine path: [[graft.query.Searcher.expandFuzzy]]. */
+  private def fuzzyExpand(s: SparkSession, dir: String, term: String,
+                          maxDist: Int, maxExpansion: Int): DataFrame =
+    tfTable(s, dir)
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .filter(abs(length(col("term")) - lit(term.length)) <= maxDist)
+      .filter(levenshtein(col("term"), lit(term), maxDist) >= 0)
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansion)
+
+  /** Disjunctive micro-int BM25 over a dynamic (term, df) expansion —
+    * shared by the prefix and fuzzy top-k contracts. */
+  private def bm25ExpandTopK(s: SparkSession, dir: String,
+                             expanded: DataFrame, k: Int): DataFrame = {
     val tf = tfTable(s, dir)
-    val expanded = prefixExpand(s, dir, prefix, maxExpansion)
     val len = lenTable(s, dir)
     val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
       sum("len").cast("long").as("sum_len"))
@@ -480,6 +499,14 @@ object SparkEntry {
       .orderBy(desc("df"), asc("term"))),
     // A5 over a dynamic prefix expansion (disjunctive, micro-int contract)
     "a5_bm25_prefix_topk" -> ((s, dir) => bm25PrefixTopK(s, dir, "s", 10, 4)),
+
+    // P5: fuzzy dictionary probe — terms within 2 edits of the typo "par"
+    // ({part:1, spark:2, a:2} in the synthetic vocabulary), df-desc cap
+    "p5_fuzzy_expand" -> ((s, dir) => fuzzyExpand(s, dir, "par", 2, 16)
+      .orderBy(desc("df"), asc("term"))),
+    // A5 over the fuzzy expansion (disjunctive, micro-int contract)
+    "a5_bm25_fuzzy_topk" -> ((s, dir) =>
+      bm25ExpandTopK(s, dir, fuzzyExpand(s, dir, "par", 2, 16), 10)),
 
     // F5: idf per term (micro)
     "f5_idf" -> { (s, dir) =>
@@ -970,12 +997,17 @@ object SparkEntry {
     * CTE mirrors [[prefixExpand]]'s deterministic cap; per-term partials are
     * rounded to micro BEFORE the per-doc sum so the comparison is
     * integer-exact regardless of either engine's FP accumulation order. */
-  private def bm25PrefixSql(prefix: String, k: Int, maxExpansion: Int): String = {
+  private def bm25PrefixSql(prefix: String, k: Int, maxExpansion: Int): String =
+    bm25ExpandSql(s"term LIKE '$prefix%'", k, maxExpansion)
+
+  /** Disjunctive micro-int BM25 over a dynamic dictionary expansion given
+    * by `expWhere` — shared by the prefix and fuzzy oracle contracts. */
+  private def bm25ExpandSql(expWhere: String, k: Int, maxExpansion: Int): String = {
     val part =
       s"round(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))) * 1e6)::BIGINT"
     s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
        | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
-       | exp AS (SELECT term, count(*)::BIGINT df FROM tf WHERE term LIKE '$prefix%'
+       | exp AS (SELECT term, count(*)::BIGINT df FROM tf WHERE $expWhere
        |         GROUP BY term ORDER BY df DESC, term LIMIT $maxExpansion),
        | base AS (SELECT doc_id, $part pm
        |          FROM tf JOIN exp USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
@@ -993,6 +1025,14 @@ object SparkEntry {
          |GROUP BY term ORDER BY df DESC, term LIMIT 4""".stripMargin,
 
     "a5_bm25_prefix_topk" -> bm25PrefixSql("s", 10, 4),
+
+    "p5_fuzzy_expand" ->
+      s"""SELECT term, count(*)::BIGINT df FROM $TF tf
+         |WHERE abs(length(term) - 3) <= 2 AND levenshtein(term, 'par') <= 2
+         |GROUP BY term ORDER BY df DESC, term LIMIT 16""".stripMargin,
+
+    "a5_bm25_fuzzy_topk" -> bm25ExpandSql(
+      "abs(length(term) - 3) <= 2 AND levenshtein(term, 'par') <= 2", 10, 16),
 
     "s1_scan" ->
       "SELECT doc_id, lang, n_chars::BIGINT n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id",

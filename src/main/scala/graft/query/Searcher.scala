@@ -453,6 +453,50 @@ object Searcher {
     } else search(ix, terms, k, conjunctive = false)
   }
 
+  /** Fuzzy dictionary probe: terms within `maxDist` Levenshtein edits of
+    * `term` (typo tolerance — `qurey` finds `query`), with the SAME
+    * deterministic (df desc, term asc) cap rule as [[expandPrefix]].
+    * The exact `term` itself is included when present.
+    *
+    * The filter is the codegen'd built-in `levenshtein(_, _, threshold)`
+    * (banded DP, early-exit above the threshold) behind a pushed length
+    * band `abs(len(t) - len(term)) <= maxDist` — parquet row groups whose
+    * term-length stats miss the band are pruned via the min/max on the
+    * sorted dictionary. Cost is a DICTIONARY scan (≪ corpus; the
+    * reference's htrie could answer this by bounded-error traversal but
+    * the C++ engine never does); for serving-scale QPS the deletion-
+    * neighborhood index (SymSpell) is the known upgrade with the same
+    * output contract. */
+  def expandFuzzy(ix: LoadedIndex, term: String, maxDist: Int = 1,
+                  maxExpansion: Int = 16): Seq[String] = {
+    val spark = ix.spark
+    import spark.implicits._
+    if (term.isEmpty || maxExpansion <= 0) return Nil
+    ix.termstats
+      .filter(abs(length($"term") - lit(term.length)) <= maxDist)
+      .filter(levenshtein($"term", lit(term), maxDist) >= 0) // -1 = over threshold
+      .select($"term", $"df")
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansion)
+      .as[(String, Long)]
+      .collect()
+      .map(_._1)
+      .toSeq
+  }
+
+  /** Fuzzy BM25 top-k: score the edit-distance expansion disjunctively —
+    * the multi-term rewrite of a typo'd query, same evaluation as
+    * [[searchPrefix]]. */
+  def searchFuzzy(ix: LoadedIndex, term: String, k: Int, maxDist: Int = 1,
+                  maxExpansion: Int = 16): Dataset[Hit] = {
+    val terms = expandFuzzy(ix, term, maxDist, maxExpansion)
+    if (terms.isEmpty) {
+      val spark = ix.spark
+      import spark.implicits._
+      spark.emptyDataset[Hit]
+    } else search(ix, terms, k, conjunctive = false)
+  }
+
   /** Pruning diagnostics of the most recent [[search]] call on this JVM
     * (driver-side; for tests/benchmarks, not part of the query result). */
   val lastDiag = new java.util.concurrent.atomic.AtomicReference[BlockMax.Diag]()

@@ -214,6 +214,35 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"prefix probe not pushed to the scan:\n$probePlan")
   }
 
+  test("fuzzy search (edit-distance expansion) rank-identical vs oracle") {
+    // reference Levenshtein for the oracle expansion — full DP, no band
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    def oracleExpand(term: String, maxDist: Int, cap: Int): Seq[String] =
+      oracle.postings.keysIterator.filter(t => lev(t, term) <= maxDist).toSeq
+        .map(t => (t, oracle.df(t))).sortBy { case (t, d) => (-d, t) }
+        .take(cap).map(_._1)
+    for ((t, dist, cap) <- Seq(("retrun", 2, 16), ("fn_1_9", 1, 16),
+                               ("iff", 1, 16), ("zzzzzzz", 1, 4))) {
+      val terms = Searcher.expandFuzzy(ix, t, dist, cap)
+      assert(terms == oracleExpand(t, dist, cap), s"fuzzy expansion mismatch for '$t'")
+      val got = Searcher.searchFuzzy(ix, t, 10, dist, cap).collect().sortBy(_.rank)
+      val want = Oracle.searchOr(oracle, terms, 10)
+      assert(got.length == want.length, s"fuzzy size mismatch for '$t': ${got.toSeq} vs $want")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.docId == w.docId, s"fuzzy docId mismatch for '$t'")
+        assert(math.abs(g.score - w.score) < 1e-9, s"fuzzy score mismatch for '$t'")
+      }
+    }
+    // the exact term is its own distance-0 neighbor: fuzzy('if') ⊇ search('if')
+    assert(Searcher.expandFuzzy(ix, "if", 1, 64).contains("if"))
+  }
+
   test("phrase query matches oracle") {
     // 'return' followed by a zipf word occurs in many docs; also a never-
     // adjacent pair must return empty; repeated terms use per-slot shifts.
