@@ -430,6 +430,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // A7: facet counts — matching-doc count per metadata value over ALL
+    // docs matching the conjunction (the search-engine facet panel; index-
+    // driven decode, then one join + partial-agg count). Engine path:
+    // Searcher.facetCounts over the docstore's metadata columns.
+    "a7_facet_counts" -> { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("spark", "query")
+      val matched = docBlocks(s, dir)
+        .filter(col("term").isin(terms: _*))
+        .select("term", "prevDocId", "n", "docIds", "tfs")
+        .as[(String, Int, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs) =>
+          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1))
+        }
+        .toDF("term", "doc_id")
+        .groupBy("doc_id").agg(countDistinct(col("term")).as("nm"))
+        .filter(col("nm") === terms.size)
+        .select("doc_id")
+      matched
+        .join(docs(s, dir).select(col("doc_id").cast("int").as("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("lang")
+    },
+
     // J6: posting-list difference (NOT) — docs containing "spark" minus
     // docs containing "query"; the anti-join analog of J1's semi-join
     "j6_except" -> { (s, dir) =>
@@ -1150,6 +1174,12 @@ object SparkEntry {
          |  EXCEPT
          |  SELECT doc_id FROM $TF WHERE term = 'query'
          |) ORDER BY doc_id""".stripMargin,
+
+    "a7_facet_counts" ->
+      s"""SELECT lang, count(*)::BIGINT n_docs FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM $TF WHERE term IN ('spark','query')
+         |                 GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "f5_idf" ->
       s"""WITH tf AS (SELECT * FROM $TF),

@@ -497,6 +497,66 @@ object Searcher {
     } else search(ix, terms, k, conjunctive = false)
   }
 
+  /** ALL docIds matching the conjunction (no top-k) — the relational bridge
+    * from a search match to downstream Spark ops (facets, joins, exports).
+    * Same block-coverage intersection as [[search]] (only blocks inside
+    * every term's coverage decode), same P2 guard; exclusion terms prune
+    * like [[search]]'s NOT. Returns a single `docId` (int) column. */
+  def matchingDocs(ix: LoadedIndex, queryTerms: Seq[String],
+                   excludeTerms: Seq[String] = Nil): DataFrame = {
+    val spark = ix.spark
+    import spark.implicits._
+    def empty = Seq.empty[Int].toDF("docId")
+    val terms = queryTerms.distinct
+    if (terms.isEmpty || excludeTerms.exists(terms.contains)) return empty
+    val present = ix.termstats.filter($"term".isin(terms: _*))
+      .select("term").as[String].collect().toSet
+    if (terms.exists(t => !present.contains(t))) return empty
+    val blocks = ix.postings.filter($"term".isin(terms ++ excludeTerms.distinct: _*))
+    val metaRaw = blocks.select("term", "firstDocId", "lastDocId")
+      .as[(String, Int, Int)].collect()
+    val meta = metaRaw.groupBy(_._1).map { case (t, rs) =>
+      t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
+    }
+    val candidates = BlockMax.intersectCoverage(terms.map(meta(_)))
+    if (candidates.isEmpty) return empty
+    def decodeIds(sel: Seq[String]): DataFrame = {
+      val keys = sel.flatMap { t =>
+        val m = meta.getOrElse(t, Array.empty[BlockMax.BlockMeta])
+        BlockMax.overlapping(m, candidates).map(i => (t, m(i).first))
+      }
+      if (keys.isEmpty) return spark.emptyDataset[(String, Int)].toDF("term", "docId")
+      val keysDf = broadcast(keys.toDF("term", "firstDocId"))
+      blocks.join(keysDf, Seq("term", "firstDocId"), "left_semi")
+        .select("term", "prevDocId", "n", "docIds", "tfs")
+        .as[(String, Int, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs) =>
+          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1))
+        }.toDF("term", "docId")
+    }
+    val matched = decodeIds(terms)
+      .groupBy($"docId")
+      .agg(countDistinct($"term").as("nMatched"))
+      .filter($"nMatched" === terms.size)
+      .select("docId")
+    val ex = excludeTerms.distinct.filter(meta.contains)
+    if (ex.isEmpty) matched
+    else matched.join(decodeIds(ex).select("docId").distinct(), Seq("docId"), "left_anti")
+  }
+
+  /** Facet counts over ALL matching docs — matching-doc count per value of
+    * a docstore metadata column (the standard search-engine facet panel;
+    * absent in the reference, whose doc store is body-only —
+    * `flash_doc_store.h`). One pruned decode + one broadcast-ish join +
+    * one partial-agg count; never materializes the match set on the
+    * driver. */
+  def facetCounts(ix: LoadedIndex, queryTerms: Seq[String], facetCol: String,
+                  excludeTerms: Seq[String] = Nil): DataFrame =
+    matchingDocs(ix, queryTerms, excludeTerms)
+      .join(ix.docstore.select(col("docId"), col(facetCol)), "docId")
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Pruning diagnostics of the most recent [[search]] call on this JVM
     * (driver-side; for tests/benchmarks, not part of the query result). */
   val lastDiag = new java.util.concurrent.atomic.AtomicReference[BlockMax.Diag]()

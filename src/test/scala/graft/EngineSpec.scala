@@ -243,6 +243,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Searcher.expandFuzzy(ix, "if", 1, 64).contains("if"))
   }
 
+  test("facet counts over all matches agree with a brute-force oracle") {
+    import spark.implicits._
+    // brute-force: match set from the oracle postings, lang from the same
+    // (repo,path)-sorted row order the docId assignment uses
+    val rows = (0L until NDocs).map(id => CorpusGen.row(42L, id)).sortBy(r => (r._1, r._2))
+    val langOf: Int => String = d => rows(d)._4
+    def wantFacets(terms: Seq[String], exclude: Seq[String] = Nil): Map[String, Long] = {
+      val sets = terms.map(t =>
+        oracle.postings.getOrElse(t, Array.empty[(Int, Int, Array[Int])]).map(_._1).toSet)
+      val exSet = exclude.flatMap(t =>
+        oracle.postings.getOrElse(t, Array.empty[(Int, Int, Array[Int])]).map(_._1)).toSet
+      val matched =
+        if (sets.isEmpty || sets.exists(_.isEmpty)) Set.empty[Int]
+        else sets.reduce(_ intersect _) -- exSet
+      matched.groupBy(langOf).map { case (l, ds) => l -> ds.size.toLong }
+    }
+    for ((q, ex) <- Seq((Seq("if", "return"), Nil), (Seq("epsilon"), Nil),
+                        (Seq("if", "return"), Seq("val")))) {
+      val got = Searcher.facetCounts(ix, q, "lang", ex)
+        .as[(String, Long)].collect().toMap
+      assert(got == wantFacets(q, ex), s"facets mismatch for $q -$ex: $got")
+    }
+    // matchingDocs: full conjunctive match set, P2 guard on absent terms
+    val m = Searcher.matchingDocs(ix, Seq("if", "return")).as[Int].collect().toSet
+    val wantM = oracle.postings("if").map(_._1).toSet
+      .intersect(oracle.postings("return").map(_._1).toSet)
+    assert(m == wantM)
+    assert(Searcher.matchingDocs(ix, Seq("if", "zzz_absent")).isEmpty)
+  }
+
   test("phrase query matches oracle") {
     // 'return' followed by a zipf word occurs in many docs; also a never-
     // adjacent pair must return empty; repeated terms use per-slot shifts.
