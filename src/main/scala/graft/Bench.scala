@@ -411,10 +411,12 @@ object Bench {
       val svc = new graft.query.LocalService(ix)
       // prefix queries go through the service's own dictionary-expansion
       // entry point (resident expansion cache), the rest through search
-      def serve(q: graft.query.QueryLog.LogQuery): Seq[Oracle.Hit] = q.prefix match {
-        case Some(p) => svc.searchPrefix(p, 10)
-        case None    => svc.search(q.terms, 10, q.phrase, q.exclude)
-      }
+      def serve(q: graft.query.QueryLog.LogQuery): Seq[Oracle.Hit] =
+        (q.prefix, q.fuzzy) match {
+          case (Some(p), _)      => svc.searchPrefix(p, 10)
+          case (_, Some((t, d))) => svc.searchFuzzy(t, 10, d)
+          case _                 => svc.search(q.terms, 10, q.phrase, q.exclude)
+        }
       queryMix.foreach(serve) // cache misses
       val reps = 50
       val (_, sec) = timed {
@@ -623,7 +625,7 @@ object Bench {
         }
         val byQ = batch.groupBy(_._1)
         val details = queryMix.flatMap { q =>
-          val want = oracleTopK(q.terms, 10, q.phrase, q.prefix.nonEmpty, q.exclude)
+          val want = oracleTopK(q.terms, 10, q.phrase, q.disjunctive, q.exclude)
           val got = byQ.getOrElse(q.id, Array.empty).sortBy(_._2)
           val ok = got.length == want.length &&
             got.zip(want).forall { case (g, w) =>

