@@ -415,7 +415,7 @@ object Bench {
         (q.prefix, q.fuzzy) match {
           case (Some(p), _)      => svc.searchPrefix(p, 10)
           case (_, Some((t, d))) => svc.searchFuzzy(t, 10, d)
-          case _                 => svc.search(q.terms, 10, q.phrase, q.exclude)
+          case _                 => svc.search(q.terms, 10, q.phrase, q.exclude, q.slop)
         }
       queryMix.foreach(serve) // cache misses
       val reps = 50
@@ -587,7 +587,8 @@ object Bench {
         val cache = graft.core.Bm25.lossyCache(avg)
         def oracleTopK(terms0: Seq[String], k: Int, phrase: Boolean,
                        disjunctive: Boolean,
-                       exclude: Seq[String] = Nil): Seq[Oracle.Hit] = {
+                       exclude: Seq[String] = Nil,
+                       slop: Int = 0): Seq[Oracle.Hit] = {
           import scala.jdk.CollectionConverters._
           // disjunctive (prefix/OR): absent terms contribute nothing;
           // conjunctive: any absent term voids the query (P2 guard)
@@ -606,8 +607,11 @@ object Bench {
             else {
             val matchedAll = maps.forall(_.containsKey(d))
             if (!disjunctive && !(matchedAll &&
-                (!phrase || Oracle.phraseMatch(
-                  terms.map(t => poss(qIdx(t)).get(d).sorted))))) None
+                (!phrase || {
+                  val pl = terms.map(t => poss(qIdx(t)).get(d).sorted)
+                  if (slop == 0) Oracle.phraseMatch(pl)
+                  else Oracle.proximityMatch(pl, slop)
+                }))) None
             else {
               val lb = graft.core.LenByte.encode(lens(d).toLong)
               var s = 0.0
@@ -625,7 +629,7 @@ object Bench {
         }
         val byQ = batch.groupBy(_._1)
         val details = queryMix.flatMap { q =>
-          val want = oracleTopK(q.terms, 10, q.phrase, q.disjunctive, q.exclude)
+          val want = oracleTopK(q.terms, 10, q.phrase, q.disjunctive, q.exclude, q.slop)
           val got = byQ.getOrElse(q.id, Array.empty).sortBy(_._2)
           val ok = got.length == want.length &&
             got.zip(want).forall { case (g, w) =>

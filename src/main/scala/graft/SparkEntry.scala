@@ -501,6 +501,33 @@ object SparkEntry {
         .toDF("doc_id").orderBy("doc_id")
     },
 
+    // J7: ordered proximity (Lucene span-near / `"a b"~N`; absent in the
+    // reference) — docs where 'table' precedes 'scan' within slop 3,
+    // evaluated on decoded index positions like j4 but with the
+    // minimal-chain window check. Engine path: Searcher.search(slop=3).
+    "j7_proximity" -> { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("table", "scan")
+      val perTerm = docBlocks(s, dir)
+        .filter(col("term").isin(terms: _*))
+        .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
+        .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs, pos) =>
+          val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+          val ps = PostingCodec.decodePositions(n, pos)
+          dt.iterator.zipWithIndex.map { case ((d, _), i) => (t, d, ps(i)) }
+        }
+      perTerm.groupByKey(_._2)
+        .flatMapGroups { (docId, rows) =>
+          val byTerm = rows.map(r => r._1 -> r._3).toMap
+          if (terms.forall(byTerm.contains) &&
+              graft.core.Oracle.proximityMatch(terms.map(byTerm), 3))
+            Iterator.single(docId.toLong)
+          else Iterator.empty
+        }
+        .toDF("doc_id").orderBy("doc_id")
+    },
+
     // A5/O2/O3 + F5-F7: the flagship lossy-BM25 conjunctive top-k
     "a5_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10)),
     "a5_bm25_topk3" -> ((s, dir) => bm25TopK(s, dir, Seq("join", "hash", "dup"), 10)),
@@ -1198,6 +1225,14 @@ object SparkEntry {
     "j4_phrase" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $T t FROM documents)
          |WHERE len(list_filter(range(len(t)-1), i -> t[i+1] = 'table' AND t[i+2] = 'scan')) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // ordered proximity: 'table' at 0-based pos i, 'scan' at j with
+    // j - i in [1, 1+slop], slop = 3 (1-indexed list access ⇒ t[i+2..i+5])
+    "j7_proximity" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $T t FROM documents)
+         |WHERE len(list_filter(range(len(t)), i -> t[i+1] = 'table' AND
+         |  len(list_filter(range(i+2, i+6), j -> j <= len(t) AND t[j] = 'scan')) > 0)) > 0
          |ORDER BY doc_id""".stripMargin,
 
     "a5_bm25_topk" -> bm25Sql(Seq("spark", "query"), 10),

@@ -51,7 +51,7 @@ object Oracle {
     * semantics): a doc containing ANY excluded term is dropped from the
     * candidate set, and excluded terms never contribute to the score. */
   def search(ix: Index, queryTerms: Seq[String], k: Int, phrase: Boolean = false,
-             excludeTerms: Seq[String] = Nil): Seq[Hit] = {
+             excludeTerms: Seq[String] = Nil, slop: Int = 0): Seq[Hit] = {
     if (queryTerms.isEmpty || k <= 0) return Nil
     val lists = queryTerms.map(t => ix.postings.getOrElse(t, return Nil))
     val idfs = queryTerms.map(t => Bm25.idf(ix.nDocs, ix.df(t)))
@@ -80,7 +80,10 @@ object Oracle {
         if (allAligned) {
           val docId = maxDoc
           val matches = !excluded.contains(docId) &&
-            (!phrase || phraseMatch(lists.indices.map(j => lists(j)(cursors(j))._3)))
+            (!phrase || {
+              val posLists = lists.indices.map(j => lists(j)(cursors(j))._3)
+              if (slop == 0) phraseMatch(posLists) else proximityMatch(posLists, slop)
+            })
           if (matches) {
             val lenByte = LenByte.encode(ix.docLen(docId).toLong)
             var score = 0.0
@@ -149,6 +152,46 @@ object Oracle {
       i += 1
     }
     candidates.nonEmpty
+  }
+
+  /** Ordered proximity (Lucene span-near / `"a b"~N` slop analog; absent in
+    * the reference, which only has exact adjacency): the query's slots must
+    * occur in ORDER at strictly increasing positions p₁<…<p_k with total
+    * span `p_k − p₁ ≤ (k−1) + slop`. `slop = 0` degenerates to exact
+    * adjacency, i.e. [[phraseMatch]].
+    *
+    * Greedy minimal-chain scan: for each candidate start p₁ the smallest
+    * ordered chain is built by advancing each later slot's cursor to the
+    * first position strictly above the previous slot's pick — minimal p_k
+    * for that p₁, hence minimal span. Cursors persist across starts
+    * (chains are monotone in p₁), so the whole check is
+    * O(Σ positions). */
+  def proximityMatch(positionLists: Seq[Array[Int]], slop: Int): Boolean = {
+    val k = positionLists.size
+    if (k == 0) return false
+    if (positionLists.exists(_.isEmpty)) return false
+    if (k == 1) return true
+    val window = (k - 1) + slop
+    val idx = new Array[Int](k)
+    val first = positionLists.head
+    var ci = 0
+    while (ci < first.length) {
+      val p1 = first(ci)
+      var prev = p1
+      var i = 1
+      while (i < k) {
+        val arr = positionLists(i)
+        var c = idx(i)
+        while (c < arr.length && arr(c) <= prev) c += 1
+        idx(i) = c
+        if (c >= arr.length) return false // later p₁ only raises the bound
+        prev = arr(c)
+        i += 1
+      }
+      if (prev - p1 <= window) return true
+      ci += 1
+    }
+    false
   }
 
   /** Bounded min-heap top-k with the deterministic tie rule.

@@ -118,9 +118,10 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * instead of driver-side. */
   private def distributed(queryTerms: Seq[String], k: Int,
                           phrase: Boolean, conjunctive: Boolean = true,
-                          excludeTerms: Seq[String] = Nil): Seq[Oracle.Hit] =
+                          excludeTerms: Seq[String] = Nil,
+                          slop: Int = 0): Seq[Oracle.Hit] =
     Searcher.search(ix, queryTerms, k, phrase, conjunctive = conjunctive,
-        excludeTerms = excludeTerms)
+        excludeTerms = excludeTerms, slop = slop)
       .collect().sortBy(_.rank).map(h => Oracle.Hit(h.docId, h.score)).toSeq
 
   /** In-flight fetches, keyed by term (suffix "#p" = with positions):
@@ -191,7 +192,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * distributed [[Searcher]] instead of materializing the list on the
     * driver — one hot term on a 100 TB corpus must never OOM the server. */
   def search(queryTerms: Seq[String], k: Int, phrase: Boolean = false,
-             excludeTerms: Seq[String] = Nil): Seq[Oracle.Hit] = {
+             excludeTerms: Seq[String] = Nil, slop: Int = 0): Seq[Oracle.Hit] = {
     if (queryTerms.isEmpty || k <= 0) return Nil
     val uniq = queryTerms.distinct
     // NOT terms (Lucene MUST_NOT; same semantics as Searcher.search's
@@ -205,15 +206,17 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val exPresent = { val ed = dfOf(exUniq); exUniq.filter(t => ed(t) > 0L) }
     if (dfs.valuesIterator.exists(_ > maxFetchPostings) ||
         exPresent.exists(t => dfCache.get(t).longValue() > maxFetchPostings))
-      return distributed(queryTerms, k, phrase, excludeTerms = exPresent)
+      return distributed(queryTerms, k, phrase, excludeTerms = exPresent, slop = slop)
 
     val lists = resolveLists(uniq, phrase)
-    if (lists == null) return distributed(queryTerms, k, phrase, excludeTerms = exPresent)
+    if (lists == null)
+      return distributed(queryTerms, k, phrase, excludeTerms = exPresent, slop = slop)
     val exLists: IndexedSeq[TermList] =
       if (exPresent.isEmpty) IndexedSeq.empty
       else {
         val r = resolveLists(exPresent, phrase = false)
-        if (r == null) return distributed(queryTerms, k, phrase, excludeTerms = exPresent)
+        if (r == null)
+          return distributed(queryTerms, k, phrase, excludeTerms = exPresent, slop = slop)
         r.toIndexedSeq
       }
 
@@ -238,7 +241,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val minN = slots.map(_.n).min
     val w = LocalService.scanParallelism
     if (minN < math.max(scanThreshold, w) || w < 2)
-      scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue, exLists)
+      scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue, exLists, slop)
     else {
       val small = slots.minBy(_.n)
       val bounds = (1 until w).map(i => small.docIds((small.n.toLong * i / w).toInt))
@@ -246,7 +249,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       val tasks = ranges.map { case (lo, hi) =>
         LocalService.scanPool.submit(new java.util.concurrent.Callable[Seq[Oracle.Hit]] {
           def call(): Seq[Oracle.Hit] =
-            scanRange(slots, idfs, lenBytes, k, phrase, lo, hi, exLists)
+            scanRange(slots, idfs, lenBytes, k, phrase, lo, hi, exLists, slop)
         })
       }
       tasks.flatMap(_.get()).sortBy(h => (-h.score, h.docId)).take(k)
@@ -261,7 +264,8 @@ final class LocalService(val ix: Searcher.LoadedIndex,
   private def scanRange(slots: IndexedSeq[TermList], idfs: Array[Double],
                         lenBytes: Array[Int], k: Int, phrase: Boolean,
                         fromDoc: Int, untilDoc: Int,
-                        exSlots: IndexedSeq[TermList] = IndexedSeq.empty): Seq[Oracle.Hit] = {
+                        exSlots: IndexedSeq[TermList] = IndexedSeq.empty,
+                        slop: Int = 0): Seq[Oracle.Hit] = {
     val nL = slots.size
     val cursors = new Array[Int](nL)
     // exclusion membership: one binary search per EXCLUSION LIST per aligned
@@ -318,7 +322,9 @@ final class LocalService(val ix: Searcher.LoadedIndex,
           val ok = !excluded(maxDoc) && (!phrase || {
             var j = 0
             while (j < nL) { posBuf(j) = slots(j).positions(cursors(j)); j += 1 }
-            LocalService.phraseAdjacent(posBuf, posCursors)
+            if (slop == 0) LocalService.phraseAdjacent(posBuf, posCursors)
+            else graft.core.Oracle.proximityMatch(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(posBuf), slop)
           })
           if (ok) {
             val lb = lenBytes(maxDoc)

@@ -19,7 +19,10 @@ import org.apache.spark.sql.DataFrame
   *  - a line consisting of a SINGLE token ending in `~` or `~N` (Lucene
   *    fuzzy syntax, e.g. `quary~` or `par~2`) is a FUZZY query — expanded
   *    to dictionary terms within N (default 1) Levenshtein edits and
-  *    evaluated disjunctively.
+  *    evaluated disjunctively;
+  *  - a quoted line followed by `~N` (Lucene phrase-slop syntax, e.g.
+  *    `"table scan"~3`) is an ordered PROXIMITY query: terms must occur in
+  *    order with total span ≤ (k−1)+N positions.
   */
 object QueryLog {
 
@@ -31,7 +34,8 @@ object QueryLog {
   final case class LogQuery(id: Int, terms: Seq[String], phrase: Boolean,
                             prefix: Option[String] = None,
                             exclude: Seq[String] = Nil,
-                            fuzzy: Option[(String, Int)] = None) {
+                            fuzzy: Option[(String, Int)] = None,
+                            slop: Int = 0) {
     /** Evaluates disjunctively (multi-term rewrite of a single probe). */
     def disjunctive: Boolean = prefix.nonEmpty || fuzzy.nonEmpty
   }
@@ -42,6 +46,13 @@ object QueryLog {
     if (t.isEmpty || t.startsWith("#")) None
     else if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
       Some(LogQuery(id, Tokenizer.terms(t.substring(1, t.length - 1)).toSeq, phrase = true))
+    else if (t.startsWith("\"") && t.matches("\".*\"~[0-9]+")) {
+      // Lucene phrase-slop syntax: `"a b"~N` — ordered proximity within N
+      val close = t.lastIndexOf('"')
+      val slop = t.substring(close + 2).toInt
+      Some(LogQuery(id, Tokenizer.terms(t.substring(1, close)).toSeq,
+        phrase = true, slop = slop))
+    }
     else if (t.length >= 2 && t.endsWith("*") && !t.dropRight(1).exists(_.isWhitespace)) {
       val stem = Tokenizer.terms(t.dropRight(1)).toSeq
       if (stem.size == 1) Some(LogQuery(id, Nil, phrase = false, prefix = Some(stem.head)))
@@ -103,6 +114,8 @@ object QueryLog {
     val disjunctive = resolved.filter(_.disjunctive).map(_.id).toSet
     val phraseQs = resolved.filter(q => q.phrase && q.terms.nonEmpty)
       .map(q => (q.id, q.terms))
+    val slops = resolved.filter(q => q.phrase && q.slop > 0)
+      .map(q => q.id -> q.slop).toMap
     val notQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty && q.exclude.nonEmpty)
     val notRows: Seq[(Int, Int, Int, Double)] = notQs.flatMap { q =>
       Searcher.search(ix, q.terms, k, conjunctive = !disjunctive(q.id),
@@ -111,7 +124,7 @@ object QueryLog {
     }
     val parts: Seq[DataFrame] =
       (if (termQs.nonEmpty) Seq(Searcher.searchAll(ix, termQs, k, disjunctive)) else Nil) ++
-      (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k)) else Nil) ++
+      (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k, slops)) else Nil) ++
       (if (notRows.nonEmpty) Seq(notRows.toDF("queryId", "rank", "docId", "score")) else Nil)
     parts match {
       case Nil => Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")

@@ -122,8 +122,10 @@ object Searcher {
              phrase: Boolean = false, bloomFactor: Int = 1,
              wandMinPostings: Long = 50000L,
              conjunctive: Boolean = true,
-             excludeTerms: Seq[String] = Nil): Dataset[Hit] = {
+             excludeTerms: Seq[String] = Nil,
+             slop: Int = 0): Dataset[Hit] = {
     require(conjunctive || !phrase, "phrase queries are conjunctive by definition")
+    require(slop >= 0, "slop must be non-negative")
     val spark = ix.spark
     import spark.implicits._
     val terms0 = queryTerms.distinct
@@ -328,8 +330,11 @@ object Searcher {
         // Each check is (rowTerm, probe, useEnd): read rowTerm's filter for
         // this doc and test `probe` against its end (successor) or begin
         // (predecessor) side, direction picked by the posting-size rule.
+        // Bloom filters encode ADJACENCY (the successor/predecessor pair
+        // sets), so they only apply at slop 0 — a proximity match need not
+        // contain any adjacent pair.
         val checks: Seq[(String, String, Boolean)] =
-          if (bloomFactor == BloomNeverUse || queryTerms.size < 2) Seq.empty
+          if (bloomFactor == BloomNeverUse || queryTerms.size < 2 || slop > 0) Seq.empty
           else if (queryTerms.size == 2) {
             val (a, b) = (queryTerms.head, queryTerms(1))
             val (da, db) = (dfs(a), dfs(b))
@@ -372,7 +377,9 @@ object Searcher {
               // same list at different adjusted shifts — `query_processing.h`
               // leapfrogs per-slot, not per-unique-term)
               val posLists = qts.map(t => byTerm(t).head._4)
-              if (graft.core.Oracle.phraseMatch(posLists))
+              val posOk = if (slop == 0) graft.core.Oracle.phraseMatch(posLists)
+                          else graft.core.Oracle.proximityMatch(posLists, slop)
+              if (posOk)
                 byTerm.valuesIterator.map(_.head).map(r => (r._1, r._2, r._3))
               else Iterator.empty
             } else Iterator.empty
@@ -728,14 +735,17 @@ object Searcher {
     * batch is position-decoded; a (query, doc) group matches when every
     * distinct term is present and the slot-wise adjusted position lists
     * intersect ([[graft.core.Oracle.phraseMatch]] — repeated terms reuse
-    * one list at different shifts). Matched docs score conjunctive BM25
+    * one list at different shifts; a per-query `slops` entry > 0 relaxes
+    * the check to ordered proximity, [[graft.core.Oracle.proximityMatch]]).
+    * Matched docs score conjunctive BM25
     * with per-slot idf multiplicity, then a bounded per-query top-k heap.
     *
     * The J5 bloom semi-join is not consulted here: it is a serving-path
     * candidate pruner, while the batch path's cost is bounded up front by
     * the block-range intersection; the positional check is exact either
     * way. Returns (queryId, rank, docId, score). */
-  def searchAllPhrase(ix: LoadedIndex, queries: Seq[(Int, Seq[String])], k: Int): DataFrame = {
+  def searchAllPhrase(ix: LoadedIndex, queries: Seq[(Int, Seq[String])], k: Int,
+                      slops: Map[Int, Int] = Map.empty): DataFrame = {
     val spark = ix.spark
     import spark.implicits._
     def empty = Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")
@@ -801,6 +811,7 @@ object Searcher {
       ts.distinct.map(t => (qid, t))
     }.toDF("queryId", "term"))
     val bcQ = spark.sparkContext.broadcast(live.toMap)
+    val bcSlops = spark.sparkContext.broadcast(slops)
     val matched = decoded
       .join(qTermDf, "term")
       .select($"queryId", $"docId", $"term", $"tf", $"pos")
@@ -810,10 +821,14 @@ object Searcher {
         val (qid, docId) = key
         val byTerm = rows.toArray.groupBy(_._3)
         val qts = bcQ.value(qid)
-        if (qts.distinct.forall(byTerm.contains) &&
-            graft.core.Oracle.phraseMatch(qts.map(t => byTerm(t).head._5))) {
-          byTerm.valuesIterator.map(_.head).map(r => (qid, docId, r._3, r._4))
-        } else Iterator.empty
+        val slop = bcSlops.value.getOrElse(qid, 0)
+        val posOk = qts.distinct.forall(byTerm.contains) && {
+          val posLists = qts.map(t => byTerm(t).head._5)
+          if (slop == 0) graft.core.Oracle.phraseMatch(posLists)
+          else graft.core.Oracle.proximityMatch(posLists, slop)
+        }
+        if (posOk) byTerm.valuesIterator.map(_.head).map(r => (qid, docId, r._3, r._4))
+        else Iterator.empty
       }.toDF("queryId", "docId", "term", "tf")
     val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
     val partScore = $"idf" *

@@ -313,6 +313,60 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("proximity (slop) query: greedy matcher vs brute force, engine vs oracle, serving parity") {
+    // brute-force ordered-span enumerator — independent of the greedy
+    // minimal-chain algorithm in Oracle.proximityMatch
+    def brute(lists: Seq[Array[Int]], slop: Int): Boolean = {
+      val k = lists.size
+      if (k == 0 || lists.exists(_.isEmpty)) return false
+      def rec(i: Int, prev: Int, start: Int): Boolean =
+        if (i == k) prev - start <= (k - 1) + slop
+        else lists(i).exists(p => p > prev && rec(i + 1, p, if (i == 0) p else start))
+      if (k == 1) true else lists.head.exists(p => rec(1, p, p))
+    }
+    // 1. matcher vs brute force on real corpus position lists
+    val rnd = new scala.util.Random(7)
+    val vocab = oracle.postings.keys.toArray.sorted
+    for (_ <- 1 to 200) {
+      val ts = Seq.fill(2 + rnd.nextInt(2))(vocab(rnd.nextInt(vocab.length)))
+      val slop = rnd.nextInt(4)
+      val docs = ts.map(t => oracle.postings(t).map(_._1).toSet).reduce(_ intersect _)
+      docs.take(5).foreach { d =>
+        val lists = ts.map(t => oracle.postings(t).find(_._1 == d).get._3.sorted)
+        assert(graft.core.Oracle.proximityMatch(lists, slop) == brute(lists, slop),
+          s"greedy != brute for terms=$ts slop=$slop doc=$d lists=${lists.map(_.toSeq)}")
+      }
+    }
+    // 2. slop=0 ≡ phrase on the engine path
+    val p0 = Searcher.search(ix, Seq("if", "return"), 10, phrase = true, slop = 0)
+      .collect().sortBy(_.rank)
+    val ph = Searcher.search(ix, Seq("if", "return"), 10, phrase = true)
+      .collect().sortBy(_.rank)
+    assert(p0.map(_.docId).toSeq == ph.map(_.docId).toSeq)
+    // 3. engine vs oracle across slops and arities (incl. a never-adjacent
+    // pair that only matches at slop>0)
+    val cases = Seq((Seq("if", "return"), 2), (Seq("return", "val"), 3),
+      (Seq("int", "fn_0_0"), 1), (Seq("val", "def", "for"), 4), (Seq("if", "if"), 2))
+    cases.foreach { case (terms, slop) =>
+      val got = Searcher.search(ix, terms, 10, phrase = true, slop = slop)
+        .collect().sortBy(_.rank)
+      val want = Oracle.search(oracle, terms, 10, phrase = true, slop = slop)
+      assert(got.map(_.docId).toSeq == want.map(_.docId),
+        s"proximity $terms~$slop: ${got.toSeq} vs $want")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+      // proximity matches are a superset of exact-phrase matches
+      val phraseDocs = Oracle.search(oracle, terms, 1000, phrase = true).map(_.docId).toSet
+      val nearDocs = Oracle.search(oracle, terms, 1000, phrase = true, slop = slop)
+        .map(_.docId).toSet
+      assert(phraseDocs.subsetOf(nearDocs), s"slop shrank the match set for $terms")
+      // serving-path parity (driver leapfrog with the slop window check)
+      val svc = new graft.query.LocalService(ix)
+      val served = svc.search(terms, 10, phrase = true, slop = slop)
+      assert(served.map(_.docId) == want.map(_.docId).toSeq, s"served proximity $terms~$slop")
+      served.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+  }
+
   test("batch searchAll agrees with per-query search") {
     import spark.implicits._
     val queries = TestQueries.mix.zipWithIndex.map { case (q, i) => (i, q) }
@@ -649,15 +703,16 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val log = java.nio.file.Files.createTempFile("graft_queries", ".log")
     java.nio.file.Files.writeString(log,
-      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\nretrun~2\n")
+      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\nretrun~2\n\"if return\"~2\n")
     val qs = graft.query.QueryLog.load(log.toString)
-    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false, false))
+    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false, false, true))
     assert(qs(1).terms == Seq("if", "return"))
     assert(qs(3).terms == Seq("val", "index")) // tokenizer-normalized
     assert(qs(4).prefix.contains("fn_1") && qs(4).terms.isEmpty)
     assert(qs(5).prefix.contains("zzz_nosuch")) // expands to nothing → no rows
     assert(qs(6).terms == Seq("if") && qs(6).exclude == Seq("epsilon")) // NOT syntax
     assert(qs(7).fuzzy.contains(("retrun", 2)) && qs(7).terms.isEmpty) // fuzzy syntax
+    assert(qs(8).phrase && qs(8).slop == 2 && qs(8).terms == Seq("if", "return")) // slop syntax
     val res = graft.query.QueryLog.run(ix, qs, 10)
       .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
     qs.foreach { q =>
@@ -665,7 +720,7 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
         case (Some(p), _) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
         case (_, Some((t, d))) => Searcher.searchFuzzy(ix, t, 10, d).collect().sortBy(_.rank)
         case _ => Searcher.search(ix, q.terms, 10, phrase = q.phrase,
-          excludeTerms = q.exclude).collect().sortBy(_.rank)
+          excludeTerms = q.exclude, slop = q.slop).collect().sortBy(_.rank)
       }
       val got = res.getOrElse(q.id, Array.empty).sortBy(_._2)
       assert(got.map(_._3).toSeq == want.map(_.docId).toSeq, s"log query $q")
