@@ -412,10 +412,11 @@ object Bench {
       // prefix queries go through the service's own dictionary-expansion
       // entry point (resident expansion cache), the rest through search
       def serve(q: graft.query.QueryLog.LogQuery): Seq[Oracle.Hit] =
-        (q.prefix, q.fuzzy) match {
-          case (Some(p), _)      => svc.searchPrefix(p, 10)
-          case (_, Some((t, d))) => svc.searchFuzzy(t, 10, d)
-          case _                 => svc.search(q.terms, 10, q.phrase, q.exclude, q.slop)
+        (q.prefix, q.fuzzy, q.wildcard) match {
+          case (Some(p), _, _)      => svc.searchPrefix(p, 10)
+          case (_, Some((t, d)), _) => svc.searchFuzzy(t, 10, d)
+          case (_, _, Some(w))      => svc.searchWildcard(w, 10)
+          case _                    => svc.search(q.terms, 10, q.phrase, q.exclude, q.slop)
         }
       queryMix.foreach(serve) // cache misses
       val reps = 50

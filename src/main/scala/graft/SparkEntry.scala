@@ -270,6 +270,17 @@ object SparkEntry {
       .orderBy(desc("df"), asc("term"))
       .limit(maxExpansion)
 
+  /** Wildcard (glob) dictionary expansion (P6): `*`/`?` pattern over the
+    * dictionary, deterministic (df desc, term asc) cap. Engine path:
+    * [[graft.query.Searcher.expandWildcard]] (prefix-pushed LIKE). */
+  private def wildcardExpand(s: SparkSession, dir: String, pattern: String,
+                             maxExpansion: Int): DataFrame =
+    tfTable(s, dir)
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("term").like(graft.query.Searcher.wildcardToLike(pattern)))
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansion)
+
   /** Disjunctive micro-int BM25 over a dynamic (term, df) expansion —
     * shared by the prefix, fuzzy and more-like-this top-k contracts.
     * `excludeDocId` drops one doc from the candidates (MLT's source). */
@@ -575,6 +586,15 @@ object SparkEntry {
 
     // P5: fuzzy dictionary probe — terms within 2 edits of the typo "par"
     // ({part:1, spark:2, a:2} in the synthetic vocabulary), df-desc cap
+    // P6: wildcard dictionary probe — glob s*a* matches {scan, small,
+    // spark, stream}; cap 3 makes the deterministic (df desc, term asc)
+    // cap rule oracle-visible (drops the lowest-df match)
+    "p6_wildcard_expand" -> ((s, dir) => wildcardExpand(s, dir, "s*a*", 3)
+      .orderBy(desc("df"), asc("term"))),
+    // A5 over the wildcard expansion (disjunctive, micro-int contract)
+    "a5_bm25_wildcard_topk" -> ((s, dir) =>
+      bm25ExpandTopK(s, dir, wildcardExpand(s, dir, "s*a*", 16), 10)),
+
     "p5_fuzzy_expand" -> ((s, dir) => fuzzyExpand(s, dir, "par", 2, 16)
       .orderBy(desc("df"), asc("term"))),
     // A5 over the fuzzy expansion (disjunctive, micro-int contract)
@@ -1113,6 +1133,14 @@ object SparkEntry {
       s"""SELECT term, count(*)::BIGINT df FROM $TF tf
          |WHERE abs(length(term) - 3) <= 2 AND levenshtein(term, 'par') <= 2
          |GROUP BY term ORDER BY df DESC, term LIMIT 16""".stripMargin,
+
+    "p6_wildcard_expand" ->
+      s"""SELECT term, count(*)::BIGINT df FROM $TF tf
+         |WHERE term LIKE 's%a%' ESCAPE '\\'
+         |GROUP BY term ORDER BY df DESC, term LIMIT 3""".stripMargin,
+
+    "a5_bm25_wildcard_topk" -> bm25ExpandSql(
+      "term LIKE 's%a%' ESCAPE '\\'", 10, 16),
 
     "a5_bm25_fuzzy_topk" -> bm25ExpandSql(
       "abs(length(term) - 3) <= 2 AND levenshtein(term, 'par') <= 2", 10, 16),

@@ -416,6 +416,22 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     serveExpansion(terms, k)
   }
 
+  /** Cached wildcard expansions, keyed by (pattern, cap). */
+  private val wildcardCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[String]]()
+
+  /** Wildcard BM25 top-k on the serving path: one dictionary probe per cold
+    * (pattern, cap) ([[Searcher.expandWildcard]]: prefix-pushed LIKE,
+    * deterministic df-desc cap), then the same disjunctive resident
+    * scoring as [[searchPrefix]]. */
+  def searchWildcard(pattern: String, k: Int,
+                     maxExpansion: Int = 64): Seq[Oracle.Hit] = {
+    if (pattern.isEmpty || k <= 0) return Nil
+    val terms = wildcardCache.computeIfAbsent((pattern, maxExpansion),
+      _ => Searcher.expandWildcard(ix, pattern, maxExpansion))
+    serveExpansion(terms, k)
+  }
+
   /** Disjunctive scoring of a resolved dictionary expansion over resident
     * lists, df-gated like every serving entry point. */
   private def serveExpansion(terms: Seq[String], k: Int): Seq[Oracle.Hit] = {

@@ -22,7 +22,10 @@ import org.apache.spark.sql.DataFrame
   *    evaluated disjunctively;
   *  - a quoted line followed by `~N` (Lucene phrase-slop syntax, e.g.
   *    `"table scan"~3`) is an ordered PROXIMITY query: terms must occur in
-  *    order with total span ≤ (k−1)+N positions.
+  *    order with total span ≤ (k−1)+N positions;
+  *  - a single token containing `*`/`?` beyond a plain trailing `*` (e.g.
+  *    `s*a*`, `re?urn`) is a WILDCARD query — glob-expanded against the
+  *    dictionary and evaluated disjunctively.
   */
 object QueryLog {
 
@@ -35,9 +38,10 @@ object QueryLog {
                             prefix: Option[String] = None,
                             exclude: Seq[String] = Nil,
                             fuzzy: Option[(String, Int)] = None,
-                            slop: Int = 0) {
+                            slop: Int = 0,
+                            wildcard: Option[String] = None) {
     /** Evaluates disjunctively (multi-term rewrite of a single probe). */
-    def disjunctive: Boolean = prefix.nonEmpty || fuzzy.nonEmpty
+    def disjunctive: Boolean = prefix.nonEmpty || fuzzy.nonEmpty || wildcard.nonEmpty
   }
 
   /** Parse one log line (None for blanks/comments). */
@@ -53,10 +57,19 @@ object QueryLog {
       Some(LogQuery(id, Tokenizer.terms(t.substring(1, close)).toSeq,
         phrase = true, slop = slop))
     }
-    else if (t.length >= 2 && t.endsWith("*") && !t.dropRight(1).exists(_.isWhitespace)) {
+    else if (t.length >= 2 && t.endsWith("*") &&
+             !t.dropRight(1).exists(c => c.isWhitespace || c == '*' || c == '?')) {
       val stem = Tokenizer.terms(t.dropRight(1)).toSeq
       if (stem.size == 1) Some(LogQuery(id, Nil, phrase = false, prefix = Some(stem.head)))
       else None
+    }
+    else if (!t.exists(_.isWhitespace) && (t.contains('*') || t.contains('?')) &&
+             t.exists(c => c != '*' && c != '?')) {
+      // general wildcard (a trailing-`*`-only token was already taken by the
+      // cheaper prefix branch above): keep glob chars, normalize the rest
+      val norm = t.toLowerCase.filter(c =>
+        c == '*' || c == '?' || c.isLetterOrDigit || c == '_')
+      Some(LogQuery(id, Nil, phrase = false, wildcard = Some(norm)))
     }
     else if (!t.exists(_.isWhitespace) && t.matches(".+~[0-9]?")) {
       val tilde = t.lastIndexOf('~')
@@ -80,7 +93,8 @@ object QueryLog {
     java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala
       .toSeq.zipWithIndex
       .flatMap { case (l, i) => parseLine(l, i) }
-      .filter(q => q.terms.nonEmpty || q.prefix.nonEmpty || q.fuzzy.nonEmpty)
+      .filter(q => q.terms.nonEmpty || q.prefix.nonEmpty || q.fuzzy.nonEmpty ||
+        q.wildcard.nonEmpty)
   }
 
   /** Resolve prefix/fuzzy queries against an index dictionary (no-op for
@@ -89,11 +103,13 @@ object QueryLog {
   def resolve(ix: Searcher.LoadedIndex, queries: Seq[LogQuery],
               maxExpansion: Int = 64): Seq[LogQuery] =
     queries.map { q =>
-      (q.prefix, q.fuzzy) match {
-        case (Some(p), _) if q.terms.isEmpty =>
+      (q.prefix, q.fuzzy, q.wildcard) match {
+        case (Some(p), _, _) if q.terms.isEmpty =>
           q.copy(terms = Searcher.expandPrefix(ix, p, maxExpansion))
-        case (_, Some((t, d))) if q.terms.isEmpty =>
+        case (_, Some((t, d)), _) if q.terms.isEmpty =>
           q.copy(terms = Searcher.expandFuzzy(ix, t, d, maxExpansion))
+        case (_, _, Some(w)) if q.terms.isEmpty =>
+          q.copy(terms = Searcher.expandWildcard(ix, w, maxExpansion))
         case _ => q
       }
     }

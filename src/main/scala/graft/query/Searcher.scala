@@ -491,6 +491,59 @@ object Searcher {
       .toSeq
   }
 
+  /** Wildcard glob → SQL LIKE translation: `*` → `%`, `?` → `_`. The term
+    * alphabet's own `_` (a legal token character in source code) is escaped
+    * so it stays literal. Shared by the Spark (`Column.like`) and oracle
+    * (`LIKE ... ESCAPE '\'`) contracts — both use backslash escapes. */
+  private[graft] def wildcardToLike(pattern: String): String =
+    pattern.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case '_' => "\\_"
+      case '%' => "\\%" // not a token char; defensive
+      case c   => c.toString
+    }
+
+  /** Wildcard dictionary probe (Lucene `WildcardQuery` rewrite analog):
+    * dictionary terms matching a glob with `*` (any run) and `?` (one
+    * char), e.g. `s*a*` or `re?urn`. The longest literal prefix before the
+    * first wildcard is pushed as a `StartsWith` into the termstats scan
+    * (min/max row-group pruning on the sorted dictionary — same descent as
+    * [[expandPrefix]]); the full glob evaluates as a codegen'd LIKE on the
+    * survivors. Deterministic (df desc, term asc) cap, as every expansion
+    * here. */
+  def expandWildcard(ix: LoadedIndex, pattern: String,
+                     maxExpansion: Int = 64): Seq[String] = {
+    val spark = ix.spark
+    import spark.implicits._
+    if (pattern.isEmpty || maxExpansion <= 0) return Nil
+    val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val base =
+      if (litPrefix.nonEmpty) ix.termstats.filter($"term".startsWith(litPrefix))
+      else ix.termstats
+    base
+      .filter($"term".like(wildcardToLike(pattern)))
+      .select($"term", $"df")
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansion)
+      .as[(String, Long)]
+      .collect()
+      .map(_._1)
+      .toSeq
+  }
+
+  /** Wildcard BM25 top-k: disjunctive scoring of the glob expansion — the
+    * bounded multi-term rewrite, same evaluation as [[searchPrefix]]. */
+  def searchWildcard(ix: LoadedIndex, pattern: String, k: Int,
+                     maxExpansion: Int = 64): Dataset[Hit] = {
+    val terms = expandWildcard(ix, pattern, maxExpansion)
+    if (terms.isEmpty) {
+      val spark = ix.spark
+      import spark.implicits._
+      spark.emptyDataset[Hit]
+    } else search(ix, terms, k, conjunctive = false)
+  }
+
   /** Fuzzy BM25 top-k: score the edit-distance expansion disjunctively —
     * the multi-term rewrite of a typo'd query, same evaluation as
     * [[searchPrefix]]. */

@@ -243,6 +243,41 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Searcher.expandFuzzy(ix, "if", 1, 64).contains("if"))
   }
 
+  test("wildcard search (glob expansion) rank-identical vs oracle") {
+    // reference glob matcher for the oracle expansion — regex, not LIKE
+    def globMatch(t: String, pattern: String): Boolean =
+      t.matches(pattern.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c   => java.util.regex.Pattern.quote(c.toString)
+      })
+    def oracleExpand(pattern: String, cap: Int): Seq[String] =
+      oracle.postings.keysIterator.filter(globMatch(_, pattern)).toSeq
+        .map(t => (t, oracle.df(t))).sortBy { case (t, d) => (-d, t) }
+        .take(cap).map(_._1)
+    for ((p, cap) <- Seq(("*eight*", 64), ("re?urn", 64), ("f*_1_*", 8),
+                         ("fn_?_?", 64), ("zz*qq", 4))) {
+      val terms = Searcher.expandWildcard(ix, p, cap)
+      assert(terms == oracleExpand(p, cap), s"wildcard expansion mismatch for '$p'")
+      val got = Searcher.searchWildcard(ix, p, 10, cap).collect().sortBy(_.rank)
+      val want = Oracle.searchOr(oracle, terms, 10)
+      assert(got.length == want.length, s"wildcard size mismatch for '$p'")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.docId == w.docId && math.abs(g.score - w.score) < 1e-9,
+          s"wildcard hit mismatch for '$p'")
+      }
+      // serving-path parity (resident expansion cache)
+      val svc = new graft.query.LocalService(ix)
+      val served = svc.searchWildcard(p, 10, cap)
+      assert(served.map(_.docId) == want.map(_.docId).toSeq, s"served wildcard '$p'")
+    }
+    // underscore in the pattern stays literal (it is a token char, not a
+    // one-char glob): 'fn_0_0' must not be reachable via 'fnX0X0'-style
+    // matches and 'fn_0_*' must only match the fn_0_ family
+    val uw = Searcher.expandWildcard(ix, "fn_0_*", 64)
+    assert(uw.nonEmpty && uw.forall(_.startsWith("fn_0_")))
+  }
+
   test("more-like-this: deterministic tf-idf expansion, source excluded, vs oracle") {
     def oracleMlt(d: Int, k: Int, maxTerms: Int): Seq[Oracle.Hit] = {
       val body = oracle.docs.find(_.docId == d).get.content
@@ -703,9 +738,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val log = java.nio.file.Files.createTempFile("graft_queries", ".log")
     java.nio.file.Files.writeString(log,
-      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\nretrun~2\n\"if return\"~2\n")
+      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\nretrun~2\n\"if return\"~2\n*eight*\n")
     val qs = graft.query.QueryLog.load(log.toString)
-    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false, false, true))
+    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false, false, true, false))
     assert(qs(1).terms == Seq("if", "return"))
     assert(qs(3).terms == Seq("val", "index")) // tokenizer-normalized
     assert(qs(4).prefix.contains("fn_1") && qs(4).terms.isEmpty)
@@ -713,12 +748,14 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qs(6).terms == Seq("if") && qs(6).exclude == Seq("epsilon")) // NOT syntax
     assert(qs(7).fuzzy.contains(("retrun", 2)) && qs(7).terms.isEmpty) // fuzzy syntax
     assert(qs(8).phrase && qs(8).slop == 2 && qs(8).terms == Seq("if", "return")) // slop syntax
+    assert(qs(9).wildcard.contains("*eight*") && qs(9).terms.isEmpty) // wildcard syntax
     val res = graft.query.QueryLog.run(ix, qs, 10)
       .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
     qs.foreach { q =>
-      val want = (q.prefix, q.fuzzy) match {
-        case (Some(p), _) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
-        case (_, Some((t, d))) => Searcher.searchFuzzy(ix, t, 10, d).collect().sortBy(_.rank)
+      val want = (q.prefix, q.fuzzy, q.wildcard) match {
+        case (Some(p), _, _) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
+        case (_, Some((t, d)), _) => Searcher.searchFuzzy(ix, t, 10, d).collect().sortBy(_.rank)
+        case (_, _, Some(w)) => Searcher.searchWildcard(ix, w, 10).collect().sortBy(_.rank)
         case _ => Searcher.search(ix, q.terms, 10, phrase = q.phrase,
           excludeTerms = q.exclude, slop = q.slop).collect().sortBy(_.rank)
       }
