@@ -270,6 +270,21 @@ object SparkEntry {
       .orderBy(desc("df"), asc("term"))
       .limit(maxExpansion)
 
+  /** PII fixture: the synthetic corpus carries no PII, so the graded
+    * contract injects deterministic addresses by doc_id — identically in
+    * both engines — and the regex detection/redaction chain is what is
+    * under test. */
+  private def piiAugmented(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, concat(lit(" from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0.1"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      .as("text"))
+
   /** Wildcard (glob) dictionary expansion (P6): `*`/`?` pattern over the
     * dictionary, deterministic (df desc, term asc) cap. Engine path:
     * [[graft.query.Searcher.expandWildcard]] (prefix-pushed LIKE). */
@@ -943,6 +958,15 @@ object SparkEntry {
     },
 
     // text quality features
+    // PII detection + redaction (training-pipeline privacy pass) over the
+    // injected-PII fixture; counts and the redacted-text sha are both exact
+    "text_pii_counts" -> ((s, dir) =>
+      TextOps.piiCounts(piiAugmented(s, dir), "text", "doc_id").orderBy("doc_id")),
+    "text_pii_redact" -> ((s, dir) => piiAugmented(s, dir)
+      .select(col("doc_id"),
+        sha2(TextOps.redactPii(col("text")), 256).as("sha"))
+      .orderBy("doc_id")),
+
     "text_quality" -> ((s, dir) =>
       TextOps.qualityFeatures(docs(s, dir), "text", "doc_id")
         .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
@@ -1031,6 +1055,14 @@ object SparkEntry {
   /** Lucene longToInt4∘byte4ToInt lossy length, integer-exact. */
   private def lossySql(c: String) =
     s"(CASE WHEN $c < 8 THEN $c ELSE ((((($c >> (length(format('{:b}', $c)) - 4)) & 7) | 8)) << (length(format('{:b}', $c)) - 4)) END)"
+  /** The PII-injection fixture in SQL (mirrors [[piiAugmented]] exactly). */
+  private val PiiAugSql =
+    """SELECT doc_id, text ||
+      | CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END ||
+      | CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.1' ELSE '' END ||
+      | CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text
+      |FROM documents""".stripMargin
+
   private val SHING =
     s"(CASE WHEN len($T) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len($T) - 1), i -> array_to_string(($T)[i:i+2], ' ')) END)"
   private val QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e6))"
@@ -1618,6 +1650,22 @@ object SparkEntry {
          |SELECT id_a, id_b, cos_micro FROM
          | (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos_micro DESC, id_b) rn FROM pairs)
          |WHERE rn = 1 ORDER BY id_a""".stripMargin,
+
+    "text_pii_counts" -> {
+      val cnts = graft.ops.TextOps.PiiPatterns.map { case (name, re, _) =>
+        s"len(regexp_extract_all(text, '$re'))::BIGINT n_$name"
+      }.mkString(", ")
+      s"""WITH aug AS ($PiiAugSql)
+         |SELECT doc_id, $cnts FROM aug ORDER BY doc_id""".stripMargin
+    },
+
+    "text_pii_redact" -> {
+      val redacted = graft.ops.TextOps.PiiPatterns.foldLeft("text") {
+        case (c, (_, re, ph)) => s"regexp_replace($c, '$re', '$ph', 'g')"
+      }
+      s"""WITH aug AS ($PiiAugSql)
+         |SELECT doc_id, sha256($redacted) sha FROM aug ORDER BY doc_id""".stripMargin
+    },
 
     "text_quality" ->
       s"""SELECT doc_id, len($T)::BIGINT n_tokens,

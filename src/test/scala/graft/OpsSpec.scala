@@ -255,6 +255,33 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loose(2L) == 1L)
   }
 
+  test("PII counts and redaction: detect, replace, leave clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@sub.example.co or admin@x.io thanks"),
+      (2L, "server 192.168.0.1 and 10.0.255.3 up; version 1.2 is not an ip"),
+      (3L, "call +1-555-0147 or +44-202-33444555"),
+      (4L, "no pii here, just code: if (a > b) return c;")
+    ).toDF("doc_id", "text")
+    val counts = graft.ops.TextOps.piiCounts(df, "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(counts(1L) == ((2L, 0L, 0L)), s"emails: ${counts(1L)}")
+    assert(counts(2L) == ((0L, 2L, 0L)), s"ips: ${counts(2L)}")
+    assert(counts(3L) == ((0L, 0L, 2L)), s"phones: ${counts(3L)}")
+    assert(counts(4L) == ((0L, 0L, 0L)))
+    val red = df.select($"doc_id", graft.ops.TextOps.redactPii($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(red(1L) == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(red(2L) == "server <IP> and <IP> up; version 1.2 is not an ip")
+    assert(red(3L) == "call <PHONE> or <PHONE>")
+    assert(red(4L) == df.filter($"doc_id" === 4).select("text").as[String].head)
+    // redacted text re-scans clean — the pass is idempotent
+    val rescan = graft.ops.TextOps.piiCounts(
+      df.select($"doc_id", graft.ops.TextOps.redactPii($"text").as("text")), "text", "doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rescan.forall(r => r._2 == 0 && r._3 == 0 && r._4 == 0))
+  }
+
   test("split assignment is content-keyed: exact dups share a split") {
     import spark.implicits._
     val s = TextOps.splitAssign(docs, "text", "doc_id")
