@@ -296,6 +296,21 @@ object SparkEntry {
       .orderBy(desc("df"), asc("term"))
       .limit(maxExpansion)
 
+  /** Regex dictionary expansion (P7): FULL-match regex over the dictionary
+    * (Lucene `RegexpQuery` is implicitly anchored; both engines anchor as
+    * `^(?:p)$`), deterministic (df desc, term asc) cap. Pattern contract is
+    * the Java∩RE2 common subset (classes, alternation, repetition — no
+    * backreferences/lookaround), so Spark RLIKE and the DuckDB oracle's
+    * `regexp_matches` agree exactly. Engine path:
+    * [[graft.query.Searcher.expandRegex]] (literal-prefix-pushed RLIKE). */
+  private def regexExpand(s: SparkSession, dir: String, pattern: String,
+                          maxExpansion: Int): DataFrame =
+    tfTable(s, dir)
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("term").rlike(s"^(?:$pattern)$$"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansion)
+
   /** Disjunctive micro-int BM25 over a dynamic (term, df) expansion —
     * shared by the prefix, fuzzy and more-like-this top-k contracts.
     * `excludeDocId` drops one doc from the candidates (MLT's source). */
@@ -609,6 +624,13 @@ object SparkEntry {
     // A5 over the wildcard expansion (disjunctive, micro-int contract)
     "a5_bm25_wildcard_topk" -> ((s, dir) =>
       bm25ExpandTopK(s, dir, wildcardExpand(s, dir, "s*a*", 16), 10)),
+
+    // P7: anchored regex dictionary expansion (Lucene RegexpQuery analog)
+    "p7_regex_expand" -> ((s, dir) => regexExpand(s, dir, "s[a-z]*a[a-z]*", 3)
+      .orderBy(desc("df"), asc("term"))),
+    // A5 over the regex expansion (disjunctive, micro-int contract)
+    "a5_bm25_regex_topk" -> ((s, dir) =>
+      bm25ExpandTopK(s, dir, regexExpand(s, dir, "s[a-z]*a[a-z]*", 16), 10)),
 
     "p5_fuzzy_expand" -> ((s, dir) => fuzzyExpand(s, dir, "par", 2, 16)
       .orderBy(desc("df"), asc("term"))),
@@ -1173,6 +1195,14 @@ object SparkEntry {
 
     "a5_bm25_wildcard_topk" -> bm25ExpandSql(
       "term LIKE 's%a%' ESCAPE '\\'", 10, 16),
+
+    "p7_regex_expand" ->
+      s"""SELECT term, count(*)::BIGINT df FROM $TF tf
+         |WHERE regexp_matches(term, '^(?:s[a-z]*a[a-z]*)$$')
+         |GROUP BY term ORDER BY df DESC, term LIMIT 3""".stripMargin,
+
+    "a5_bm25_regex_topk" -> bm25ExpandSql(
+      "regexp_matches(term, '^(?:s[a-z]*a[a-z]*)$')", 10, 16),
 
     "a5_bm25_fuzzy_topk" -> bm25ExpandSql(
       "abs(length(term) - 3) <= 2 AND levenshtein(term, 'par') <= 2", 10, 16),

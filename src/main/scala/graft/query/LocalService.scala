@@ -432,6 +432,22 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     serveExpansion(terms, k)
   }
 
+  /** Cached regex expansions, keyed by (pattern, cap). */
+  private val regexCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[String]]()
+
+  /** Regex BM25 top-k on the serving path: one dictionary probe per cold
+    * (pattern, cap) ([[Searcher.expandRegex]]: literal-prefix-pushed
+    * anchored RLIKE, deterministic df-desc cap), then the same disjunctive
+    * resident scoring as [[searchPrefix]]. */
+  def searchRegex(pattern: String, k: Int,
+                  maxExpansion: Int = 64): Seq[Oracle.Hit] = {
+    if (pattern.isEmpty || k <= 0) return Nil
+    val terms = regexCache.computeIfAbsent((pattern, maxExpansion),
+      _ => Searcher.expandRegex(ix, pattern, maxExpansion))
+    serveExpansion(terms, k)
+  }
+
   /** Disjunctive scoring of a resolved dictionary expansion over resident
     * lists, df-gated like every serving entry point. */
   private def serveExpansion(terms: Seq[String], k: Int): Seq[Oracle.Hit] = {

@@ -25,7 +25,10 @@ import org.apache.spark.sql.DataFrame
   *    order with total span ≤ (k−1)+N positions;
   *  - a single token containing `*`/`?` beyond a plain trailing `*` (e.g.
   *    `s*a*`, `re?urn`) is a WILDCARD query — glob-expanded against the
-  *    dictionary and evaluated disjunctively.
+  *    dictionary and evaluated disjunctively;
+  *  - a line wrapped in forward slashes (Lucene regexp syntax, e.g.
+  *    `/ret[a-z]*n/`) is a REGEX query — full-match-expanded against the
+  *    dictionary ([[Searcher.expandRegex]]) and evaluated disjunctively.
   */
 object QueryLog {
 
@@ -39,9 +42,11 @@ object QueryLog {
                             exclude: Seq[String] = Nil,
                             fuzzy: Option[(String, Int)] = None,
                             slop: Int = 0,
-                            wildcard: Option[String] = None) {
+                            wildcard: Option[String] = None,
+                            regex: Option[String] = None) {
     /** Evaluates disjunctively (multi-term rewrite of a single probe). */
-    def disjunctive: Boolean = prefix.nonEmpty || fuzzy.nonEmpty || wildcard.nonEmpty
+    def disjunctive: Boolean =
+      prefix.nonEmpty || fuzzy.nonEmpty || wildcard.nonEmpty || regex.nonEmpty
   }
 
   /** Parse one log line (None for blanks/comments). */
@@ -63,6 +68,11 @@ object QueryLog {
       if (stem.size == 1) Some(LogQuery(id, Nil, phrase = false, prefix = Some(stem.head)))
       else None
     }
+    else if (t.length >= 3 && t.startsWith("/") && t.endsWith("/") &&
+             !t.substring(1, t.length - 1).contains('/'))
+      // Lucene regexp syntax: `/pattern/` — full-match dictionary expansion
+      Some(LogQuery(id, Nil, phrase = false,
+        regex = Some(t.substring(1, t.length - 1).toLowerCase)))
     else if (!t.exists(_.isWhitespace) && (t.contains('*') || t.contains('?')) &&
              t.exists(c => c != '*' && c != '?')) {
       // general wildcard (a trailing-`*`-only token was already taken by the
@@ -94,7 +104,7 @@ object QueryLog {
       .toSeq.zipWithIndex
       .flatMap { case (l, i) => parseLine(l, i) }
       .filter(q => q.terms.nonEmpty || q.prefix.nonEmpty || q.fuzzy.nonEmpty ||
-        q.wildcard.nonEmpty)
+        q.wildcard.nonEmpty || q.regex.nonEmpty)
   }
 
   /** Resolve prefix/fuzzy queries against an index dictionary (no-op for
@@ -103,13 +113,15 @@ object QueryLog {
   def resolve(ix: Searcher.LoadedIndex, queries: Seq[LogQuery],
               maxExpansion: Int = 64): Seq[LogQuery] =
     queries.map { q =>
-      (q.prefix, q.fuzzy, q.wildcard) match {
-        case (Some(p), _, _) if q.terms.isEmpty =>
+      (q.prefix, q.fuzzy, q.wildcard, q.regex) match {
+        case (Some(p), _, _, _) if q.terms.isEmpty =>
           q.copy(terms = Searcher.expandPrefix(ix, p, maxExpansion))
-        case (_, Some((t, d)), _) if q.terms.isEmpty =>
+        case (_, Some((t, d)), _, _) if q.terms.isEmpty =>
           q.copy(terms = Searcher.expandFuzzy(ix, t, d, maxExpansion))
-        case (_, _, Some(w)) if q.terms.isEmpty =>
+        case (_, _, Some(w), _) if q.terms.isEmpty =>
           q.copy(terms = Searcher.expandWildcard(ix, w, maxExpansion))
+        case (_, _, _, Some(r)) if q.terms.isEmpty =>
+          q.copy(terms = Searcher.expandRegex(ix, r, maxExpansion))
         case _ => q
       }
     }

@@ -557,6 +557,67 @@ object Searcher {
     } else search(ix, terms, k, conjunctive = false)
   }
 
+  /** Longest regex prefix that is certainly literal: leading token-alphabet
+    * chars (`[a-z0-9_]`), minus the last one if a quantifier (`? * + {`)
+    * follows (it makes that char optional/repeated), and nothing at all if
+    * the pattern contains a top-level-ambiguous `|` (in `ab|cd` the prefix
+    * `ab` is not required). Conservative by construction — used only to
+    * push a `StartsWith` into the dictionary scan, never to change
+    * semantics. */
+  private[graft] def regexLiteralPrefix(pattern: String): String = {
+    if (pattern.contains('|')) return ""
+    val lit = pattern.takeWhile(c =>
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '_')
+    if (lit.length < pattern.length && "?*+{".contains(pattern.charAt(lit.length)))
+      lit.dropRight(1)
+    else lit
+  }
+
+  /** Regex dictionary probe (Lucene `RegexpQuery` rewrite analog):
+    * dictionary terms FULLY matched by `pattern` (Lucene regexps are
+    * implicitly anchored; we anchor explicitly as `^(?:p)$` so Spark's
+    * partial-match RLIKE gets the same contract). The certainly-literal
+    * prefix ([[regexLiteralPrefix]]) is pushed as a `StartsWith` into the
+    * termstats scan — min/max row-group pruning on the sorted dictionary,
+    * the same descent as [[expandPrefix]] — and the full regex evaluates
+    * as a codegen'd RLIKE on the survivors. Deterministic (df desc,
+    * term asc) cap, as every expansion here.
+    *
+    * Patterns are restricted by contract to the Java∩RE2 common subset
+    * (classes, alternation, bounded/unbounded repetition — no
+    * backreferences or lookaround) so the operator stays oracle-exact. */
+  def expandRegex(ix: LoadedIndex, pattern: String,
+                  maxExpansion: Int = 64): Seq[String] = {
+    val spark = ix.spark
+    import spark.implicits._
+    if (pattern.isEmpty || maxExpansion <= 0) return Nil
+    val litPrefix = regexLiteralPrefix(pattern)
+    val base =
+      if (litPrefix.nonEmpty) ix.termstats.filter($"term".startsWith(litPrefix))
+      else ix.termstats
+    base
+      .filter($"term".rlike(s"^(?:$pattern)$$"))
+      .select($"term", $"df")
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansion)
+      .as[(String, Long)]
+      .collect()
+      .map(_._1)
+      .toSeq
+  }
+
+  /** Regex BM25 top-k: disjunctive scoring of the regex expansion — the
+    * bounded multi-term rewrite, same evaluation as [[searchPrefix]]. */
+  def searchRegex(ix: LoadedIndex, pattern: String, k: Int,
+                  maxExpansion: Int = 64): Dataset[Hit] = {
+    val terms = expandRegex(ix, pattern, maxExpansion)
+    if (terms.isEmpty) {
+      val spark = ix.spark
+      import spark.implicits._
+      spark.emptyDataset[Hit]
+    } else search(ix, terms, k, conjunctive = false)
+  }
+
   /** More-like-this (Lucene `MoreLikeThis` analog; absent in the
     * reference): find docs similar to `docId` by extracting its top
     * `maxTerms` terms by tf·idf and running them as a disjunctive BM25

@@ -278,6 +278,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uw.nonEmpty && uw.forall(_.startsWith("fn_0_")))
   }
 
+  test("regex search (anchored full-match expansion) rank-identical vs oracle") {
+    def oracleExpand(pattern: String, cap: Int): Seq[String] =
+      oracle.postings.keysIterator.filter(_.matches(s"(?:$pattern)")).toSeq
+        .map(t => (t, oracle.df(t))).sortBy { case (t, d) => (-d, t) }
+        .take(cap).map(_._1)
+    for ((p, cap) <- Seq(("re[a-z]+", 64),      // prefix 're' pushed
+                         ("fn_[0-9]_[0-9]", 8), // prefix 'fn_' pushed
+                         ("ret?urn", 64),       // quantifier eats last literal
+                         ("if|fn_0_0", 64),     // alternation: no prefix
+                         ("zzz+q", 4))) {       // empty expansion
+      val terms = Searcher.expandRegex(ix, p, cap)
+      assert(terms == oracleExpand(p, cap), s"regex expansion mismatch for '$p'")
+      val got = Searcher.searchRegex(ix, p, 10, cap).collect().sortBy(_.rank)
+      val want = Oracle.searchOr(oracle, terms, 10)
+      assert(got.length == want.length, s"regex size mismatch for '$p'")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.docId == w.docId && math.abs(g.score - w.score) < 1e-9,
+          s"regex hit mismatch for '$p'")
+      }
+      // serving-path parity (resident expansion cache)
+      val svc = new graft.query.LocalService(ix)
+      val served = svc.searchRegex(p, 10, cap)
+      assert(served.map(_.docId) == want.map(_.docId).toSeq, s"served regex '$p'")
+    }
+    // full-match anchoring: a bare literal matches ONLY itself, never as a
+    // substring of longer dictionary terms (Lucene RegexpQuery semantics)
+    assert(Searcher.expandRegex(ix, "return", 64) == Seq("return"))
+    // the conservative literal-prefix extractor never changes semantics
+    assert(Searcher.regexLiteralPrefix("ret?urn") == "re")
+    assert(Searcher.regexLiteralPrefix("fn_[0-9]") == "fn_")
+    assert(Searcher.regexLiteralPrefix("ab|cd") == "")
+    assert(Searcher.regexLiteralPrefix("ret{1,2}x") == "re")
+  }
+
   test("more-like-this: deterministic tf-idf expansion, source excluded, vs oracle") {
     def oracleMlt(d: Int, k: Int, maxTerms: Int): Seq[Oracle.Hit] = {
       val body = oracle.docs.find(_.docId == d).get.content
@@ -738,9 +772,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val log = java.nio.file.Files.createTempFile("graft_queries", ".log")
     java.nio.file.Files.writeString(log,
-      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\nretrun~2\n\"if return\"~2\n*eight*\n")
+      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\nretrun~2\n\"if return\"~2\n*eight*\n/re[a-z]+/\n")
     val qs = graft.query.QueryLog.load(log.toString)
-    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false, false, true, false))
+    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false, false, true, false, false))
     assert(qs(1).terms == Seq("if", "return"))
     assert(qs(3).terms == Seq("val", "index")) // tokenizer-normalized
     assert(qs(4).prefix.contains("fn_1") && qs(4).terms.isEmpty)
@@ -749,13 +783,15 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qs(7).fuzzy.contains(("retrun", 2)) && qs(7).terms.isEmpty) // fuzzy syntax
     assert(qs(8).phrase && qs(8).slop == 2 && qs(8).terms == Seq("if", "return")) // slop syntax
     assert(qs(9).wildcard.contains("*eight*") && qs(9).terms.isEmpty) // wildcard syntax
+    assert(qs(10).regex.contains("re[a-z]+") && qs(10).terms.isEmpty) // regex syntax
     val res = graft.query.QueryLog.run(ix, qs, 10)
       .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
     qs.foreach { q =>
-      val want = (q.prefix, q.fuzzy, q.wildcard) match {
-        case (Some(p), _, _) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
-        case (_, Some((t, d)), _) => Searcher.searchFuzzy(ix, t, 10, d).collect().sortBy(_.rank)
-        case (_, _, Some(w)) => Searcher.searchWildcard(ix, w, 10).collect().sortBy(_.rank)
+      val want = (q.prefix, q.fuzzy, q.wildcard, q.regex) match {
+        case (Some(p), _, _, _) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
+        case (_, Some((t, d)), _, _) => Searcher.searchFuzzy(ix, t, 10, d).collect().sortBy(_.rank)
+        case (_, _, Some(w), _) => Searcher.searchWildcard(ix, w, 10).collect().sortBy(_.rank)
+        case (_, _, _, Some(r)) => Searcher.searchRegex(ix, r, 10).collect().sortBy(_.rank)
         case _ => Searcher.search(ix, q.terms, 10, phrase = q.phrase,
           excludeTerms = q.exclude, slop = q.slop).collect().sortBy(_.rank)
       }
