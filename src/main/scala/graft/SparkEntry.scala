@@ -311,6 +311,34 @@ object SparkEntry {
       .orderBy(desc("df"), asc("term"))
       .limit(maxExpansion)
 
+  /** Misspelled probes for the P8 spell-suggestion contract: three typos
+    * of dictionary terms plus one exact term ('filter' — its own
+    * distance-0 first suggestion) and one unfixable junk word. */
+  private[graft] val SuggestProbes: Seq[String] =
+    Seq("qurey", "jion", "tabel", "filter", "zzzzzz")
+
+  /** Spell suggestion (P8, Lucene DirectSpellChecker analog): for each
+    * probe, dictionary terms within 2 edits ranked (dist asc, df desc,
+    * term asc), top 3. The distance-FIRST order is what distinguishes a
+    * correction ranking from [[fuzzyExpand]]'s df-first rewrite order.
+    * Engine path: [[graft.query.Searcher.suggest]]. */
+  private def suggestQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dict = tfTable(s, dir)
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val probes = SuggestProbes.toDF("probe")
+    dict.join(broadcast(probes),
+        abs(length(col("term")) - length(col("probe"))) <= 2 &&
+          levenshtein(col("term"), col("probe"), 2) >= 0)
+      .withColumn("dist", levenshtein(col("term"), col("probe")).cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("probe")
+          .orderBy(asc("dist"), desc("df"), asc("term"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("probe"), col("rank"), col("term"), col("dist"), col("df"))
+      .orderBy("probe", "rank")
+  }
+
   /** Disjunctive micro-int BM25 over a dynamic (term, df) expansion —
     * shared by the prefix, fuzzy and more-like-this top-k contracts.
     * `excludeDocId` drops one doc from the candidates (MLT's source). */
@@ -624,6 +652,9 @@ object SparkEntry {
     // A5 over the wildcard expansion (disjunctive, micro-int contract)
     "a5_bm25_wildcard_topk" -> ((s, dir) =>
       bm25ExpandTopK(s, dir, wildcardExpand(s, dir, "s*a*", 16), 10)),
+
+    // P8: spell suggestion — distance-first dictionary correction ranking
+    "p8_suggest" -> ((s, dir) => suggestQuery(s, dir)),
 
     // P7: anchored regex dictionary expansion (Lucene RegexpQuery analog)
     "p7_regex_expand" -> ((s, dir) => regexExpand(s, dir, "s[a-z]*a[a-z]*", 3)
@@ -1195,6 +1226,19 @@ object SparkEntry {
 
     "a5_bm25_wildcard_topk" -> bm25ExpandSql(
       "term LIKE 's%a%' ESCAPE '\\'", 10, 16),
+
+    "p8_suggest" -> {
+      val vals = SuggestProbes.map(p => s"('$p')").mkString(",")
+      s"""WITH dict AS (SELECT term, count(*)::BIGINT df FROM $TF GROUP BY term),
+         | probes AS (SELECT * FROM (VALUES $vals) p(probe)),
+         | cand AS (SELECT probe, term, levenshtein(term, probe)::BIGINT dist, df
+         |          FROM dict JOIN probes ON abs(length(term) - length(probe)) <= 2
+         |                                AND levenshtein(term, probe) <= 2),
+         | ranked AS (SELECT *, row_number() OVER (PARTITION BY probe
+         |            ORDER BY dist, df DESC, term) rank FROM cand)
+         |SELECT probe, rank::BIGINT rank, term, dist, df FROM ranked
+         |WHERE rank <= 3 ORDER BY probe, rank""".stripMargin
+    },
 
     "p7_regex_expand" ->
       s"""SELECT term, count(*)::BIGINT df FROM $TF tf

@@ -432,6 +432,18 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     serveExpansion(terms, k)
   }
 
+  /** Cached spell suggestions, keyed by (term, maxDist, cap). */
+  private val suggestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(String, Int, Long)]]()
+
+  /** "Did you mean" on the serving path: one dictionary probe per cold
+    * (term, maxDist, cap) ([[Searcher.suggest]]: distance-first ranking),
+    * then resident. Pure metadata — no posting fetch. */
+  def suggest(term: String, maxDist: Int = 2,
+              maxSuggestions: Int = 3): Seq[(String, Int, Long)] =
+    suggestCache.computeIfAbsent((term, maxDist, maxSuggestions),
+      _ => Searcher.suggest(ix, term, maxDist, maxSuggestions))
+
   /** Cached regex expansions, keyed by (pattern, cap). */
   private val regexCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[String]]()

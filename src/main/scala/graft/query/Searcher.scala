@@ -606,6 +606,30 @@ object Searcher {
       .toSeq
   }
 
+  /** Spell suggestion ("did you mean" — Lucene `DirectSpellChecker`
+    * analog): dictionary terms within `maxDist` edits of `term`, ranked by
+    * (distance asc, df desc, term asc) — closest first, popularity breaks
+    * ties — unlike [[expandFuzzy]]'s pure df rewrite order. The exact term
+    * itself, when indexed, is its own distance-0 first suggestion, which
+    * callers use as the "no correction needed" signal. Same pushed length
+    * band + threshold levenshtein as [[expandFuzzy]]; cost is a dictionary
+    * scan, never a corpus scan. Returns (term, dist, df). */
+  def suggest(ix: LoadedIndex, term: String, maxDist: Int = 2,
+              maxSuggestions: Int = 3): Seq[(String, Int, Long)] = {
+    val spark = ix.spark
+    import spark.implicits._
+    if (term.isEmpty || maxSuggestions <= 0) return Nil
+    ix.termstats
+      .filter(abs(length($"term") - lit(term.length)) <= maxDist)
+      .filter(levenshtein($"term", lit(term), maxDist) >= 0)
+      .select($"term", levenshtein($"term", lit(term)).as("dist"), $"df")
+      .orderBy(asc("dist"), desc("df"), asc("term"))
+      .limit(maxSuggestions)
+      .as[(String, Int, Long)]
+      .collect()
+      .toSeq
+  }
+
   /** Regex BM25 top-k: disjunctive scoring of the regex expansion — the
     * bounded multi-term rewrite, same evaluation as [[searchPrefix]]. */
   def searchRegex(ix: LoadedIndex, pattern: String, k: Int,

@@ -243,6 +243,33 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Searcher.expandFuzzy(ix, "if", 1, 64).contains("if"))
   }
 
+  test("spell suggestion: distance-first ranking vs oracle; serving parity") {
+    def oracleSuggest(term: String, maxDist: Int, cap: Int): Seq[(String, Int, Long)] =
+      oracle.postings.keysIterator.toSeq
+        .map(t => (t, levenshtein(t, term), oracle.df(t).toLong))
+        .filter(_._2 <= maxDist)
+        .sortBy { case (t, d, df) => (d, -df, t) }
+        .take(cap)
+    def levenshtein(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for ((t, dist, cap) <- Seq(("retrun", 2, 3), ("fi", 1, 3), ("zzzzzzz", 2, 3))) {
+      val got = Searcher.suggest(ix, t, dist, cap)
+      assert(got == oracleSuggest(t, dist, cap), s"suggest mismatch for '$t': $got")
+    }
+    // an indexed term is its own distance-0 first suggestion
+    val self = Searcher.suggest(ix, "return", 2, 3)
+    assert(self.headOption.exists { case (t, d, _) => t == "return" && d == 0 })
+    // serving path returns the identical ranking from its resident cache
+    val svc = new graft.query.LocalService(ix)
+    assert(svc.suggest("retrun", 2, 3) == Searcher.suggest(ix, "retrun", 2, 3))
+    assert(svc.suggest("retrun", 2, 3) eq svc.suggest("retrun", 2, 3)) // cached
+  }
+
   test("wildcard search (glob expansion) rank-identical vs oracle") {
     // reference glob matcher for the oracle expansion — regex, not LIKE
     def globMatch(t: String, pattern: String): Boolean =
