@@ -614,6 +614,13 @@ object SparkEntry {
     // by the reference, OR declared-only, NOT absent)
     "a5_bm25_not_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
       excludeTerms = Seq("dup"))),
+    // Delete tombstones (Lucene live-docs semantics, engine path:
+    // graft.index.Tombstones + Searcher/LocalService anti-joins): deleted
+    // docs (here doc_id % 7 = 0) leave the candidate set, but N/avgdl/df
+    // stay PRE-delete until compaction — surviving docs' scores are
+    // unchanged, which is exactly the filtered-candidate contract below
+    "a5_bm25_delete_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
+      eligible = Some(docs(s, dir).filter(col("doc_id") % 7 =!= 0).select("doc_id")))),
 
     // P4: dictionary prefix probe (trie equal_prefix_range analog) — cap 4
     // of the 6 's'-terms makes the deterministic (df desc, term asc) cap
@@ -1376,6 +1383,8 @@ object SparkEntry {
       filterWhere = Some("lang = 'de'")),
     "a5_bm25_not_topk" -> bm25Sql(Seq("spark", "query"), 10,
       excludeTerms = Seq("dup")),
+    "a5_bm25_delete_topk" -> bm25Sql(Seq("spark", "query"), 10,
+      filterWhere = Some("doc_id % 7 <> 0")),
 
     "j6_except" ->
       s"""SELECT doc_id FROM (

@@ -204,7 +204,8 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val dfs = dfOf(uniq)
     if (dfs.valuesIterator.exists(_ == 0L)) return Nil // P2 guard, zero jobs on a warm dfCache
     val exPresent = { val ed = dfOf(exUniq); exUniq.filter(t => ed(t) > 0L) }
-    if (dfs.valuesIterator.exists(_ > maxFetchPostings) ||
+    if (deletesOverBudget ||
+        dfs.valuesIterator.exists(_ > maxFetchPostings) ||
         exPresent.exists(t => dfCache.get(t).longValue() > maxFetchPostings))
       return distributed(queryTerms, k, phrase, excludeTerms = exPresent, slop = slop)
 
@@ -219,6 +220,12 @@ final class LocalService(val ix: Searcher.LoadedIndex,
           return distributed(queryTerms, k, phrase, excludeTerms = exPresent, slop = slop)
         r.toIndexedSeq
       }
+
+    // delete tombstones ride the exclusion mechanism: one more sorted-id
+    // list for scanRange's binary-search membership test
+    val exAll: IndexedSeq[TermList] =
+      if (deletedDocs.isEmpty) exLists
+      else exLists :+ TermList(deletedDocs, null, null)
 
     val byTerm = uniq.zip(lists).toMap
     val slots = queryTerms.map(byTerm).toIndexedSeq
@@ -241,7 +248,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val minN = slots.map(_.n).min
     val w = LocalService.scanParallelism
     if (minN < math.max(scanThreshold, w) || w < 2)
-      scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue, exLists, slop)
+      scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue, exAll, slop)
     else {
       val small = slots.minBy(_.n)
       val bounds = (1 until w).map(i => small.docIds((small.n.toLong * i / w).toInt))
@@ -249,7 +256,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       val tasks = ranges.map { case (lo, hi) =>
         LocalService.scanPool.submit(new java.util.concurrent.Callable[Seq[Oracle.Hit]] {
           def call(): Seq[Oracle.Hit] =
-            scanRange(slots, idfs, lenBytes, k, phrase, lo, hi, exLists, slop)
+            scanRange(slots, idfs, lenBytes, k, phrase, lo, hi, exAll, slop)
         })
       }
       tasks.flatMap(_.get()).sortBy(h => (-h.score, h.docId)).take(k)
@@ -382,7 +389,53 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * — but at that scale the df gate routes hot prefixes to the
     * distributed engine anyway. */
   private val scoreBuf = new ThreadLocal[Array[Double]]() {
-    override def initialValue(): Array[Double] = new Array[Double](ix.nDocs.toInt)
+    override def initialValue(): Array[Double] = new Array[Double](idSpace)
+  }
+
+  // ---- delete tombstones (graft.index.Tombstones), resident ----
+  // Loaded once (or on reloadTombstones) as a sorted int array: exclusion
+  // costs one binary search per aligned candidate on the conjunctive path
+  // and one subrange zero-pass on the dense disjunctive path. A tombstone
+  // set over the fetch budget is NOT collected — the flag routes every
+  // query to the distributed Searcher, which applies tombstones as an
+  // anti-join (the 100 TB-safe path; the driver never materializes it).
+  @volatile private var deletedState: (Array[Int], Boolean) = null
+  private def loadTombstones(): (Array[Int], Boolean) = {
+    if (graft.index.Tombstones.countUpperBound(ix.indexDir) > maxFetchPostings)
+      return (Array.emptyIntArray, true)
+    graft.index.Tombstones.read(ix.spark, ix.indexDir) match {
+      case None => (Array.emptyIntArray, false)
+      case Some(df) =>
+        import ix.spark.implicits._
+        val ids = df.as[Int].collect()
+        java.util.Arrays.sort(ids)
+        (ids, false)
+    }
+  }
+  private def deletedDocs: Array[Int] = {
+    var s = deletedState
+    if (s == null) { s = loadTombstones(); deletedState = s }
+    s._1
+  }
+  private def deletesOverBudget: Boolean = {
+    var s = deletedState
+    if (s == null) { s = loadTombstones(); deletedState = s }
+    s._2
+  }
+  /** Re-read the tombstone generations (call after a delete/compaction —
+    * the resident set is a snapshot, like every segment-file reader). */
+  def reloadTombstones(): Unit = deletedState = loadTombstones()
+
+  private def isDeleted(docId: Int): Boolean = {
+    val arr = deletedDocs
+    if (arr.length == 0) return false
+    var lo = 0
+    var hi = arr.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (arr(mid) < docId) lo = mid + 1 else hi = mid
+    }
+    lo < arr.length && arr(lo) == docId
   }
 
   /** Prefix BM25 top-k on the serving path: expand against the dictionary
@@ -465,13 +518,13 @@ final class LocalService(val ix: Searcher.LoadedIndex,
   private def serveExpansion(terms: Seq[String], k: Int): Seq[Oracle.Hit] = {
     if (terms.isEmpty) return Nil
     val dfs = dfOf(terms)
-    if (dfs.valuesIterator.exists(_ > maxFetchPostings))
+    if (deletesOverBudget || dfs.valuesIterator.exists(_ > maxFetchPostings))
       return distributed(terms, k, phrase = false, conjunctive = false)
     val lists = resolveLists(terms, phrase = false)
     if (lists == null) return distributed(terms, k, phrase = false, conjunctive = false)
 
     val lenBytes = docLenBytes
-    if (ix.nDocs <= LocalService.maxDenseDocs) scoreDense(lists, lenBytes, k)
+    if (idSpace <= LocalService.maxDenseDocs) scoreDense(lists, lenBytes, k)
     else scoreBoxed(lists, lenBytes, k)
   }
 
@@ -547,6 +600,22 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       }
       li += 1
     }
+    // tombstoned docs must not rank: zero their accumulated slots in this
+    // range before the emission scan (one walk over the deleted subrange —
+    // the emission's `s > 0.0` check then skips them for free)
+    val del = deletedDocs
+    if (del.length > 0) {
+      var lo = 0
+      var hi = del.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (del(mid) < fromDoc) lo = mid + 1 else hi = mid
+      }
+      while (lo < del.length && del(lo) < untilDoc) {
+        if (del(lo) < scores.length) scores(del(lo)) = 0.0
+        lo += 1
+      }
+    }
     val heap = scala.collection.mutable.PriorityQueue.empty[Oracle.Hit](
       Ordering.by[Oracle.Hit, (Double, Int)](h => (-h.score, h.docId)))
     var d = fromDoc
@@ -579,8 +648,11 @@ final class LocalService(val ix: Searcher.LoadedIndex,
         i += 1
       }
     }
-    // topK's boundary tie rule assumes candidates in ascending docId
-    Oracle.topK(acc.iterator.map { case (d, s) => Oracle.Hit(d, s) }
+    // topK's boundary tie rule assumes candidates in ascending docId;
+    // tombstoned docs are dropped before ranking
+    Oracle.topK(acc.iterator
+      .filter { case (d, _) => !isDeleted(d) }
+      .map { case (d, s) => Oracle.Hit(d, s) }
       .toSeq.sortBy(_.docId), k)
   }
 
@@ -641,13 +713,20 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * million docs; the reference keeps the same store in memory,
     * `doc_length_store.h`). */
   // (companion holds the static phrase kernel)
-  private lazy val docLenBytes: Array[Int] = {
+  // Sized by the docId SPACE (max id + 1), not the doc count: after a
+  // delete + compaction the id range has holes (ids are stable, Lucene
+  // keeps maxDoc ≥ numDocs the same way), so nDocs underestimates the
+  // array bound.
+  private lazy val docLenState: (Array[Int], Int) = {
     import ix.spark.implicits._
     val rows = ix.doclen.select("docId", "lenByte").as[(Int, Int)].collect()
-    val arr = new Array[Int](ix.nDocs.toInt)
-    rows.foreach { case (d, lb) => if (d >= 0 && d < arr.length) arr(d) = lb }
-    arr
+    val space = rows.iterator.map(_._1).foldLeft(-1)(math.max) + 1
+    val arr = new Array[Int](space)
+    rows.foreach { case (d, lb) => if (d >= 0) arr(d) = lb }
+    (arr, space)
   }
+  private def docLenBytes: Array[Int] = docLenState._1
+  private def idSpace: Int = docLenState._2
 }
 
 object LocalService {

@@ -81,6 +81,12 @@ object Searcher {
       * bloom store missing some segment's docs would silently drop phrase
       * candidates from those docs — partial coverage therefore disables
       * pruning entirely (lossy-safe: the positional check stays exact). */
+    /** Committed delete tombstones (union of generations), if any — the
+      * Lucene live-docs analog ([[graft.index.Tombstones]]). None on the
+      * common no-deletes index: the query path pays one directory listing,
+      * no Spark job. */
+    def tombstones: Option[DataFrame] =
+      graft.index.Tombstones.read(spark, indexDir)
     def bloom: Option[DataFrame] = {
       val p = java.nio.file.Paths.get(indexDir, "bloom")
       if (!java.nio.file.Files.exists(p)) None
@@ -224,8 +230,17 @@ object Searcher {
             .toDF("docId").distinct())
         }
       }
-    def minusExcluded(df: DataFrame): DataFrame =
-      exDocs.map(e => df.join(e, Seq("docId"), "left_anti")).getOrElse(df)
+    // Delete tombstones compose with NOT-term exclusion: both are doc-level
+    // anti-joins applied INSIDE scoreOf, so the WAND pilot's θ is computed
+    // over post-delete docs (a deleted doc inflating θ could over-prune).
+    // Stats (N, avgdl, df, idf) above were computed WITHOUT the tombstones
+    // — Lucene delete semantics: surviving docs score identically until a
+    // merge re-baselines the stats.
+    val delDocs: Option[DataFrame] = ix.tombstones
+    def minusExcluded(df: DataFrame): DataFrame = {
+      val afterEx = exDocs.map(e => df.join(e, Seq("docId"), "left_anti")).getOrElse(df)
+      delDocs.map(d => afterEx.join(d, Seq("docId"), "left_anti")).getOrElse(afterEx)
+    }
 
     val decodedAcc = spark.sparkContext.longAccumulator("graft.decodedPostings")
     def blocksFor(sel: Map[String, Array[Int]]): DataFrame = {
@@ -842,7 +857,7 @@ object Searcher {
     // per-query exact top-k via the bounded-heap Aggregator (A5): partial
     // per-partition heaps + pairwise merge — no per-query full sort (a
     // window row_number would sort every matched doc)
-    posting
+    val scoredRows = posting
       .join(broadcast(q), "term")
       .join(ix.doclen.select("docId", "lenByte"), "docId")
       .join(idfDf, "term")
@@ -852,6 +867,11 @@ object Searcher {
       .withColumn("score", slotOrderedScore)
       .filter($"disj" || $"nMatched" === $"nTerms")
       .select($"queryId", $"docId".cast("int"), $"score")
+    // delete tombstones: doc-level anti-join before the top-k heaps (stats
+    // above stay pre-delete — Lucene semantics, same as Searcher.search)
+    ix.tombstones.map(d => scoredRows.join(d, Seq("docId"), "left_anti"))
+      .getOrElse(scoredRows)
+      .select($"queryId", $"docId", $"score")
       .as[(Int, Int, Double)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
@@ -971,7 +991,7 @@ object Searcher {
     val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
     val partScore = $"idf" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
-    matched
+    val phraseScored = matched
       .join(ix.doclen.select("docId", "lenByte"), "docId")
       .join(broadcast(idfW), Seq("queryId", "term"))
       .withColumn("partScore", partScore)
@@ -979,6 +999,10 @@ object Searcher {
       .agg(slotSums.head, slotSums.tail: _*)
       .withColumn("score", slotOrderedScore)
       .select($"queryId", $"docId".cast("int"), $"score")
+    // delete tombstones, same contract as searchAll
+    ix.tombstones.map(d => phraseScored.join(d, Seq("docId"), "left_anti"))
+      .getOrElse(phraseScored)
+      .select($"queryId", $"docId", $"score")
       .as[(Int, Int, Double)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))

@@ -127,10 +127,13 @@ object StreamingIndexer {
     val info = segmentInfo(indexDir)
     val segs = committedSegments(indexDir)
       .filter(s => info.get(s).forall(_._1 < maxDocsToMerge))
-    if (segs.size < 2) return
+    // a single segment is still worth "merging" when tombstones exist: the
+    // merge-of-one physically reclaims deleted docs (the Lucene
+    // expungeDeletes analog) and re-baselines N/avgdl/df
+    val tomb = graft.index.Tombstones.read(spark, indexDir)
+    if (segs.isEmpty || (segs.size < 2 && tomb.isEmpty)) return
     val newSeg = committedSegments(indexDir).max + 1
     val total = committedDocs(indexDir)
-    val mergedDocs = segs.flatMap(info.get).map(_._1).sum
     val mergedAfter = segs.flatMap(info.get).map(_._2).foldLeft(0L)(math.max)
 
     // decoded flat postings from every live segment, with positions/offsets
@@ -151,9 +154,22 @@ object StreamingIndexer {
       }.toDF("term", "docId", "tf", "posBlob", "offBlob")
     // lenByte for the merged block-max metadata comes from the docstore's
     // inline length columns (columnar projection, no standalone doclen)
-    val srcStore = spark.read.option("basePath", s"$indexDir/docstore")
+    val srcStoreAll = spark.read.option("basePath", s"$indexDir/docstore")
       .parquet(segs.map(s => s"$indexDir/docstore/seg=$s"): _*)
-    val flatTyped = flat
+    // delete tombstones are PHYSICALLY applied here (the Lucene merge
+    // reclaim): tombstoned docs' postings and docstore rows are dropped
+    // from the merged segment, so post-compact stats (N, avgdl, df) are
+    // re-baselined over live docs only — before this point search-time
+    // anti-joins kept them out of results with pre-delete stats. docIds of
+    // surviving docs are STABLE (the id space keeps holes; nothing is
+    // renumbered), so external references and the docsAfter watermark hold.
+    val srcStore = tomb.map(t => srcStoreAll.join(t, Seq("docId"), "left_anti"))
+      .getOrElse(srcStoreAll)
+    val flatLive = tomb.map(t => flat.join(t, Seq("docId"), "left_anti"))
+      .getOrElse(flat)
+    val mergedDocs = tomb.fold(segs.flatMap(info.get).map(_._1).sum)(_ =>
+      srcStore.count())
+    val flatTyped = flatLive
       .join(srcStore.select($"docId", $"lenByte".as("lb")), "docId")
       .select($"term", $"docId", $"tf", $"posBlob", $"offBlob", $"lb")
       .as[(String, Int, Int, Array[Byte], Array[Byte], Int)]
@@ -201,6 +217,14 @@ object StreamingIndexer {
     segs.foreach { s =>
       java.nio.file.Files.deleteIfExists(Manifest.manifestPath(indexDir, s"segment_$s"))
     }
+    // tombstones covered by this merge are now physically applied — retire
+    // them (ids in UNMERGED segments are re-published first; a reader at
+    // any instant sees a superset of the live tombstone set, never a
+    // subset). Must run before the retired directories are removed: the
+    // covered-id set is computed from the pre-delete source docstore.
+    if (tomb.nonEmpty)
+      graft.index.Tombstones.retireCovered(spark, indexDir,
+        srcStoreAll.select("docId"))
     segs.foreach { s =>
       // "doclen" covers legacy segments written before lengths moved inline
       Seq("postings", "doclen", "termstats", "docstore", "bloom").foreach { st =>

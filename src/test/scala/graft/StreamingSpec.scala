@@ -286,4 +286,106 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(want.exists(_._5 > 1))
     } finally q.stop()
   }
+
+  test("delete tombstones: live-docs search semantics, then compaction reclaim") {
+    import spark.implicits._
+    import graft.index.Tombstones
+    val ixDir = s"$root/ix_del"
+    val all = (0L until 400L).map(id => CorpusGen.row(7L, id))
+    def df(range: Seq[(String, String, String, String, String)]) =
+      range.toDF("repo", "path", "commit", "lang", "content")
+    // two segments, batch-appended (the stream path is covered above)
+    StreamingIndexer.appendSegment(spark, df(all.take(250)), ixDir, segId = 0, partitions = 4)
+    StreamingIndexer.appendSegment(spark, df(all.drop(250)), ixDir, segId = 1, partitions = 4)
+
+    val ordered =
+      all.take(250).sortBy(r => (r._1, r._2)) ++ all.drop(250).sortBy(r => (r._1, r._2))
+    val oracle = new Oracle.Index(ordered.zipWithIndex.map { case (r, i) => Oracle.Doc(i, r._5) })
+    val loaded = Searcher.load(spark, ixDir)
+
+    val delIds = (0 until 400 by 5)
+    val delSet = delIds.toSet
+    Tombstones.delete(spark, ixDir, delIds)
+    assert(Tombstones.committedGens(ixDir).nonEmpty)
+
+    // Lucene delete semantics: deleted docs leave the results, surviving
+    // docs' SCORES are unchanged (stats stay pre-delete) — the expected
+    // ranking is the full pre-delete ranking minus deleted docs
+    def wantFor(terms: Seq[String], k: Int, phrase: Boolean = false): Seq[Oracle.Hit] =
+      Oracle.search(oracle, terms, 400, phrase = phrase)
+        .filterNot(h => delSet(h.docId)).take(k)
+    val queries = Seq(Seq("if"), Seq("if", "return"), Seq("hash", "seed", "mask"))
+    queries.foreach { terms =>
+      val got = Searcher.search(loaded, terms, 10).collect().sortBy(_.rank)
+      val want = wantFor(terms, 10)
+      assert(got.map(_.docId).toSeq == want.map(_.docId), s"delete-aware $terms")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+      assert(got.forall(h => !delSet(h.docId)))
+    }
+    // batched path applies the same anti-join
+    val batch = Searcher.searchAll(loaded, queries.zipWithIndex.map(_.swap), 10)
+      .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
+    queries.zipWithIndex.foreach { case (terms, qid) =>
+      val rows = batch.getOrElse(qid, Array.empty).sortBy(_._2)
+      assert(rows.map(_._3).toSeq == wantFor(terms, 10).map(_.docId), s"batch delete-aware $terms")
+    }
+    // serving path: conjunctive leapfrog AND the dense disjunctive
+    // expansion both exclude tombstoned docs with identical scores
+    val svc = new graft.query.LocalService(loaded)
+    queries.foreach { terms =>
+      val served = svc.search(terms, 10)
+      val want = wantFor(terms, 10)
+      assert(served.map(_.docId) == want.map(_.docId), s"served delete-aware $terms")
+      served.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+    val servedPfx = svc.searchPrefix("re", 10, 64)
+    val pfxTerms = Searcher.expandPrefix(loaded, "re", 64)
+    val wantPfx = Oracle.searchOr(oracle, pfxTerms, 400).filterNot(h => delSet(h.docId)).take(10)
+    assert(servedPfx.map(_.docId) == wantPfx.map(_.docId), "served prefix delete-aware")
+
+    // compaction physically reclaims: stats re-baseline over live docs,
+    // docIds stay stable (holes, no renumbering), tombstones retire
+    StreamingIndexer.compact(spark, ixDir, partitions = 4)
+    val after = Searcher.load(spark, ixDir)
+    assert(after.nDocs == 400 - delIds.size, s"nDocs ${after.nDocs}")
+    assert(Tombstones.committedGens(ixDir).isEmpty, "tombstones not retired")
+    val liveOracle = new Oracle.Index(ordered.zipWithIndex.collect {
+      case (r, i) if !delSet(i) => Oracle.Doc(i, r._5)
+    })
+    assert(math.abs(after.avgLen - liveOracle.avgLen) < 1e-9)
+    queries.foreach { terms =>
+      val got = Searcher.search(after, terms, 10).collect().sortBy(_.rank)
+      val want = Oracle.search(liveOracle, terms, 10)
+      assert(got.map(_.docId).toSeq == want.map(_.docId), s"post-compact $terms")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+    // deleted docs are physically gone from the docstore
+    val storeIds = spark.read.parquet(s"$ixDir/docstore")
+      .select("docId").as[Int].collect().toSet
+    assert(storeIds.intersect(delSet).isEmpty && storeIds.size == 400 - delIds.size)
+    // a served query on a reloaded service sees the re-baselined index
+    val svc2 = new graft.query.LocalService(after)
+    val got2 = svc2.search(Seq("if", "return"), 10)
+    val want2 = Oracle.search(liveOracle, Seq("if", "return"), 10)
+    assert(got2.map(_.docId) == want2.map(_.docId))
+    got2.zip(want2).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+  }
+
+  test("delete-by-query resolves ids from the docstore predicate") {
+    import spark.implicits._
+    import graft.index.Tombstones
+    val ixDir = s"$root/ix_del2"
+    val rows = Seq(
+      ("keep/a", "f1.scala", "c", "scala", "if return value"),
+      ("keep/a", "f2.scala", "c", "scala", "return seed"),
+      ("drop/b", "f3.scala", "c", "scala", "if mask value"),
+      ("drop/b", "f4.scala", "c", "scala", "return mask"))
+    StreamingIndexer.appendSegment(spark,
+      rows.toDF("repo", "path", "commit", "lang", "content"), ixDir, segId = 0, partitions = 2)
+    val loaded = Searcher.load(spark, ixDir)
+    Tombstones.deleteWhere(spark, ixDir, org.apache.spark.sql.functions.col("repo") === "drop/b")
+    val hits = Searcher.search(loaded, Seq("return"), 10).collect()
+    val stored = loaded.docstore.select("docId", "repo").as[(Int, String)].collect().toMap
+    assert(hits.nonEmpty && hits.forall(h => stored(h.docId) == "keep/a"))
+  }
 }
