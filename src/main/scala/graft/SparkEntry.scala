@@ -663,6 +663,16 @@ object SparkEntry {
     // P8: spell suggestion — distance-first dictionary correction ranking
     "p8_suggest" -> ((s, dir) => suggestQuery(s, dir)),
 
+    // O4: deep paging — page 2 (ranks 11..20) of the flagship ranking.
+    // Engine path: Searcher.searchAfter / LocalService.searchAfter (a
+    // search_after cursor on the bitwise-deterministic (score, docId)
+    // total order — no offset materialization; spec-asserted to stitch
+    // into the full ranking). The graded contract checks the ranking
+    // itself is exact at depth.
+    "o4_search_after" -> ((s, dir) =>
+      bm25TopK(s, dir, Seq("spark", "query"), 20)
+        .filter(col("rank") > 10).orderBy("rank")),
+
     // P7: anchored regex dictionary expansion (Lucene RegexpQuery analog)
     "p7_regex_expand" -> ((s, dir) => regexExpand(s, dir, "s[a-z]*a[a-z]*", 3)
       .orderBy(desc("df"), asc("term"))),
@@ -1385,6 +1395,11 @@ object SparkEntry {
       excludeTerms = Seq("dup")),
     "a5_bm25_delete_topk" -> bm25Sql(Seq("spark", "query"), 10,
       filterWhere = Some("doc_id % 7 <> 0")),
+
+    "o4_search_after" ->
+      s"""SELECT rank, doc_id, score_micro FROM (
+         |${bm25Sql(Seq("spark", "query"), 20)}
+         |) page WHERE rank > 10 ORDER BY rank""".stripMargin,
 
     "j6_except" ->
       s"""SELECT doc_id FROM (

@@ -119,9 +119,10 @@ final class LocalService(val ix: Searcher.LoadedIndex,
   private def distributed(queryTerms: Seq[String], k: Int,
                           phrase: Boolean, conjunctive: Boolean = true,
                           excludeTerms: Seq[String] = Nil,
-                          slop: Int = 0): Seq[Oracle.Hit] =
+                          slop: Int = 0,
+                          after: Option[(Double, Int)] = None): Seq[Oracle.Hit] =
     Searcher.search(ix, queryTerms, k, phrase, conjunctive = conjunctive,
-        excludeTerms = excludeTerms, slop = slop)
+        excludeTerms = excludeTerms, slop = slop, after = after)
       .collect().sortBy(_.rank).map(h => Oracle.Hit(h.docId, h.score)).toSeq
 
   /** In-flight fetches, keyed by term (suffix "#p" = with positions):
@@ -192,7 +193,8 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * distributed [[Searcher]] instead of materializing the list on the
     * driver — one hot term on a 100 TB corpus must never OOM the server. */
   def search(queryTerms: Seq[String], k: Int, phrase: Boolean = false,
-             excludeTerms: Seq[String] = Nil, slop: Int = 0): Seq[Oracle.Hit] = {
+             excludeTerms: Seq[String] = Nil, slop: Int = 0,
+             after: Option[(Double, Int)] = None): Seq[Oracle.Hit] = {
     if (queryTerms.isEmpty || k <= 0) return Nil
     val uniq = queryTerms.distinct
     // NOT terms (Lucene MUST_NOT; same semantics as Searcher.search's
@@ -207,17 +209,20 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     if (deletesOverBudget ||
         dfs.valuesIterator.exists(_ > maxFetchPostings) ||
         exPresent.exists(t => dfCache.get(t).longValue() > maxFetchPostings))
-      return distributed(queryTerms, k, phrase, excludeTerms = exPresent, slop = slop)
+      return distributed(queryTerms, k, phrase, excludeTerms = exPresent,
+        slop = slop, after = after)
 
     val lists = resolveLists(uniq, phrase)
     if (lists == null)
-      return distributed(queryTerms, k, phrase, excludeTerms = exPresent, slop = slop)
+      return distributed(queryTerms, k, phrase, excludeTerms = exPresent,
+        slop = slop, after = after)
     val exLists: IndexedSeq[TermList] =
       if (exPresent.isEmpty) IndexedSeq.empty
       else {
         val r = resolveLists(exPresent, phrase = false)
         if (r == null)
-          return distributed(queryTerms, k, phrase, excludeTerms = exPresent, slop = slop)
+          return distributed(queryTerms, k, phrase, excludeTerms = exPresent,
+            slop = slop, after = after)
         r.toIndexedSeq
       }
 
@@ -245,10 +250,12 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     // bitwise-identical results to the sequential scan (asserted in
     // EngineSpec). Cheap queries stay on the caller thread: below the
     // threshold the split overhead exceeds the scan.
+    val (aScore, aDoc) = after.getOrElse((Double.PositiveInfinity, -1))
     val minN = slots.map(_.n).min
     val w = LocalService.scanParallelism
     if (minN < math.max(scanThreshold, w) || w < 2)
-      scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue, exAll, slop)
+      scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue, exAll, slop,
+        aScore, aDoc)
     else {
       val small = slots.minBy(_.n)
       val bounds = (1 until w).map(i => small.docIds((small.n.toLong * i / w).toInt))
@@ -256,12 +263,24 @@ final class LocalService(val ix: Searcher.LoadedIndex,
       val tasks = ranges.map { case (lo, hi) =>
         LocalService.scanPool.submit(new java.util.concurrent.Callable[Seq[Oracle.Hit]] {
           def call(): Seq[Oracle.Hit] =
-            scanRange(slots, idfs, lenBytes, k, phrase, lo, hi, exAll, slop)
+            scanRange(slots, idfs, lenBytes, k, phrase, lo, hi, exAll, slop,
+              aScore, aDoc)
         })
       }
       tasks.flatMap(_.get()).sortBy(h => (-h.score, h.docId)).take(k)
     }
   }
+
+  /** Deep paging on the serving path ("search_after"): the next `k` hits
+    * strictly after the `(afterScore, afterDocId)` cursor in the global
+    * (score desc, docId asc) order. Scores are bitwise-deterministic, so
+    * the cursor predicate is exact; page N costs the same leapfrog scan as
+    * page 1 (the cursor filters at heap-insert time — no offset
+    * materialization). */
+  def searchAfter(queryTerms: Seq[String], k: Int,
+                  afterScore: Double, afterDocId: Int,
+                  phrase: Boolean = false): Seq[Oracle.Hit] =
+    search(queryTerms, k, phrase, after = Some((afterScore, afterDocId)))
 
   /** One bounded-heap leapfrog pass over docIds in `[fromDoc, untilDoc)` —
     * the k-way max-pivot intersection of the reference
@@ -272,7 +291,9 @@ final class LocalService(val ix: Searcher.LoadedIndex,
                         lenBytes: Array[Int], k: Int, phrase: Boolean,
                         fromDoc: Int, untilDoc: Int,
                         exSlots: IndexedSeq[TermList] = IndexedSeq.empty,
-                        slop: Int = 0): Seq[Oracle.Hit] = {
+                        slop: Int = 0,
+                        afterScore: Double = Double.PositiveInfinity,
+                        afterDocId: Int = -1): Seq[Oracle.Hit] = {
     val nL = slots.size
     val cursors = new Array[Int](nL)
     // exclusion membership: one binary search per EXCLUSION LIST per aligned
@@ -341,13 +362,19 @@ final class LocalService(val ix: Searcher.LoadedIndex,
               s += idfs(j) * Bm25.tfNormLossy(slots(j).tfs(cursors(j)).toLong, lb, ix.lossyCache)
               j += 1
             }
+            // search_after cursor: only hits strictly after
+            // (afterScore, afterDocId) in (score desc, docId asc) order
+            // compete (default cursor admits everything)
+            val inPage = s < afterScore || (s == afterScore && maxDoc > afterDocId)
             // bounded-heap insert with the deterministic tie rule
             // (`query_processing.h:914-932`): candidates arrive in
             // ascending docId, so equal-score boundary keeps lowest docId
-            if (heap.size < k) heap.enqueue(Oracle.Hit(maxDoc, s))
-            else {
-              val worst = heap.head
-              if (s > worst.score) { heap.dequeue(); heap.enqueue(Oracle.Hit(maxDoc, s)) }
+            if (inPage) {
+              if (heap.size < k) heap.enqueue(Oracle.Hit(maxDoc, s))
+              else {
+                val worst = heap.head
+                if (s > worst.score) { heap.dequeue(); heap.enqueue(Oracle.Hit(maxDoc, s)) }
+              }
             }
           }
           var j = 0

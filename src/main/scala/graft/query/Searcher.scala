@@ -129,7 +129,8 @@ object Searcher {
              wandMinPostings: Long = 50000L,
              conjunctive: Boolean = true,
              excludeTerms: Seq[String] = Nil,
-             slop: Int = 0): Dataset[Hit] = {
+             slop: Int = 0,
+             after: Option[(Double, Int)] = None): Dataset[Hit] = {
     require(conjunctive || !phrase, "phrase queries are conjunctive by definition")
     require(slop >= 0, "slop must be non-negative")
     val spark = ix.spark
@@ -237,9 +238,19 @@ object Searcher {
     // — Lucene delete semantics: surviving docs score identically until a
     // merge re-baselines the stats.
     val delDocs: Option[DataFrame] = ix.tombstones
+    // `after` cursor (deep paging): scores are bitwise-deterministic
+    // (slot-ordered FP sum), so the strict-total-order predicate on
+    // (score desc, docId asc) is exact across recomputation. Applied HERE —
+    // inside scoreOf — so the WAND pilot's θ is the kth score AFTER the
+    // cursor and block pruning stays sound for any page.
     def minusExcluded(df: DataFrame): DataFrame = {
       val afterEx = exDocs.map(e => df.join(e, Seq("docId"), "left_anti")).getOrElse(df)
-      delDocs.map(d => afterEx.join(d, Seq("docId"), "left_anti")).getOrElse(afterEx)
+      val afterDel = delDocs.map(d => afterEx.join(d, Seq("docId"), "left_anti")).getOrElse(afterEx)
+      after match {
+        case Some((s0, d0)) =>
+          afterDel.filter($"score" < s0 || ($"score" === s0 && $"docId" > d0))
+        case None => afterDel
+      }
     }
 
     val decodedAcc = spark.sparkContext.longAccumulator("graft.decodedPostings")
@@ -571,6 +582,23 @@ object Searcher {
       spark.emptyDataset[Hit]
     } else search(ix, terms, k, conjunctive = false)
   }
+
+  /** Deep paging ("search_after" cursor — the Elasticsearch analog; the
+    * reference serves only page one, `engine_bench.cc` never pages): return
+    * the next `k` hits STRICTLY AFTER the cursor `(afterScore, afterDocId)`
+    * in the global (score desc, docId asc) total order. Stateless and
+    * O(k + decode) per page — no offset-k materialization (a `LIMIT n
+    * OFFSET m` pages by scoring m+n rows; the cursor pages by filtering on
+    * the total order, so page 100 costs the same as page 1), and cursor
+    * pages are consistent: the union of consecutive pages equals the full
+    * ranking's slices (asserted in EngineSpec). Ranks are LOCAL to the page
+    * (1-based). */
+  def searchAfter(ix: LoadedIndex, queryTerms: Seq[String], k: Int,
+                  afterScore: Double, afterDocId: Int,
+                  phrase: Boolean = false,
+                  conjunctive: Boolean = true): Dataset[Hit] =
+    search(ix, queryTerms, k, phrase = phrase, conjunctive = conjunctive,
+      after = Some((afterScore, afterDocId)))
 
   /** Longest regex prefix that is certainly literal: leading token-alphabet
     * chars (`[a-z0-9_]`), minus the last one if a quantifier (`? * + {`)

@@ -243,6 +243,45 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Searcher.expandFuzzy(ix, "if", 1, 64).contains("if"))
   }
 
+  test("search_after paging: pages stitch into the full ranking; serving parity") {
+    built
+    for ((terms, phrase) <- Seq((Seq("if"), false), (Seq("if", "return"), false),
+                                (Seq("if", "return"), true))) {
+      val full = Searcher.search(ix, terms, 1000, phrase = phrase)
+        .collect().sortBy(_.rank)
+      assert(full.length > 25, s"fixture too small for paging: ${full.length}")
+      // walk pages of 10 via the cursor; the concatenation must equal the
+      // full ranking exactly (docIds AND scores), with per-page ranks 1..10
+      val svc = new graft.query.LocalService(ix)
+      var cursor = (Double.PositiveInfinity, -1)
+      var collected = Vector.empty[Searcher.Hit]
+      var page = 0
+      while (collected.length < math.min(full.length, 35)) {
+        val hits = Searcher.searchAfter(ix, terms, 10, cursor._1, cursor._2,
+          phrase = phrase).collect().sortBy(_.rank)
+        assert(hits.nonEmpty, s"page $page empty before ranking exhausted")
+        assert(hits.map(_.rank).toSeq == (1 to hits.length), "page ranks are local")
+        // serving path returns the identical page
+        val served = svc.searchAfter(terms, 10, cursor._1, cursor._2, phrase = phrase)
+        assert(served.map(_.docId) == hits.map(_.docId).toSeq, s"served page $page $terms")
+        served.zip(hits).foreach { case (g, w) => assert(g.score == w.score) }
+        collected ++= hits
+        cursor = (hits.last.score, hits.last.docId)
+        page += 1
+      }
+      collected.zip(full).foreach { case (g, w) =>
+        assert(g.docId == w.docId && g.score == w.score,
+          s"stitched pages diverge from the full ranking for $terms")
+      }
+      // a cursor past the last hit yields the empty page
+      val tail = full.last
+      if (full.length <= 1000)
+        assert(Searcher.searchAfter(ix, terms, 10, tail.score, tail.docId,
+          phrase = phrase).collect().isEmpty ||
+          full.length == 1000 /* ranking truncated: a longer tail may exist */)
+    }
+  }
+
   test("spell suggestion: distance-first ranking vs oracle; serving parity") {
     def oracleSuggest(term: String, maxDist: Int, cap: Int): Seq[(String, Int, Long)] =
       oracle.postings.keysIterator.toSeq
