@@ -1027,6 +1027,11 @@ object SparkEntry {
         .orderBy("id_a")
     },
 
+    // corpus collocations: PMI over adjacent bigrams (boilerplate finder)
+    "text_collocations" -> ((s, dir) =>
+      TextOps.collocations(docs(s, dir), "text", minCount = 5L, topN = 20)
+        .orderBy(desc("pmi_micro"), asc("bigram"))),
+
     // text quality features
     // PII detection + redaction (training-pipeline privacy pass) over the
     // injected-PII fixture; counts and the redacted-text sha are both exact
@@ -1748,6 +1753,24 @@ object SparkEntry {
          |SELECT id_a, id_b, cos_micro FROM
          | (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY cos_micro DESC, id_b) rn FROM pairs)
          |WHERE rn = 1 ORDER BY id_a""".stripMargin,
+
+    "text_collocations" ->
+      s"""WITH toks AS (SELECT $T t FROM documents),
+         | uni AS (SELECT unnest(t) w FROM toks),
+         | ucnt AS (SELECT w, count(*)::BIGINT c FROM uni GROUP BY w),
+         | utot AS (SELECT count(*)::BIGINT u FROM uni),
+         | bi AS (SELECT unnest(list_transform(range(1, len(t)),
+         |          i -> array_to_string(t[i:i+1], ' '))) bigram FROM toks),
+         | btot AS (SELECT count(*)::BIGINT b FROM bi),
+         | bcnt AS (SELECT bigram, count(*)::BIGINT n FROM bi
+         |          GROUP BY bigram HAVING count(*) >= 5),
+         | sp AS (SELECT bigram, n, string_split(bigram, ' ')[1] w1,
+         |               string_split(bigram, ' ')[2] w2 FROM bcnt)
+         |SELECT bigram, n,
+         | round(ln((n * u * u)::DOUBLE / (b * c1.c * c2.c)::DOUBLE) * 1e6)::BIGINT pmi_micro
+         |FROM sp JOIN ucnt c1 ON sp.w1 = c1.w JOIN ucnt c2 ON sp.w2 = c2.w
+         | CROSS JOIN utot CROSS JOIN btot
+         |ORDER BY pmi_micro DESC, bigram LIMIT 20""".stripMargin,
 
     "text_pii_counts" -> {
       val cnts = graft.ops.TextOps.PiiPatterns.map { case (name, re, _) =>

@@ -30,6 +30,45 @@ object TextOps {
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
+  /** Collocation mining: corpus-level PMI over adjacent token bigrams —
+    * the classic "which word pairs stick together" analysis a training-data
+    * pipeline runs to find templated/boilerplate segments.
+    *
+    *   pmi = ln( P(w1,w2) / (P(w1)·P(w2)) )
+    *       = ln( (c12 · U · U) / (B · c1 · c2) )
+    *
+    * The products are computed on exact BIGINTs (corpus token counts keep
+    * them far under 2^53, so the double conversion of numerator and
+    * denominator is EXACT) and one IEEE division + ln produces the micro-
+    * quantized score — the same expression shape the DuckDB oracle runs,
+    * so the contract is cross-engine deterministic. Two shuffles total
+    * (bigram groupBy, unigram groupBy), both map-side combined; unigram
+    * counts broadcast onto the bigram table. Scales as a word-count. */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long = 5L, topN: Int = 20): DataFrame = {
+    val toks = df.select(tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
+    val uTot = toks.select(sum(size(col("t"))).cast("long").as("u"))
+    val bi = toks.select(explode(shingles(col("t"), 2)).as("bigram"))
+    val bTot = bi.agg(count(lit(1)).cast("long").as("b"))
+    val bCnt = bi.groupBy("bigram").agg(count(lit(1)).cast("long").as("n"))
+      .filter(col("n") >= minCount)
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val joined = bCnt
+      .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+      .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+      .crossJoin(broadcast(uTot)).crossJoin(broadcast(bTot))
+    joined
+      .withColumn("pmi_micro", round(log(
+        (col("n") * col("u") * col("u")).cast("double") /
+          (col("b") * col("c1") * col("c2")).cast("double")) * 1e6).cast("long"))
+      .select(col("bigram"), col("n"), col("pmi_micro"))
+      .orderBy(desc("pmi_micro"), asc("bigram"))
+      .limit(topN)
+  }
+
   /** Micro-quantized ratio of two integer columns (exact cross-engine). */
   def microRatio(num: Column, den: Column): Column =
     when(den === 0, lit(0L))

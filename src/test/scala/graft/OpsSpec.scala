@@ -255,6 +255,38 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loose(2L) == 1L)
   }
 
+  test("collocations: PMI ranks glued pairs above independent ones") {
+    import spark.implicits._
+    // 'big data' always adjacent (strong collocation); 'the' floats freely
+    val df = (0 until 10).map(i =>
+      s"big data the pipeline $i the value big data the end").toSeq.toDF("text")
+    val got = graft.ops.TextOps.collocations(df, "text", minCount = 5L, topN = 50)
+      .as[(String, Long, Long)].collect()
+    val byBigram = got.map(r => r._1 -> r).toMap
+    assert(byBigram("big data")._2 == 20L) // 2 per doc × 10 docs
+    // hand-computed PMI: U = 100 tokens... verify against a direct model
+    val toksAll = df.as[String].collect().flatMap(graft.core.Tokenizer.terms)
+    val u = toksAll.length.toLong
+    val uni = toksAll.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bis = df.as[String].collect().flatMap { t =>
+      val ts = graft.core.Tokenizer.terms(t); ts.zip(ts.tail).map(p => s"${p._1} ${p._2}")
+    }
+    val b = bis.length.toLong
+    val bCnt = bis.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (bg, n, pmiMicro) =>
+      val Array(w1, w2) = bg.split(" ")
+      assert(n == bCnt(bg))
+      val want = math.round(math.log(
+        (n * u * u).toDouble / (b * uni(w1) * uni(w2)).toDouble) * 1e6)
+      assert(pmiMicro == want, s"pmi mismatch for '$bg'")
+    }
+    // the glued pair must outrank any 'the'-anchored pair
+    val thePairs = got.filter(r => r._1.startsWith("the ") || r._1.endsWith(" the"))
+    assert(thePairs.nonEmpty && thePairs.forall(_._3 < byBigram("big data")._3))
+    // deterministic order: (pmi desc, bigram asc)
+    assert(got.sortBy(r => (-r._3, r._1)).toSeq == got.toSeq)
+  }
+
   test("PII counts and redaction: detect, replace, leave clean text alone") {
     import spark.implicits._
     val df = Seq(
