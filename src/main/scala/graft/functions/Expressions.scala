@@ -151,6 +151,100 @@ case class LongArrayDot(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** Slot-ordered deterministic score sum over `array<struct<slot:int,
+  * v:double>>`: sorts the (unique-slot) entries by slot ascending and adds
+  * left to right — bitwise-identical to the reference's per-slot scoring
+  * loop (`scoring.h:133-142`) regardless of the order `collect_list`
+  * delivered them in.
+  *
+  * This replaces the previous N-column `sum(when(slot = i, v))` pivot in
+  * the batched search aggregations: the pivot costs N aggregate buffers per
+  * row (N = the WIDEST query's slot count — 64 for a capped prefix
+  * expansion — paid by every row of every query in the batch; measured 2x
+  * on the bench query log), while a list collect is O(1) per row and this
+  * expression's sort+sum runs once per GROUP over ≤N entries. Skipping
+  * absent slots is exact: partial scores are strictly positive, and
+  * `x + 0.0 == x` bitwise for positive x, so dropping the `coalesce(_, 0)`
+  * terms of the pivot form cannot change the sum. */
+case class SlotOrderedSum(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(s: StructType, _) if s.length == 2 &&
+        s(0).dataType == IntegerType && s(1).dataType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_slot_sum requires ARRAY<STRUCT<INT, DOUBLE>>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val slots = new Array[Int](n)
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getStruct(i, 2)
+      slots(i) = s.getInt(0)
+      vals(i) = s.getDouble(1)
+      i += 1
+    }
+    var j = 1
+    while (j < n) { // insertion sort by slot (n <= query width)
+      val ks = slots(j); val kv = vals(j)
+      var m = j - 1
+      while (m >= 0 && slots(m) > ks) {
+        slots(m + 1) = slots(m); vals(m + 1) = vals(m); m -= 1
+      }
+      slots(m + 1) = ks; vals(m + 1) = kv
+      j += 1
+    }
+    var acc = 0.0
+    i = 0
+    while (i < n) { acc += vals(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val slots = ctx.freshName("slots")
+      val vals = ctx.freshName("vals")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val m = ctx.freshName("m")
+      val ks = ctx.freshName("ks")
+      val kv = ctx.freshName("kv")
+      val acc = ctx.freshName("acc")
+      val row = ctx.freshName("row")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $slots = new int[$n];
+         |double[] $vals = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $row = $a.getStruct($i, 2);
+         |  $slots[$i] = $row.getInt(0);
+         |  $vals[$i] = $row.getDouble(1);
+         |}
+         |for (int $j = 1; $j < $n; $j++) {
+         |  int $ks = $slots[$j]; double $kv = $vals[$j];
+         |  int $m = $j - 1;
+         |  while ($m >= 0 && $slots[$m] > $ks) {
+         |    $slots[$m + 1] = $slots[$m]; $vals[$m + 1] = $vals[$m]; $m--;
+         |  }
+         |  $slots[$m + 1] = $ks; $vals[$m + 1] = $kv;
+         |}
+         |double $acc = 0.0d;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $vals[$i]; }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SlotOrderedSum =
+    copy(child = newChild)
+}
+
 /** Column wrappers. `len_byte`/`bm25_idf` go via the public `call_function`
   * API — requires [[GraftFunctions.register]] (or [[GraftExtensions]]) on
   * the session; `long_dot` wraps its expression directly (no registration
@@ -166,6 +260,8 @@ object functions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def len_lossy(c: Column): Column =
     ColumnBridge.column(LenByteLossy(ColumnBridge.expression(c)))
+  def slot_sum(c: Column): Column =
+    ColumnBridge.column(SlotOrderedSum(ColumnBridge.expression(c)))
 }
 
 /** SQL-side registration: `graft_len_byte(len)`, `graft_bm25_idf(n, df)`,
@@ -188,6 +284,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_len_lossy"),
         new ExpressionInfo(classOf[LenByteLossy].getName, "graft_len_lossy"),
         (args: Seq[Expression]) => LenByteLossy(args.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_slot_sum"),
+        new ExpressionInfo(classOf[SlotOrderedSum].getName, "graft_slot_sum"),
+        (args: Seq[Expression]) => SlotOrderedSum(args.head)))
   }
 }
 
@@ -202,5 +302,7 @@ object GraftFunctions {
       "graft_long_dot", args => LongArrayDot(args(0), args(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_len_lossy", args => LenByteLossy(args.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_slot_sum", args => SlotOrderedSum(args.head), "built-in")
   }
 }

@@ -112,6 +112,16 @@ object BlockMax {
       overlapping(m, Array((lo, hi))).iterator.map(i => m(i).n.toLong).sum
     }.min
 
+  /** Pilot decode cost of [lo, hi]: the SUM over terms of overlapping
+    * posting counts. The disjunctive pilot budget — a union query's result
+    * is NOT bounded by its rarest term (min-over-terms underestimates by
+    * orders of magnitude when one expansion term is rare, making the pilot
+    * select nearly the whole coverage and decode the index twice). */
+  def estPostingsIn(perTerm: Seq[Array[BlockMeta]], lo: Int, hi: Int): Long =
+    perTerm.iterator.map { m =>
+      overlapping(m, Array((lo, hi))).iterator.map(i => m(i).n.toLong).sum
+    }.sum
+
   /** Split candidate intervals at the block boundaries of the
     * finest-grained term (most blocks), so pilot selection can pick
     * block-sized pieces instead of whole (possibly corpus-wide) candidate
@@ -132,12 +142,16 @@ object BlockMax {
   }
 
   /** Pick the pilot interval set: candidates sorted by ub ceiling
-    * descending, greedily taken until the estimated conjunctive doc count
-    * reaches `targetDocs`. Returns the chosen intervals (ascending). */
+    * descending, greedily taken until the estimated candidate count reaches
+    * `targetDocs`. Conjunctive mode budgets by [[estDocsIn]] (min over
+    * terms — the result-size bound); disjunctive mode by [[estPostingsIn]]
+    * (sum — the decode-cost bound, since a union result has no rarest-term
+    * bound). Returns the chosen intervals (ascending). */
   def pilotIntervals(perTerm: Seq[Array[BlockMeta]], candidates: Array[(Int, Int)],
-                     targetDocs: Long): Array[(Int, Int)] = {
+                     targetDocs: Long, disjunctive: Boolean = false): Array[(Int, Int)] = {
     val scored = candidates.map { case (lo, hi) =>
-      (lo, hi, intervalUb(perTerm, lo, hi), estDocsIn(perTerm, lo, hi))
+      (lo, hi, intervalUb(perTerm, lo, hi),
+        if (disjunctive) estPostingsIn(perTerm, lo, hi) else estDocsIn(perTerm, lo, hi))
     }
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var est = 0L

@@ -126,34 +126,29 @@ object QueryLog {
       }
     }
 
-  /** Run a full log against an index in TWO Spark jobs: term and prefix
-    * queries through the batched [[Searcher.searchAll]] path (prefix
-    * queries as disjunctive members of the same batch), phrase queries
-    * through the batched positional [[Searcher.searchAllPhrase]] path.
-    * NOT queries (`exclude` nonEmpty — a small minority of real logs; the
-    * AOL analysis has no exclusion syntax at all) are evaluated per query
-    * through [[Searcher.search]]'s skip-pruned exclusion path.
+  /** Run a full log against an index in TWO batched Spark pipelines: every
+    * non-phrase query — term, prefix/fuzzy/wildcard/regex expansion, AND
+    * NOT queries — through [[Searcher.searchAll]] (expansions as
+    * disjunctive members, NOT terms via its per-query skip-pruned exclusion
+    * anti-join), phrase/proximity queries through the batched positional
+    * [[Searcher.searchAllPhrase]] path. No per-query driver round trips.
     * Returns (queryId, rank, docId, score). */
   def run(ix: Searcher.LoadedIndex, queries: Seq[LogQuery], k: Int): DataFrame = {
     import ix.spark.implicits._
     val resolved = resolve(ix, queries)
-    val termQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty && q.exclude.isEmpty)
+    val termQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty)
       .map(q => (q.id, q.terms))
     val disjunctive = resolved.filter(_.disjunctive).map(_.id).toSet
+    val excludes = resolved.filter(q => !q.phrase && q.exclude.nonEmpty)
+      .map(q => q.id -> q.exclude).toMap
     val phraseQs = resolved.filter(q => q.phrase && q.terms.nonEmpty)
       .map(q => (q.id, q.terms))
     val slops = resolved.filter(q => q.phrase && q.slop > 0)
       .map(q => q.id -> q.slop).toMap
-    val notQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty && q.exclude.nonEmpty)
-    val notRows: Seq[(Int, Int, Int, Double)] = notQs.flatMap { q =>
-      Searcher.search(ix, q.terms, k, conjunctive = !disjunctive(q.id),
-          excludeTerms = q.exclude)
-        .collect().map(h => (q.id, h.rank, h.docId, h.score))
-    }
     val parts: Seq[DataFrame] =
-      (if (termQs.nonEmpty) Seq(Searcher.searchAll(ix, termQs, k, disjunctive)) else Nil) ++
-      (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k, slops)) else Nil) ++
-      (if (notRows.nonEmpty) Seq(notRows.toDF("queryId", "rank", "docId", "score")) else Nil)
+      (if (termQs.nonEmpty)
+        Seq(Searcher.searchAll(ix, termQs, k, disjunctive, excludes)) else Nil) ++
+      (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k, slops)) else Nil)
     parts match {
       case Nil => Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")
       case head :: tail => tail.foldLeft(head)(_ unionByName _)

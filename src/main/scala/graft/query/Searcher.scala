@@ -272,18 +272,16 @@ object Searcher {
     // with equal true scores at corpus scale (and makes scores vary run to
     // run). One broadcast row per (slot, term) — a repeated term is a
     // separate slot, an absent (disjunctive) slot contributes no rows —
-    // then the aggregation pivots per-slot sums (each has <=1 contribution
-    // per doc, so no accumulation happens inside a slot) and the score adds
-    // them LEFT TO RIGHT in slot order: bitwise-deterministic and
-    // bitwise-identical to the oracle's loop.
-    val nSlots = queryTerms.size
+    // then the aggregation collects the (slot, partScore) pairs (each slot
+    // has <=1 contribution per doc, so no accumulation happens inside a
+    // slot) and the codegen'd [[graft.functions.SlotOrderedSum]] re-adds
+    // them in slot order: bitwise-deterministic and bitwise-identical to
+    // the oracle's loop. `firstSlot` marks the first slot of each distinct
+    // term so nMatched is a plain conditional count (no countDistinct
+    // Expand rewrite doubling the aggregation input).
     val slotDf = broadcast(queryTerms.zipWithIndex.map { case (t, i) =>
-      (i, t, idfs.getOrElse(t, 0.0))
-    }.toDF("slot", "term", "idf"))
-    val slotSums = (0 until nSlots).map(i =>
-      sum(when($"slot" === i, $"partScore")).as(s"_s$i"))
-    val slotOrderedScore = (0 until nSlots)
-      .map(i => coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
+      (i, t, idfs.getOrElse(t, 0.0), queryTerms.indexOf(t) == i)
+    }.toDF("slot", "term", "idf", "firstSlot"))
     val cacheLit = array(cache.map(lit).toSeq: _*)
     val partScoreExpr = $"idf" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
@@ -301,8 +299,9 @@ object Searcher {
         .join(slotDf, "term")
         .withColumn("partScore", partScoreExpr)
         .groupBy($"docId")
-        .agg(countDistinct($"term").as("nMatched"), slotSums: _*)
-        .withColumn("score", slotOrderedScore)
+        .agg(sum(when($"firstSlot", 1).otherwise(0)).as("nMatched"),
+          collect_list(struct($"slot", $"partScore")).as("sps"))
+        .withColumn("score", graft.functions.functions.slot_sum($"sps"))
       minusExcluded(if (conjunctive) agg.filter($"nMatched" === nTerms) else agg)
     }
 
@@ -312,7 +311,7 @@ object Searcher {
       else {
         val pilotIv = BlockMax.pilotIntervals(perTerm,
           BlockMax.refineByBlocks(perTerm, candidates),
-          targetDocs = math.max(64L * k, 1024L))
+          targetDocs = math.max(64L * k, 1024L), disjunctive = !conjunctive)
         val pilotSel = terms.map(t => t -> BlockMax.overlapping(meta(t), pilotIv)).toMap
         val pilotTop = scoreOf(blocksFor(pilotSel))
           .orderBy(desc("score"), asc("docId")).limit(k)
@@ -425,8 +424,9 @@ object Searcher {
         .join(slotDf, "term")
         .withColumn("partScore", partScoreExpr)
         .groupBy($"docId")
-        .agg(countDistinct($"term").as("nMatched"), slotSums: _*)
-        .withColumn("score", slotOrderedScore)
+        .agg(sum(when($"firstSlot", 1).otherwise(0)).as("nMatched"),
+          collect_list(struct($"slot", $"partScore")).as("sps"))
+        .withColumn("score", graft.functions.functions.slot_sum($"sps"))
         .filter($"nMatched" === nTerms))
     val hits = scored
       .orderBy(desc("score"), asc("docId"))
@@ -789,8 +789,8 @@ object Searcher {
     * (total postings of the batch's terms, postings in decoded blocks). */
   val lastBatchDiag = new java.util.concurrent.atomic.AtomicReference[(Long, Long)]()
 
-  /** Batch search: many queries at once — one Spark job for the whole query
-    * set (queryId, terms). Used by the bench.
+  /** Batch search: many queries at once — a bounded number of Spark jobs
+    * for the whole query set (queryId, terms). Used by the bench.
     *
     * Block pruning (J3 on the batch path): the same driver-side
     * block-coverage intersection the single-query path runs is applied PER
@@ -804,106 +804,244 @@ object Searcher {
     * candidate rows for another that its own `nMatched == nTerms`
     * conjunctive filter discards.
     *
+    * WAND θ-prune (BMW on the batch path — the hot∧hot case range pruning
+    * cannot touch): queries whose range-surviving posting estimate exceeds
+    * `wandMinPostings` share ONE pilot job — each contributes its
+    * highest-ceiling candidate intervals ([[BlockMax.pilotIntervals]]), the
+    * union of pilot blocks is decoded once, and a per-query bounded heap
+    * yields θ_q = that query's exact kth pilot score (kth-best is monotone
+    * in set inclusion, so θ_q never exceeds the true kth score — pruning on
+    * it is conservative). A block b of term t then survives query q only if
+    * mult_q(t)·ub_t(b) + Σ_{t'≠t∈q} mult_q(t')·maxUb(t', b.range) ≥ θ_q —
+    * the same exactness argument as [[search]]'s single-query BMW, per
+    * query. Cross-query block sharing is sound both ways: a conjunctive
+    * doc's `nMatched == nTerms` implies every one of its term rows was
+    * decoded (complete score), and a disjunctive doc's partial score only
+    * understates — a doc with true score ≥ θ_q has ALL blocks surviving, so
+    * every top-k member scores in full.
+    *
     * Query ids listed in `disjunctive` evaluate in OR mode (the prefix /
     * SearchOperator::OR semantics of [[search]]'s `conjunctive = false`):
     * absent terms contribute nothing instead of voiding the query, block
     * coverage is the union of the present terms' coverage, and the
-    * `nMatched == nTerms` filter does not apply. */
+    * `nMatched == nTerms` filter does not apply.
+    *
+    * `excludes` maps a queryId to its NOT terms (Lucene MUST_NOT): matching
+    * docs must contain none of them. Exclusion blocks are decoded only
+    * where they overlap the query's candidate ranges (the skip-pruned
+    * exclusion of [[search]]), and the (queryId, docId) exclusion pairs
+    * anti-join the scored rows in BOTH the pilot and the main job — θ_q is
+    * therefore computed over post-exclusion docs, never over-pruning. */
   def searchAll(ix: LoadedIndex, queries: Seq[(Int, Seq[String])], k: Int,
-                disjunctive: Set[Int] = Set.empty): DataFrame = {
+                disjunctive: Set[Int] = Set.empty,
+                excludes: Map[Int, Seq[String]] = Map.empty,
+                wandMinPostings: Long = 50000L): DataFrame = {
     val spark = ix.spark
     import spark.implicits._
+    def empty =
+      Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")
     val allTerms = queries.flatMap(_._2).distinct
+    if (allTerms.isEmpty || k <= 0) return empty
     val dfs: Map[String, Long] = ix.termstats
       .filter($"term".isin(allTerms: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
     val idfs = dfs.map { case (t, d) => t -> Bm25.idf(ix.nDocs, d) }
     // P2 guard: a conjunctive query is live only if EVERY term exists; a
     // disjunctive one if ANY does (absent terms drop out of its term list).
+    // A conjunctive query with a required term that is also excluded is
+    // unsatisfiable by construction (same rule as [[search]]).
     // A repeated term scores once per slot → carry multiplicity as a weight.
     val live = queries
       .map { case (qid, ts) =>
         (qid, if (disjunctive(qid)) ts.filter(dfs.contains) else ts)
       }
       .filter { case (qid, ts) =>
-        ts.nonEmpty && (disjunctive(qid) || ts.forall(dfs.contains))
+        ts.nonEmpty && (disjunctive(qid) || ts.forall(dfs.contains)) &&
+          (disjunctive(qid) || !excludes.getOrElse(qid, Nil).exists(ts.contains))
       }
+    if (live.isEmpty) return empty
+    val liveTerms = live.flatMap(_._2).distinct
     // one row per query SLOT (repeated terms are separate slots): scores
-    // are re-added in slot order below, so engine scores are bitwise-
-    // deterministic and bitwise-identical to the oracle's slot loop
-    // (`scoring.h:133-142`) — an order-free sum(partScore) differs by ulps
-    // run to run, which flips rank ties between equal-score docs.
+    // are re-added in slot order by the codegen'd SlotOrderedSum below, so
+    // engine scores are bitwise-deterministic and bitwise-identical to the
+    // oracle's slot loop (`scoring.h:133-142`) — an order-free
+    // sum(partScore) differs by ulps run to run, which flips rank ties
+    // between equal-score docs. `firstSlot` marks each distinct term's
+    // first slot so nMatched is a conditional count (no countDistinct
+    // Expand rewrite).
     val q = live.flatMap { case (qid, ts) =>
       ts.zipWithIndex.map { case (t, slot) =>
-        (qid, t, ts.distinct.size, slot, disjunctive(qid))
+        (qid, t, ts.distinct.size, slot, disjunctive(qid), ts.indexOf(t) == slot)
       }
-    }.toDF("queryId", "term", "nTerms", "slot", "disj")
-    val maxSlots = live.iterator.map(_._2.size).max
+    }.toDF("queryId", "term", "nTerms", "slot", "disj", "firstSlot")
     // ---- per-query block-range pruning over collected block metadata ----
-    val blocksAll = ix.postings.filter($"term".isin(allTerms: _*))
+    // ub = idf · tfNorm(maxTf, minLenByte): the BMW score ceiling, PER-TERM
+    // base (query-slot multiplicity is applied per query at filter time)
+    val cache = ix.lossyCache
+    val blocksAll = ix.postings.filter($"term".isin(liveTerms: _*))
     val metaRaw = blocksAll
-      .select("term", "firstDocId", "lastDocId", "n")
-      .as[(String, Int, Int, Int)].collect()
+      .select("term", "firstDocId", "lastDocId", "n", "maxTf", "minLenByte")
+      .as[(String, Int, Int, Int, Int, Int)].collect()
     val meta: Map[String, Array[BlockMax.BlockMeta]] = metaRaw.groupBy(_._1)
       .map { case (t, rs) =>
-        t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, r._4, 0.0))
+        val idf = idfs(t)
+        t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, r._4,
+          idf * Bm25.tfNormLossy(r._5.toLong, r._6, cache)))
       }
-    val neededKeys: Set[(String, Int)] = live.iterator.flatMap { case (qid, ts) =>
+    // per-query plan: candidate coverage + range-surviving blocks
+    final case class QPlan(qid: Int, uniq: Seq[String], mult: Map[String, Int],
+                           disj: Boolean, candidates: Array[(Int, Int)],
+                           rangeSel: Map[String, Array[Int]], estPostings: Long)
+    val plans: Seq[QPlan] = live.flatMap { case (qid, ts) =>
       val uniq = ts.distinct
       val perTerm = uniq.map(t => meta.getOrElse(t, Array.empty[BlockMax.BlockMeta]))
-      if (perTerm.exists(_.isEmpty)) Iterator.empty
+      if (perTerm.exists(_.isEmpty)) None
       else {
         val cand =
           if (disjunctive(qid)) BlockMax.unionCoverage(perTerm)
           else BlockMax.intersectCoverage(perTerm)
-        uniq.iterator.flatMap { t =>
-          val m = meta(t)
-          BlockMax.overlapping(m, cand).iterator.map(i => (t, m(i).first))
+        if (cand.isEmpty) None
+        else {
+          val sel = uniq.map(t => t -> BlockMax.overlapping(meta(t), cand)).toMap
+          val est = uniq.iterator
+            .map(t => sel(t).iterator.map(i => meta(t)(i).n.toLong).sum).sum
+          Some(QPlan(qid, uniq, ts.groupBy(identity).map { case (t, xs) => t -> xs.size },
+            disjunctive(qid), cand, sel, est))
         }
       }
-    }.toSet
-    lastBatchDiag.set((metaRaw.iterator.map(_._4.toLong).sum,
-      metaRaw.iterator.filter(r => neededKeys((r._1, r._2))).map(_._4.toLong).sum))
+    }
+    if (plans.isEmpty) return empty
+
+    // ---- skip-pruned exclusion pairs (queryId, docId) ----
+    val allEx = live.flatMap { case (qid, _) => excludes.getOrElse(qid, Nil) }.distinct
+    val exPairs: Option[DataFrame] =
+      if (allEx.isEmpty) None
+      else {
+        val exBlocksDf = ix.postings.filter($"term".isin(allEx: _*))
+        val exMeta: Map[String, Array[BlockMax.BlockMeta]] = exBlocksDf
+          .select("term", "firstDocId", "lastDocId")
+          .as[(String, Int, Int)].collect()
+          .groupBy(_._1).map { case (t, rs) =>
+            t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
+          }
+        // only exclusion blocks overlapping that query's candidate coverage
+        val exKeys: Set[(String, Int)] = plans.iterator.flatMap { p =>
+          excludes.getOrElse(p.qid, Nil).distinct.iterator.flatMap { t =>
+            exMeta.get(t).iterator.flatMap { m =>
+              BlockMax.overlapping(m, p.candidates).iterator.map(i => (t, m(i).first))
+            }
+          }
+        }.toSet
+        if (exKeys.isEmpty) None
+        else {
+          val qExDf = broadcast(plans
+            .flatMap(p => excludes.getOrElse(p.qid, Nil).distinct.map(t => (p.qid, t)))
+            .toDF("queryId", "term"))
+          Some(exBlocksDf
+            .join(broadcast(exKeys.toSeq.toDF("term", "firstDocId")),
+              Seq("term", "firstDocId"), "left_semi")
+            .select("term", "prevDocId", "n", "docIds", "tfs")
+            .as[(String, Int, Int, Array[Byte], Array[Byte])]
+            .flatMap { case (t, prev, n, ids, tfs) =>
+              PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1))
+            }
+            .toDF("term", "docId")
+            .join(qExDf, "term")
+            .select("queryId", "docId").distinct())
+        }
+      }
+
+    // ---- shared scoring pipeline (pilot and main decode different keys) ----
+    val idfDf = broadcast(idfs.toSeq.toDF("term", "idf"))
+    val cacheLit = array(cache.map(lit).toSeq: _*)
+    val partScore = $"idf" *
+      ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
     // surviving block keys as a broadcast semi-join, not a scalar UDF —
     // stays inside whole-stage codegen and the set is bounded by the batch
     // terms' block counts (already collected driver-side as `metaRaw`)
-    val keysDf = broadcast(neededKeys.toSeq.toDF("term", "firstDocId"))
-    val posting = blocksAll.join(keysDf, Seq("term", "firstDocId"), "left_semi")
-      .select("term", "prevDocId", "n", "docIds", "tfs")
-      .as[(String, Int, Int, Array[Byte], Array[Byte])]
-      .flatMap { case (t, prev, n, ids, tfs) =>
-        PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
-      }.toDF("term", "docId", "tf")
-    val idfDf = broadcast(idfs.toSeq.toDF("term", "idf"))
-    val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
-    val partScore = $"idf" *
-      ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
-    val slotSums = (0 until maxSlots).map(i =>
-      sum(when($"slot" === i, $"partScore")).as(s"_s$i"))
-    val slotOrderedScore = (0 until maxSlots)
-      .map(i => coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
+    def scoreRows(keys: Set[(String, Int)]): DataFrame = {
+      val keysDf = broadcast(keys.toSeq.toDF("term", "firstDocId"))
+      val posting = blocksAll.join(keysDf, Seq("term", "firstDocId"), "left_semi")
+        .select("term", "prevDocId", "n", "docIds", "tfs")
+        .as[(String, Int, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs) =>
+          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
+        }.toDF("term", "docId", "tf")
+      val scored = posting
+        .join(broadcast(q), "term")
+        .join(ix.doclen.select("docId", "lenByte"), "docId")
+        .join(idfDf, "term")
+        .withColumn("partScore", partScore)
+        .groupBy($"queryId", $"docId", $"nTerms", $"disj")
+        .agg(sum(when($"firstSlot", 1).otherwise(0)).as("nMatched"),
+          collect_list(struct($"slot", $"partScore")).as("sps"))
+        .withColumn("score", graft.functions.functions.slot_sum($"sps"))
+        .filter($"disj" || $"nMatched" === $"nTerms")
+        .select($"queryId", $"docId".cast("int"), $"score")
+      // NOT-term exclusion, then delete tombstones: doc-level anti-joins
+      // before the top-k heaps (stats stay pre-delete — Lucene semantics,
+      // same as Searcher.search)
+      val afterEx = exPairs
+        .map(e => scored.join(e, Seq("queryId", "docId"), "left_anti"))
+        .getOrElse(scored)
+      ix.tombstones.map(d => afterEx.join(d, Seq("docId"), "left_anti"))
+        .getOrElse(afterEx)
+    }
     // per-query exact top-k via the bounded-heap Aggregator (A5): partial
     // per-partition heaps + pairwise merge — no per-query full sort (a
     // window row_number would sort every matched doc)
-    val scoredRows = posting
-      .join(broadcast(q), "term")
-      .join(ix.doclen.select("docId", "lenByte"), "docId")
-      .join(idfDf, "term")
-      .withColumn("partScore", partScore)
-      .groupBy($"queryId", $"docId", $"nTerms", $"disj")
-      .agg(countDistinct($"term").as("nMatched"), slotSums: _*)
-      .withColumn("score", slotOrderedScore)
-      .filter($"disj" || $"nMatched" === $"nTerms")
-      .select($"queryId", $"docId".cast("int"), $"score")
-    // delete tombstones: doc-level anti-join before the top-k heaps (stats
-    // above stay pre-delete — Lucene semantics, same as Searcher.search)
-    ix.tombstones.map(d => scoredRows.join(d, Seq("docId"), "left_anti"))
-      .getOrElse(scoredRows)
+    def topKOf(df: DataFrame) = df
       .select($"queryId", $"docId", $"score")
       .as[(Int, Int, Double)]
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(new TopKAggregator(k).toColumn)
+
+    // ---- batched WAND pilot: one job, per-query θ ----
+    val wandPlans = plans.filter(_.estPostings > wandMinPostings)
+    val thetas: Map[Int, Double] =
+      if (wandPlans.isEmpty) Map.empty
+      else {
+        val pilotKeys: Set[(String, Int)] = wandPlans.iterator.flatMap { p =>
+          val perTermScaled = p.uniq.map { t =>
+            val mult = p.mult(t)
+            meta(t).map(b => if (mult == 1) b else b.copy(ub = b.ub * mult))
+          }
+          val iv = BlockMax.pilotIntervals(perTermScaled,
+            BlockMax.refineByBlocks(perTermScaled, p.candidates),
+            targetDocs = math.max(64L * k, 1024L), disjunctive = p.disj)
+          p.uniq.iterator.flatMap { t =>
+            val m = meta(t)
+            BlockMax.overlapping(m, iv).iterator.map(i => (t, m(i).first))
+          }
+        }.toSet
+        if (pilotKeys.isEmpty) Map.empty
+        else topKOf(scoreRows(pilotKeys)).collect().iterator.map { case (qid, top) =>
+          qid -> (if (top.size >= k) top.last._2 else Double.NegativeInfinity)
+        }.toMap
+      }
+
+    // ---- final per-query selection: range survivors filtered by θ ----
+    val neededKeys: Set[(String, Int)] = plans.iterator.flatMap { p =>
+      val th = thetas.getOrElse(p.qid, Double.NegativeInfinity)
+      p.uniq.iterator.flatMap { t =>
+        val m = meta(t)
+        val multT = p.mult(t)
+        val idxs =
+          if (th == Double.NegativeInfinity) p.rangeSel(t)
+          else p.rangeSel(t).filter { i =>
+            val b = m(i)
+            val others = p.uniq.iterator.filter(_ != t)
+              .map(t2 => p.mult(t2) * BlockMax.maxUbIn(meta(t2), b.first, b.last)).sum
+            b.ub * multT + others >= th - 1e-9
+          }
+        idxs.iterator.map(i => (t, m(i).first))
+      }
+    }.toSet
+    lastBatchDiag.set((metaRaw.iterator.map(_._4.toLong).sum,
+      metaRaw.iterator.filter(r => neededKeys((r._1, r._2))).map(_._4.toLong).sum))
+    if (neededKeys.isEmpty) return empty
+    topKOf(scoreRows(neededKeys))
       .flatMap { case (qid, top) =>
         top.iterator.zipWithIndex.map { case ((d, s), i) => (qid, i + 1, d, s) }
       }
@@ -954,11 +1092,6 @@ object Searcher {
         (qid, t, slot, Bm25.idf(ix.nDocs, dfs(t)))
       }
     }.toDF("queryId", "term", "slot", "idf")
-    val maxSlots = live.iterator.map(_._2.size).max
-    val slotSums = (0 until maxSlots).map(i =>
-      sum(when($"slot" === i, $"partScore")).as(s"_s$i"))
-    val slotOrderedScore = (0 until maxSlots)
-      .map(i => coalesce(col(s"_s$i"), lit(0.0))).reduceLeft(_ + _)
     // ---- per-query block-range intersection over collected metadata ----
     val blocksAll = ix.postings.filter($"term".isin(liveTerms: _*))
     val metaRaw = blocksAll
@@ -1024,8 +1157,8 @@ object Searcher {
       .join(broadcast(idfW), Seq("queryId", "term"))
       .withColumn("partScore", partScore)
       .groupBy($"queryId", $"docId")
-      .agg(slotSums.head, slotSums.tail: _*)
-      .withColumn("score", slotOrderedScore)
+      .agg(collect_list(struct($"slot", $"partScore")).as("sps"))
+      .withColumn("score", graft.functions.functions.slot_sum($"sps"))
       .select($"queryId", $"docId".cast("int"), $"score")
     // delete tombstones, same contract as searchAll
     ix.tombstones.map(d => phraseScored.join(d, Seq("docId"), "left_anti"))

@@ -533,6 +533,53 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batch path decoded $decoded of $total postings — block pruning not effective")
   }
 
+  test("batch searchAll: NOT queries, disjunctive members, forced WAND — per-query parity") {
+    import spark.implicits._
+    // NOT queries folded into the batch (per-query skip-pruned exclusion
+    // anti-join), disjunctive (OR) members, and the batched WAND pilot all
+    // active at once; every query must stay rank- AND score-identical to
+    // the oracle. Includes the unsatisfiable required∧excluded case.
+    val conjCases = Seq(
+      (0, Seq("epsilon"), Seq("return")),            // rare +, hot −
+      (1, Seq("if", "return"), Seq("val")),          // hot∧hot, hot −
+      (2, Seq("hash", "seed"), Seq("nosuchterm_xyz")), // excluded absent
+      (3, Seq("posting"), Seq("epsilon", "score")),  // multi-term exclusion
+      (4, Seq("if"), Seq("if")),                     // unsatisfiable
+      (5, Seq("if", "return"), Nil),                 // hot∧hot, no exclusion
+      (6, Seq("if", "val", "def", "for"), Nil))
+    val orCases = Seq(
+      (7, Seq("epsilon", "posting"), Seq("return")), // OR with exclusion
+      (8, Seq("if", "epsilon"), Nil))                // OR hot∨rare
+    val queries = (conjCases ++ orCases).map(c => (c._1, c._2))
+    val excludes = (conjCases ++ orCases).filter(_._3.nonEmpty).map(c => c._1 -> c._3).toMap
+    val disj = orCases.map(_._1).toSet
+    // no-WAND pass (range pruning only), then forced-WAND pass
+    def run(wandMin: Long) = Searcher
+      .searchAll(ix, queries, 10, disj, excludes, wandMinPostings = wandMin)
+      .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
+    val rangeOnly = run(Long.MaxValue)
+    val (_, decodedRange) = Searcher.lastBatchDiag.get()
+    val wand = run(0L)
+    val (_, decodedWand) = Searcher.lastBatchDiag.get()
+    assert(decodedWand <= decodedRange,
+      s"forced WAND decoded MORE ($decodedWand) than range-only ($decodedRange)")
+    Seq(rangeOnly, wand).foreach { all =>
+      conjCases.foreach { case (qid, q, ex) =>
+        val want =
+          if (ex.exists(q.contains)) Nil else Oracle.search(oracle, q, 10, excludeTerms = ex)
+        val got = all.getOrElse(qid, Array.empty).sortBy(_._2)
+        assert(got.map(_._3).toSeq == want.map(_.docId), s"batch NOT mismatch q$qid $q -$ex")
+        got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w.score) < 1e-9) }
+      }
+      orCases.foreach { case (qid, q, ex) =>
+        val want = Oracle.searchOr(oracle, q, 10, excludeTerms = ex)
+        val got = all.getOrElse(qid, Array.empty).sortBy(_._2)
+        assert(got.map(_._3).toSeq == want.map(_.docId), s"batch OR mismatch q$qid $q -$ex")
+        got.zip(want).foreach { case (g, w) => assert(math.abs(g._4 - w.score) < 1e-9) }
+      }
+    }
+  }
+
   test("docId assignment is identical at different parallelism (N vs 4N)") {
     import spark.implicits._
     val corpus = CorpusGen.generate(spark, 500, seed = 7L, partitions = 4)
