@@ -285,6 +285,31 @@ object SparkEntry {
         lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
       .as("text"))
 
+  /** Multi-line fixture for the line-level dedup/repetition operators: the
+    * synthetic documents are single-line word streams, so (same pattern as
+    * [[piiAugmented]]) this deterministically re-shapes each doc into
+    * 8-token lines and injects the cross-document boilerplate a web corpus
+    * carries — a license footer on every 3rd doc, a navigation header on
+    * every 4th, and a WITHIN-doc repeat of the first line on every 5th.
+    * Mirrored exactly by `LineAugSql` for the oracle. */
+  private def lineAugmented(s: SparkSession, dir: String): DataFrame = {
+    val t = TextOps.wsTokens(col("text"))
+    // guard size=0: sequence(0, -1) would produce a DESCENDING range
+    val lines = when(size(t) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((size(t) - lit(1)) / lit(8)).cast("int")),
+        i => concat_ws(" ", slice(t, i * lit(8) + lit(1), lit(8)))))
+    val firstLine = concat_ws(" ", slice(t, 1, 8))
+    docs(s, dir).select(col("doc_id"), col("lang"), concat(
+      concat_ws("\n", lines),
+      when(col("doc_id") % 5 === 0, concat(lit("\n"), firstLine)).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0,
+        lit("\nall rights reserved standard license footer")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit("\nshared navigation header menu home")).otherwise(lit("")))
+      .as("text"))
+  }
+
   /** Wildcard (glob) dictionary expansion (P6): `*`/`?` pattern over the
     * dictionary, deterministic (df desc, term asc) cap. Engine path:
     * [[graft.query.Searcher.expandWildcard]] (prefix-pushed LIKE). */
@@ -1065,6 +1090,37 @@ object SparkEntry {
           col("n_bpe_est").cast("long").as("n_bpe_est"))
         .orderBy("doc_id")),
 
+    // Gopher-style repetition signals (dup lines / dup trigrams / top
+    // bigram mass) over the multi-line fixture
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(lineAugmented(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("n_lines"), col("dup_line_ratio_micro"),
+          col("dup_trigram_ratio_micro"), col("top_bigram_ratio_micro"))
+        .orderBy("doc_id")),
+
+    // corpus-level line dedup (CCNet paragraph-dedup analog): per-doc count
+    // of cross-document boilerplate lines + sha of the cleaned body
+    "dedup_lines" -> ((s, dir) =>
+      TextOps.lineDedup(lineAugmented(s, dir), "text", "doc_id", minDocs = 2)
+        .select(col("doc_id"), col("n_lines"), col("n_dup_lines"), col("clean_sha"))
+        .orderBy("doc_id")),
+
+    // deterministic stratified sampling: per-language per-million keep
+    // rates over a content-stable hash bucket (map-only at scale)
+    "sample_stratified" -> ((s, dir) =>
+      TextOps.stratifiedSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 500000L, "de" -> 250000L, "zh" -> 150000L,
+          "es" -> 100000L, "fr" -> 50000L))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy("doc_id")),
+
+    // quota sampling: first 20 docs per language in deterministic hash
+    // order (partitioned window — scales with the largest stratum)
+    "sample_quota" -> ((s, dir) =>
+      TextOps.quotaSample(docs(s, dir), "doc_id", "lang", quota = 20)
+        .select(col("doc_id"), col("lang"), col("bucket"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id")),
+
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "mm_meta" -> { (s, dir) =>
       import s.implicits._
@@ -1130,6 +1186,18 @@ object SparkEntry {
   /** Lucene longToInt4∘byte4ToInt lossy length, integer-exact. */
   private def lossySql(c: String) =
     s"(CASE WHEN $c < 8 THEN $c ELSE ((((($c >> (length(format('{:b}', $c)) - 4)) & 7) | 8)) << (length(format('{:b}', $c)) - 4)) END)"
+  /** The multi-line fixture in SQL (mirrors [[lineAugmented]] exactly):
+    * 8-token lines + injected cross-doc boilerplate. */
+  private val LineAugSql =
+    """SELECT doc_id, lang, concat(
+      | array_to_string(CASE WHEN len(ws) = 0 THEN []::VARCHAR[]
+      |   ELSE list_transform(range(((len(ws) - 1) // 8) + 1),
+      |     i -> array_to_string(ws[i*8+1 : i*8+8], ' ')) END, chr(10)),
+      | CASE WHEN doc_id % 5 = 0 THEN concat(chr(10), array_to_string(ws[1:8], ' ')) ELSE '' END,
+      | CASE WHEN doc_id % 3 = 0 THEN concat(chr(10), 'all rights reserved standard license footer') ELSE '' END,
+      | CASE WHEN doc_id % 4 = 0 THEN concat(chr(10), 'shared navigation header menu home') ELSE '' END) AS text
+      |FROM (SELECT doc_id, lang, list_filter(str_split(text, ' '), x -> x <> '') ws FROM documents)""".stripMargin
+
   /** The PII-injection fixture in SQL (mirrors [[piiAugmented]] exactly). */
   private val PiiAugSql =
     """SELECT doc_id, text ||
@@ -1818,6 +1886,54 @@ object SparkEntry {
          | len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))::BIGINT n_ws_tokens,
          | coalesce(list_sum(list_transform($T, x -> CAST(ceil(length(x)/4.0) AS BIGINT))), 0)::BIGINT n_bpe_est
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH aug AS ($LineAugSql),
+         |base AS (SELECT doc_id,
+         |  list_filter(str_split(text, chr(10)), x -> x <> '') ls, $T tk FROM aug),
+         |g AS (SELECT doc_id, ls,
+         |  CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')) END g2,
+         |  CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |    ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END g3
+         |  FROM base),
+         |top2 AS (SELECT doc_id, max(c) top_g2 FROM
+         |  (SELECT doc_id, b, count(*) c FROM (SELECT doc_id, unnest(g2) b FROM g) GROUP BY 1, 2)
+         |  GROUP BY 1)
+         |SELECT g.doc_id, len(ls)::BIGINT n_lines,
+         | CASE WHEN len(ls) = 0 THEN 0 ELSE round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)::DOUBLE * 1e6)::BIGINT END dup_line_ratio_micro,
+         | CASE WHEN len(g3) = 0 THEN 0 ELSE round((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)::DOUBLE * 1e6)::BIGINT END dup_trigram_ratio_micro,
+         | CASE WHEN len(g2) = 0 THEN 0 ELSE round(coalesce(top_g2, 0)::DOUBLE / len(g2)::DOUBLE * 1e6)::BIGINT END top_bigram_ratio_micro
+         |FROM g LEFT JOIN top2 ON g.doc_id = top2.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "dedup_lines" ->
+      s"""WITH aug AS ($LineAugSql),
+         |base AS (SELECT doc_id, list_filter(str_split(text, chr(10)), x -> x <> '') ls FROM aug),
+         |lines AS (SELECT doc_id, unnest(list_transform(range(len(ls)),
+         |  i -> {'pos': i, 'line': ls[i+1]}), recursive := true) FROM base),
+         |nd AS (SELECT line, count(*) ndocs FROM (SELECT DISTINCT doc_id, line FROM lines) GROUP BY 1)
+         |SELECT doc_id, count(*)::BIGINT n_lines,
+         | sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT n_dup_lines,
+         | sha256(coalesce(string_agg(CASE WHEN ndocs < 2 THEN line END, chr(10) ORDER BY pos), '')) clean_sha
+         |FROM lines JOIN nd USING (line) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, bucket FROM (
+         | SELECT doc_id, lang,
+         |  ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 1000000 bucket
+         | FROM documents)
+         |WHERE bucket < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+         |  WHEN 'zh' THEN 150000 WHEN 'es' THEN 100000 WHEN 'fr' THEN 50000 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_quota" ->
+      s"""SELECT doc_id, lang, bucket, rn FROM (
+         | SELECT doc_id, lang, bucket,
+         |  row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) rn
+         | FROM (SELECT doc_id, lang,
+         |   ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 1000000 bucket
+         |  FROM documents))
+         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
 
     "mm_meta" ->
       s"""SELECT doc_id media_id,

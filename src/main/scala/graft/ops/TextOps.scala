@@ -191,6 +191,126 @@ object TextOps {
           .otherwise(lit("test")))
   }
 
+  /** Non-empty lines of a text column (the paragraph unit of line-level
+    * dedup and repetition scoring — CCNet splits on newline the same way). */
+  def docLines(c: Column): Column =
+    filter(split(c, "\n"), x => x =!= lit(""))
+
+  /** Gopher-style repetition signals per document (Rae et al. 2021, table
+    * A1 — the standard quality-filter family for web-scale training data):
+    *
+    *  - `dup_line_ratio_micro`: fraction of the doc's non-empty lines that
+    *    are repeats of an earlier line (1 − distinct/total);
+    *  - `dup_trigram_ratio_micro`: same over word 3-grams — templated/
+    *    boilerplate text scores high;
+    *  - `top_bigram_ratio_micro`: fraction of all bigram occurrences taken
+    *    by the single most frequent bigram.
+    *
+    * The line/3-gram ratios are pure per-row array arithmetic (codegen'd,
+    * no shuffle); the top-bigram mode is an explode + two map-side-combined
+    * aggregations — a word-count shape that scales like one. All ratios are
+    * micro-quantized integers from exact integer inputs (cross-engine
+    * exact). */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val base = df.select(col(idCol), docLines(col(textCol)).as("ls"),
+      shingles(t, 2).as("g2"), shingles(t, 3).as("g3"))
+    val arrStats = base.select(col(idCol),
+      size(col("ls")).as("n_lines"),
+      size(array_distinct(col("ls"))).as("d_lines"),
+      size(col("g3")).as("n_g3"),
+      size(array_distinct(col("g3"))).as("d_g3"),
+      size(col("g2")).as("n_g2"))
+    val topBigram = base.select(col(idCol), explode(col("g2")).as("b"))
+      .groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max(col("c")).as("top_g2"))
+    arrStats.join(topBigram, Seq(idCol), "left")
+      .select(col(idCol),
+        col("n_lines").cast("long").as("n_lines"),
+        microRatio(col("n_lines") - col("d_lines"), col("n_lines"))
+          .as("dup_line_ratio_micro"),
+        microRatio(col("n_g3") - col("d_g3"), col("n_g3"))
+          .as("dup_trigram_ratio_micro"),
+        microRatio(coalesce(col("top_g2"), lit(0L)), col("n_g2"))
+          .as("top_bigram_ratio_micro"))
+  }
+
+  /** Corpus-level line deduplication (the CCNet paragraph-dedup analog:
+    * drop lines that appear verbatim across documents — navigation chrome,
+    * license headers, boilerplate). Per document:
+    *
+    *  - `n_lines` / `n_dup_lines`: non-empty lines, and how many of them
+    *    occur in ≥ `minDocs` DISTINCT documents corpus-wide;
+    *  - `clean_sha`: sha256 of the text reconstructed from the KEPT lines
+    *    (original order, newline-joined) — the dedup output contract
+    *    without shipping the full cleaned body through the oracle compare.
+    *
+    * Shape at scale: one explode (corpus lines), one hash aggregation per
+    * distinct line (map-side combined; the distinct-doc count uses the
+    * (line, doc) pre-aggregation below, never a count-distinct shuffle of
+    * raw occurrences), one join back on the line key, one per-doc
+    * aggregation. No driver materialization, no window. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+                minDocs: Int = 2): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(docLines(col(textCol))))
+      .toDF(idCol, "pos", "line")
+    // distinct-doc count per line via two exact aggregations (the
+    // (line, doc) dedup then a plain count) — partial-aggregable at every
+    // step, unlike countDistinct's Expand rewrite over raw occurrences
+    val ndocs = lines.select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("ndocs"))
+    lines.join(ndocs, "line")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(when(col("ndocs") >= minDocs, 1L).otherwise(0L)).as("n_dup_lines"),
+        array_sort(collect_list(struct(col("pos"),
+          when(col("ndocs") < minDocs, col("line")).as("keep")))).as("ordered"))
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        // concat_ws skips null elements, so dropped lines vanish while the
+        // kept ones keep their original relative order
+        sha2(concat_ws("\n", transform(col("ordered"), s => s.getField("keep"))), 256)
+          .as("clean_sha"))
+  }
+
+  /** Deterministic per-million hash bucket of an id column: the sampling
+    * primitive. md5 of `id:salt`, first 15 hex digits (< 2^60, sign-safe)
+    * mod 1e6 — reproducible across engines, runs, and partitionings. */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 15),
+      16, 10).cast("long"), lit(1000000L))
+
+  /** Stratified deterministic sampling: keep a row iff its [[hashBucket]]
+    * falls below its stratum's per-million rate. Rates are integers per
+    * million (exact — no FP threshold), unknown strata default to 0 (drop).
+    * Map-only (no shuffle, no state): the sample is a pushed filter, so at
+    * 100 TB it composes with scan pruning, and membership is stable under
+    * any re-partitioning or re-run. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       ratesPerMillion: Map[String, Long],
+                       salt: String = "graft"): DataFrame = {
+    val rate = ratesPerMillion.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(col(idCol), salt))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Quota sampling: the first `quota` rows PER STRATUM in deterministic
+    * [[hashBucket]] order (ties broken by id) — the "N docs per language"
+    * budget cut of a training-data mix. One partitioned window (never
+    * unpartitioned: each stratum sorts independently, so the operator
+    * scales with the largest stratum, not the corpus). */
+  def quotaSample(df: DataFrame, idCol: String, strataCol: String,
+                  quota: Int, salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("bucket"), col(idCol))
+    df.withColumn("bucket", hashBucket(col(idCol), salt))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+  }
+
   private val WinnowM = (1L << 61) - 1 // Mersenne prime 2^61-1
 
   /** `(a * b) mod (2^61-1)` without overflow for small `b` (< ~2^20):

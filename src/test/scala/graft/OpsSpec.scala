@@ -422,4 +422,68 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getAs[Int]("n_tokens") == 4)
     assert(r.getAs[Long]("stopword_ratio_micro") == 250000L) // 'the' 1/4
   }
+
+  test("repetition signals: dup lines, dup trigrams, top-bigram mass") {
+    import spark.implicits._
+    val d = Seq(
+      // 3 lines, one repeated (1/3 dup); "a b a b a b" has dup trigrams
+      (0L, "a b a b a b\nx y z\na b a b a b"),
+      (1L, "unique one line only")).toDF("doc_id", "text")
+    val r = TextOps.repetitionSignals(d, "text", "doc_id")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    val d0 = r(0L)
+    assert(d0.getAs[Long]("n_lines") == 3L)
+    assert(d0.getAs[Long]("dup_line_ratio_micro") == 333333L)
+    // doc0 tokens: a b a b a b x y z a b a b a b (15 toks, 13 trigrams)
+    // distinct trigrams: aba, bab, abx, bxy, xyz, yza, zab -> 7; dup = 6/13
+    assert(d0.getAs[Long]("dup_trigram_ratio_micro") == math.round(6.0 / 13 * 1e6))
+    // bigrams: 14 total, "a b" occurs 6 times
+    assert(d0.getAs[Long]("top_bigram_ratio_micro") == math.round(6.0 / 14 * 1e6))
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("dup_line_ratio_micro") == 0L)
+    assert(d1.getAs[Long]("dup_trigram_ratio_micro") == 0L)
+  }
+
+  test("line dedup: cross-doc boilerplate dropped, unique lines kept in order") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta\nshared footer line\ngamma"),
+      (1L, "delta\nshared footer line"),
+      (2L, "epsilon only")).toDF("doc_id", "text")
+    val r = TextOps.lineDedup(d, "text", "doc_id", minDocs = 2)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(0L).getAs[Long]("n_lines") == 3L && r(0L).getAs[Long]("n_dup_lines") == 1L)
+    assert(r(1L).getAs[Long]("n_dup_lines") == 1L)
+    assert(r(2L).getAs[Long]("n_dup_lines") == 0L)
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r(0L).getAs[String]("clean_sha") == sha("alpha beta\ngamma"))
+    assert(r(1L).getAs[String]("clean_sha") == sha("delta"))
+    assert(r(2L).getAs[String]("clean_sha") == sha("epsilon only"))
+  }
+
+  test("sampling: stratified keep-rate determinism and quota bounds") {
+    import spark.implicits._
+    val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = TextOps.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 500000L, "de" -> 100000L)).collect()
+    val s2 = TextOps.stratifiedSample(d, "doc_id", "lang",
+      Map("en" -> 500000L, "de" -> 100000L)).collect()
+    // deterministic: identical membership across runs
+    assert(s1.map(_.getLong(0)).sorted.toSeq == s2.map(_.getLong(0)).sorted.toSeq)
+    val byLang = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // 200 docs per stratum at 50% / 10%: expect ~100 / ~20 (binomial slack)
+    assert(byLang("en") > 60 && byLang("en") < 140, s"en=${byLang("en")}")
+    assert(byLang("de") > 4 && byLang("de") < 50, s"de=${byLang("de")}")
+    // rate 0 strata (unknown) drop entirely
+    assert(TextOps.stratifiedSample(d, "doc_id", "lang", Map("en" -> 500000L))
+      .filter(col("lang") === "de").count() == 0)
+    // quota: exactly `quota` per stratum, ranks 1..quota, stable under rerun
+    val q1 = TextOps.quotaSample(d, "doc_id", "lang", quota = 7).collect()
+    assert(q1.groupBy(_.getString(1)).forall(_._2.length == 7))
+    assert(q1.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to 7).flatMap(r => Seq(r, r)).sorted)
+    val q2 = TextOps.quotaSample(d, "doc_id", "lang", quota = 7).collect()
+    assert(q1.map(_.getLong(0)).sorted.toSeq == q2.map(_.getLong(0)).sorted.toSeq)
+  }
 }
