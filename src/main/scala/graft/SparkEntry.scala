@@ -625,6 +625,10 @@ object SparkEntry {
     // A5/O2/O3 + F5-F7: the flagship lossy-BM25 conjunctive top-k
     "a5_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10)),
     "a5_bm25_topk3" -> ((s, dir) => bm25TopK(s, dir, Seq("join", "hash", "dup"), 10)),
+    // BM25F fielded scoring: title (first 8 tokens, weight 2) + body
+    "a5_bm25f_topk" -> ((s, dir) => bm25fTopK(s, dir, Seq("spark", "query"), 10)),
+    // synonym-group scoring (Lucene SynonymQuery): blended tf/df per group
+    "a5_bm25_syn_topk" -> ((s, dir) => bm25SynTopK(s, dir, SynGroups, 10)),
     // disjunctive (OR) top-k — declared by the reference (types.h:70
     // SearchOperator::OR) but never implemented there; completed here
     "a5_bm25_or_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
@@ -1179,6 +1183,108 @@ object SparkEntry {
 
   // ---------- DuckDB oracle SQL ----------
 
+  /** BM25F fielded top-k (Robertson/Zaragoza simple BM25F; absent in the
+    * reference, whose docs are body-only): title = the doc's first 8 engine
+    * tokens at weight 2, body = the rest at weight 1. Weighted tf
+    * (2·tf_title + tf_body) and weighted length (len + min(len, 8)) are
+    * EXACT integers, so the single saturation formula over them is
+    * cross-engine deterministic; idf uses the combined (any-field) df. The
+    * per-field tf tables are word-count-shaped aggregations; the full-outer
+    * merge is an equi-join on (doc, term). */
+  private def bm25fTopK(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        slice(col("tk"), 1, 8).as("title"),
+        when(size(col("tk")) <= 8, array().cast("array<string>"))
+          .otherwise(slice(col("tk"), lit(9), size(col("tk")) - lit(8))).as("body"),
+        size(col("tk")).as("n"))
+    val lens = base.select(col("doc_id"),
+      (col("n") + least(col("n"), lit(8))).cast("long").as("lenf"))
+    val tfT = base.select(col("doc_id"), explode(col("title")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tft"))
+    val tfB = base.select(col("doc_id"), explode(col("body")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tfb"))
+    val tff = tfT.join(tfB, Seq("doc_id", "term"), "full_outer")
+      .select(col("doc_id"), col("term"),
+        (lit(2) * coalesce(col("tft"), lit(0L)) + coalesce(col("tfb"), lit(0L))).as("tff"))
+      .filter(col("term").isin(terms: _*))
+    val pivoted = tff.groupBy("doc_id")
+      .agg(max(when(col("term") === terms.head, col("tff"))).as("tf0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("tff"))).as(s"tf${i + 1}")
+        }: _*)
+      .filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
+    val dfs = tff.agg(
+      count(when(col("term") === terms.head, lit(1))).cast("long").as("df0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        count(when(col("term") === t, lit(1))).cast("long").as(s"df${i + 1}")
+      }: _*)
+    val stats = lens.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("lenf").cast("long").as("sum_len"))
+    val baseJ = lens.join(pivoted, "doc_id").crossJoin(dfs).crossJoin(stats)
+    val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
+    val score = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val tfn = col(s"tf$i") * lit(2.2) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("lenf").cast("double") / avg))
+      idf * tfn
+    }.reduceLeft(_ + _)
+    val top = baseJ.withColumn("score", score).select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+    rankTopK(top, (b, a) => col("b.score") > col("a.score") ||
+        (col("b.score") === col("a.score") && col("b.doc_id") < col("a.doc_id")))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        round(col("score") * 1e6).cast("long").as("score_micro"))
+      .orderBy("rank")
+  }
+
+  /** Synonym-group BM25 top-k (Lucene `SynonymQuery` semantics; the
+    * reference has no query rewriting at all): each group of synonymous
+    * terms scores as ONE pseudo-term — per-doc tf is the SUM over member
+    * tfs, df counts docs containing ANY member (blended statistics), and
+    * groups combine conjunctively with the same lossy-length BM25 as
+    * [[bm25TopK]]. Members absent from the corpus contribute nothing; a
+    * group matches a doc when any member occurs. */
+  private def bm25SynTopK(s: SparkSession, dir: String,
+                          groups: Seq[Seq[String]], k: Int): DataFrame = {
+    val tfAll = tfTable(s, dir)
+    val perGroup = groups.zipWithIndex.map { case (ms, i) =>
+      tfAll.filter(col("term").isin(ms: _*))
+        .groupBy("doc_id").agg(sum(col("tf")).cast("long").as(s"tf$i"))
+    }
+    val pivoted = perGroup.reduceLeft(_.join(_, "doc_id")) // conjunctive
+    val dfs = groups.zipWithIndex.map { case (ms, i) =>
+      tfAll.filter(col("term").isin(ms: _*)).select("doc_id").distinct()
+        .agg(count(lit(1)).cast("long").as(s"df$i"))
+    }.reduceLeft(_.crossJoin(_))
+    val len = lenTable(s, dir)
+    val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("len").cast("long").as("sum_len"))
+    val baseJ = len.join(pivoted, "doc_id").crossJoin(dfs).crossJoin(stats)
+    val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
+    val lossy = lossyLen(col("len")).cast("double")
+    val score = groups.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val tfn = col(s"tf$i") * lit(2.2) /
+        (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * lossy / avg))
+      idf * tfn
+    }.reduceLeft(_ + _)
+    val top = baseJ.withColumn("score", score).select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+    rankTopK(top, (b, a) => col("b.score") > col("a.score") ||
+        (col("b.score") === col("a.score") && col("b.doc_id") < col("a.doc_id")))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        round(col("score") * 1e6).cast("long").as("score_micro"))
+      .orderBy("rank")
+  }
+
+  /** The graded synonym groups: one group with an absent member (`quick` —
+    * must contribute nothing), one with two live members (blended df). */
+  private[graft] val SynGroups: Seq[Seq[String]] =
+    Seq(Seq("fast", "quick"), Seq("scan", "filter"))
+
   private val T = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_]+'), x -> x <> '')"
   private val TF =
     s"(SELECT doc_id, term, count(*)::BIGINT tf FROM (SELECT doc_id, unnest($T) term FROM documents) GROUP BY doc_id, term)"
@@ -1461,6 +1567,53 @@ object SparkEntry {
 
     "a5_bm25_topk" -> bm25Sql(Seq("spark", "query"), 10),
     "a5_bm25_topk3" -> bm25Sql(Seq("join", "hash", "dup"), 10),
+
+    "a5_bm25f_topk" -> {
+      val terms = Seq("spark", "query")
+      val joins = terms.zipWithIndex.map { case (t, i) =>
+        s"JOIN (SELECT doc_id, tff AS tf$i FROM tf WHERE term = '$t') t$i USING (doc_id) " +
+          s"CROSS JOIN (SELECT count(*)::BIGINT df$i FROM tf WHERE term = '$t') d$i"
+      }.mkString(" ")
+      val score = terms.indices.map { i =>
+        s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * lenf::DOUBLE / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
+      }.mkString(" + ")
+      s"""WITH tkb AS (SELECT doc_id, $T tk FROM documents),
+         | fields AS (SELECT doc_id, tk[1:8] title,
+         |   CASE WHEN len(tk) <= 8 THEN []::VARCHAR[] ELSE tk[9:] END body, len(tk) n FROM tkb),
+         | lens AS (SELECT doc_id, (n + least(n, 8))::BIGINT lenf FROM fields),
+         | tft AS (SELECT doc_id, term, count(*)::BIGINT c FROM (SELECT doc_id, unnest(title) term FROM fields) GROUP BY 1, 2),
+         | tfb AS (SELECT doc_id, term, count(*)::BIGINT c FROM (SELECT doc_id, unnest(body) term FROM fields) GROUP BY 1, 2),
+         | tf AS (SELECT coalesce(a.doc_id, b.doc_id) doc_id, coalesce(a.term, b.term) term,
+         |   (2 * coalesce(a.c, 0) + coalesce(b.c, 0))::BIGINT tff
+         |   FROM tft a FULL OUTER JOIN tfb b ON a.doc_id = b.doc_id AND a.term = b.term),
+         | stats AS (SELECT count(*)::BIGINT n_docs, sum(lenf)::BIGINT sum_len FROM lens),
+         | base AS (SELECT * FROM lens CROSS JOIN stats $joins),
+         | scored AS (SELECT doc_id, ($score) AS score FROM base)
+         |SELECT rank, doc_id, round(score * 1e6)::BIGINT score_micro FROM
+         | (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) rank FROM scored)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
+
+    "a5_bm25_syn_topk" -> {
+      val groups = SynGroups
+      def inList(ms: Seq[String]) = ms.map(m => s"'$m'").mkString(",")
+      val gCtes = groups.zipWithIndex.map { case (ms, i) =>
+        s"g$i AS (SELECT doc_id, sum(tf)::BIGINT tf$i FROM tf WHERE term IN (${inList(ms)}) GROUP BY doc_id), " +
+          s"d$i AS (SELECT count(*)::BIGINT df$i FROM (SELECT DISTINCT doc_id FROM tf WHERE term IN (${inList(ms)})))"
+      }.mkString(", ")
+      val joins = groups.indices.map(i => s"JOIN g$i USING (doc_id) CROSS JOIN d$i").mkString(" ")
+      val score = groups.indices.map { i =>
+        s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
+      }.mkString(" + ")
+      s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
+         | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
+         | $gCtes,
+         | base AS (SELECT * FROM lens CROSS JOIN stats $joins),
+         | scored AS (SELECT doc_id, ($score) AS score FROM base)
+         |SELECT rank, doc_id, round(score * 1e6)::BIGINT score_micro FROM
+         | (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) rank FROM scored)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
     "a5_bm25_or_topk" -> bm25OrSql(Seq("spark", "query"), 10),
     "a5_bm25_filtered_topk" -> bm25Sql(Seq("spark", "query"), 10,
       filterWhere = Some("lang = 'de'")),
