@@ -551,6 +551,29 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // significant terms (the ES significant_terms aggregation): terms
+    // over-represented in the docs matching "spark" vs the corpus
+    // background — lift = (fg_df/fg_n)/(bg_df/n_docs), micro-quantized from
+    // exact integer products (all ≪ 2^53: one IEEE division, cross-engine
+    // exact). Foreground doc set stays distributed (semi-join, never
+    // collected); both df aggregations are word-count shaped.
+    "a7_significant_terms" -> { (s, dir) =>
+      val tf = tfTable(s, dir)
+      val fgDocs = tf.filter(col("term") === "spark").select("doc_id").distinct()
+      val fgN = fgDocs.agg(count(lit(1)).cast("long").as("fg_n"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).cast("long").as("n_docs"))
+      val fgDf = tf.join(fgDocs, "doc_id")
+        .groupBy("term").agg(count(lit(1)).cast("long").as("fg_df"))
+      val bgDf = tf.groupBy("term").agg(count(lit(1)).cast("long").as("bg_df"))
+      fgDf.filter(col("fg_df") >= 3)
+        .join(bgDf, "term").crossJoin(fgN).crossJoin(nDocs)
+        .select(col("term"), col("fg_df"), col("bg_df"),
+          round((col("fg_df") * col("n_docs")).cast("double") * lit(1e6)
+            / (col("fg_n") * col("bg_df")).cast("double")).cast("long").as("lift_micro"))
+        .orderBy(desc("lift_micro"), asc("term"))
+        .limit(15)
+    },
+
     // J6: posting-list difference (NOT) — docs containing "spark" minus
     // docs containing "query"; the anti-join analog of J1's semi-join
     "j6_except" -> { (s, dir) =>
@@ -995,6 +1018,26 @@ object SparkEntry {
     },
 
     // ANN: brute-force cosine top-10 vs the vec_id=0 embedding
+    // int8-quantized ANN (the 8x-compressed store): symmetric max-abs int8
+    // codes, EXACT integer dot ranking — the memory-bound scale path next
+    // to the exact micro-cosine baseline below
+    "ann_int8_topk" -> { (s, dir) =>
+      val e = embs(s, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(Similarity.int8Quantize(Similarity.quantize(col("embedding"))).as("q8"))
+      val top = e.select(col("vec_id"),
+          Similarity.int8Quantize(Similarity.quantize(col("embedding"))).as("v8"))
+        .crossJoin(q)
+        .select(col("vec_id"), Similarity.qdot(col("v8"), col("q8")).as("dot8"))
+        .orderBy(desc("dot8"), asc("vec_id"))
+        .limit(10)
+      rankTopK(top, (b, a) =>
+          col("b.dot8") > col("a.dot8") ||
+            (col("b.dot8") === col("a.dot8") && col("b.vec_id") < col("a.vec_id")))
+        .select(col("vec_id"), col("dot8"), col("rank").cast("long").as("rank"))
+        .orderBy("rank")
+    },
+
     "ann_cosine_topk" -> { (s, dir) =>
       val e = embs(s, dir)
       val q = e.filter(col("vec_id") === 0)
@@ -1640,6 +1683,19 @@ object SparkEntry {
          |                 GROUP BY doc_id HAVING count(DISTINCT term) = 2)
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "a7_significant_terms" ->
+      s"""WITH tf AS (SELECT * FROM $TF),
+         | fg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+         | fgn AS (SELECT count(*)::BIGINT fg_n FROM fg),
+         | nd AS (SELECT count(*)::BIGINT n_docs FROM documents),
+         | fgdf AS (SELECT term, count(*)::BIGINT fg_df FROM tf JOIN fg USING (doc_id) GROUP BY 1),
+         | bg AS (SELECT term, count(*)::BIGINT bg_df FROM tf GROUP BY 1)
+         |SELECT term, fg_df, bg_df,
+         | round((fg_df * n_docs)::DOUBLE * 1e6 / (fg_n * bg_df)::DOUBLE)::BIGINT lift_micro
+         |FROM fgdf JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN nd
+         |WHERE fg_df >= 3
+         |ORDER BY lift_micro DESC, term LIMIT 15""".stripMargin,
+
     "f5_idf" ->
       s"""WITH tf AS (SELECT * FROM $TF),
          | n AS (SELECT count(*)::BIGINT n_docs FROM documents)
@@ -1914,6 +1970,17 @@ object SparkEntry {
          |   FROM sh)
          |SELECT doc_id, CAST(u.f AS BIGINT) fp FROM fps, unnest(fp) u(f)
          |ORDER BY doc_id, fp""".stripMargin
+    },
+
+    "ann_int8_topk" -> {
+      val i8 = "CASE WHEN list_max(list_transform(qv, x -> abs(x))) = 0 THEN qv " +
+        "ELSE list_transform(qv, x -> round(x * 127.0 / list_max(list_transform(qv, y -> abs(y))))::BIGINT) END"
+      s"""WITH v AS (SELECT vec_id, $i8 v8 FROM (SELECT vec_id, $QUANT qv FROM embeddings)),
+         | q AS (SELECT v8 q8 FROM v WHERE vec_id = 0),
+         | scored AS (SELECT vec_id, round(list_dot_product(v8, q8))::BIGINT dot8 FROM v CROSS JOIN q)
+         |SELECT vec_id, dot8, rank FROM
+         | (SELECT vec_id, dot8, row_number() OVER (ORDER BY dot8 DESC, vec_id)::BIGINT rank FROM scored)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
     },
 
     "ann_cosine_topk" ->

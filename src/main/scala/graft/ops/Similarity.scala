@@ -40,6 +40,20 @@ object Similarity {
       .otherwise(round(qdot(a, b).cast("double")
         / sqrt(qnorm2(a).cast("double") * qnorm2(b).cast("double")) * 1e6).cast("long"))
 
+  /** Per-vector int8 quantization of a micro-quantized vector (the
+    * memory-compression path a 100 TB ANN store actually ships: 8x smaller
+    * than float64, dot products stay exact integers): symmetric max-abs
+    * scaling, q_j = round(v_j · 127 / max|v|) ∈ [−127, 127]. The numerator
+    * v_j·127 is an exact double (micro components ≪ 2^46), so the single
+    * IEEE division + round is cross-engine deterministic; a zero vector
+    * stays zero. Scores over int8 codes rank by [[qdot]] (≤ 127²·dim —
+    * exact int64). */
+  def int8Quantize(v: Column): Column = {
+    val s = array_max(transform(v, x => abs(x)))
+    when(s === 0, v)
+      .otherwise(transform(v, x => round(x * lit(127.0) / s).cast("long")))
+  }
+
   /** Brute-force cosine top-k against one query vector (the exact
     * baseline). Returns (id, cos_micro, rank). */
   def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
