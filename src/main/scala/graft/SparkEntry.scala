@@ -648,6 +648,48 @@ object SparkEntry {
     // A5/O2/O3 + F5-F7: the flagship lossy-BM25 conjunctive top-k
     "a5_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10)),
     "a5_bm25_topk3" -> ((s, dir) => bm25TopK(s, dir, Seq("join", "hash", "dup"), 10)),
+    // nested boolean query — (spark AND query) OR (join AND hash AND NOT
+    // dup) — with clause-aware Lucene scoring: only MATCHING clauses
+    // contribute (engine path: graft.query.BoolQuery over the index)
+    "a5_bool_topk" -> { (s, dir) =>
+      val terms = Seq("spark", "query", "join", "hash", "dup")
+      val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
+      val pivoted = tfq.groupBy("doc_id").agg(
+        max(when(col("term") === terms.head, col("tf"))).as("tf0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("tf"))).as(s"tf${i + 1}")
+        }: _*)
+      val m1 = col("tf0").isNotNull && col("tf1").isNotNull
+      val m2 = col("tf2").isNotNull && col("tf3").isNotNull && col("tf4").isNull
+      val dfs = tfq.agg(
+        count(when(col("term") === terms.head, lit(1))).cast("long").as("df0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          count(when(col("term") === t, lit(1))).cast("long").as(s"df${i + 1}")
+        }: _*)
+      val len = lenTable(s, dir)
+      val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("len").cast("long").as("sum_len"))
+      val base = len.join(pivoted.filter(m1 || m2), "doc_id")
+        .crossJoin(dfs).crossJoin(stats)
+      val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
+      val lossy = lossyLen(col("len")).cast("double")
+      def part(i: Int) = {
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        idf * (col(s"tf$i") * lit(2.2) /
+          (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * lossy / avg)))
+      }
+      val score = when(m1, part(0) + part(1)).otherwise(lit(0.0)) +
+        when(m2, part(2) + part(3)).otherwise(lit(0.0))
+      val top = base.withColumn("score", score).select(col("doc_id"), col("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+      rankTopK(top, (b, a) => col("b.score") > col("a.score") ||
+          (col("b.score") === col("a.score") && col("b.doc_id") < col("a.doc_id")))
+        .select(col("rank").cast("long").as("rank"), col("doc_id"),
+          round(col("score") * 1e6).cast("long").as("score_micro"))
+        .orderBy("rank")
+    },
+
     // BM25F fielded scoring: title (first 8 tokens, weight 2) + body
     "a5_bm25f_topk" -> ((s, dir) => bm25fTopK(s, dir, Seq("spark", "query"), 10)),
     // synonym-group scoring (Lucene SynonymQuery): blended tf/df per group
@@ -1610,6 +1652,33 @@ object SparkEntry {
 
     "a5_bm25_topk" -> bm25Sql(Seq("spark", "query"), 10),
     "a5_bm25_topk3" -> bm25Sql(Seq("join", "hash", "dup"), 10),
+
+    "a5_bool_topk" -> {
+      val terms = Seq("spark", "query", "join", "hash", "dup")
+      val termList = terms.map(t => s"'$t'").mkString(",")
+      val pvCols = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN tf END) tf$i"
+      }.mkString(", ")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"count(CASE WHEN term = '$t' THEN 1 END)::BIGINT df$i"
+      }.mkString(", ")
+      def part(i: Int) =
+        s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
+      val m1 = "tf0 IS NOT NULL AND tf1 IS NOT NULL"
+      val m2 = "tf2 IS NOT NULL AND tf3 IS NOT NULL AND tf4 IS NULL"
+      val score = s"(CASE WHEN $m1 THEN ${part(0)} + ${part(1)} ELSE 0.0 END) + " +
+        s"(CASE WHEN $m2 THEN ${part(2)} + ${part(3)} ELSE 0.0 END)"
+      s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
+         | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
+         | pv AS (SELECT doc_id, $pvCols FROM tf WHERE term IN ($termList) GROUP BY doc_id),
+         | dfs AS (SELECT $dfCols FROM tf WHERE term IN ($termList)),
+         | base AS (SELECT * FROM lens JOIN pv USING (doc_id) CROSS JOIN stats CROSS JOIN dfs
+         |          WHERE ($m1) OR ($m2)),
+         | scored AS (SELECT doc_id, ($score) AS score FROM base)
+         |SELECT rank, doc_id, round(score * 1e6)::BIGINT score_micro FROM
+         | (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) rank FROM scored)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
 
     "a5_bm25f_topk" -> {
       val terms = Seq("spark", "query")

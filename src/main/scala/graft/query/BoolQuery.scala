@@ -1,0 +1,309 @@
+package graft.query
+
+import graft.core.{Bm25, Tokenizer}
+import graft.index.PostingCodec
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Nested boolean queries — `(spark AND query) OR (join AND hash AND NOT
+  * dup)` — over the inverted index. The reference engine evaluates only
+  * flat conjunctions (`query_processing.h` k-way intersection); this
+  * completes the Lucene `BooleanQuery` surface the flat operators (J1/J2
+  * AND, the OR completion, J6 NOT) already span pairwise.
+  *
+  * Semantics (Lucene `BooleanQuery`): a doc matches the boolean predicate
+  * over per-term presence; its score is the CLAUSE-AWARE recursive sum —
+  * only MATCHING clauses contribute (a matched AND adds all its children's
+  * contributions, a matched OR adds its matching children's, NOT adds
+  * nothing), so a stray term from a non-matching clause never scores.
+  * Pure-negative (sub)queries match nothing — a clause with no positive
+  * leaf folds to FALSE, exactly Lucene's rule for MUST_NOT-only boolean
+  * queries.
+  *
+  * Evaluation shape (one Spark job):
+  *  1. constant-fold absent terms (P2 analog: absent Term → FALSE) and
+  *     prune pure-negative clauses;
+  *  2. docId-range coverage of the folded tree by interval algebra — AND
+  *     intersects its positive children's coverage, OR unions — bounding
+  *     which blocks decode (a rare clause prunes its AND-siblings' hot
+  *     lists, same J3 skip analog as [[Searcher.search]]);
+  *  3. decode every leaf term's surviving blocks once; per doc, aggregate a
+  *     presence BITMASK (each (term, doc) posting is unique, so a sum of
+  *     2^leafBit is an exact mask) plus one pivoted partial-score column
+  *     per positive leaf (boolean queries are narrow — ≤ 62 leaves by
+  *     construction — so the pivot stays cheap, unlike a 64-slot batch);
+  *  4. predicate AND score both compile to pure codegen Columns over the
+  *     mask and the pivot: the score expression adds in fixed tree order,
+  *     bitwise-deterministic and mirrored term-for-term by the SQL oracle.
+  */
+object BoolQuery {
+
+  sealed trait Node
+  final case class Term(t: String) extends Node
+  final case class And(cs: Seq[Node]) extends Node
+  final case class Or(cs: Seq[Node]) extends Node
+  final case class Not(c: Node) extends Node
+  private case object True extends Node
+  private case object False extends Node
+
+  /** Recursive-descent parser. Grammar (case-insensitive keywords):
+    * orExpr := andExpr (OR andExpr)* ; andExpr := unary (AND unary)* ;
+    * unary := NOT unary | '(' orExpr ')' | TERM. Terms are normalized
+    * through the engine tokenizer. */
+  def parse(s: String): Node = {
+    val toks = tokenize(s)
+    val (node, rest) = parseOr(toks)
+    require(rest.isEmpty, s"trailing input: ${rest.mkString(" ")}")
+    node
+  }
+
+  private def tokenize(s: String): List[String] =
+    s.replace("(", " ( ").replace(")", " ) ")
+      .split("\\s+").toList.filter(_.nonEmpty)
+
+  private def parseOr(ts: List[String]): (Node, List[String]) = {
+    var (acc, rest) = parseAnd(ts)
+    val cs = scala.collection.mutable.ArrayBuffer(acc)
+    while (rest.headOption.exists(_.equalsIgnoreCase("OR"))) {
+      val (n, r) = parseAnd(rest.tail)
+      cs += n
+      rest = r
+    }
+    (if (cs.size == 1) cs.head else Or(cs.toSeq), rest)
+  }
+
+  private def parseAnd(ts: List[String]): (Node, List[String]) = {
+    var (acc, rest) = parseUnary(ts)
+    val cs = scala.collection.mutable.ArrayBuffer(acc)
+    while (rest.headOption.exists(_.equalsIgnoreCase("AND"))) {
+      val (n, r) = parseUnary(rest.tail)
+      cs += n
+      rest = r
+    }
+    (if (cs.size == 1) cs.head else And(cs.toSeq), rest)
+  }
+
+  private def parseUnary(ts: List[String]): (Node, List[String]) = ts match {
+    case kw :: rest if kw.equalsIgnoreCase("NOT") =>
+      val (n, r) = parseUnary(rest)
+      (Not(n), r)
+    case "(" :: rest =>
+      val (n, r) = parseOr(rest)
+      require(r.headOption.contains(")"), "unbalanced parenthesis")
+      (n, r.tail)
+    case w :: rest if w != ")" && !w.equalsIgnoreCase("AND") && !w.equalsIgnoreCase("OR") =>
+      val norm = Tokenizer.terms(w)
+      require(norm.nonEmpty, s"unparsable term: $w")
+      (Term(norm.head), rest)
+    case other => throw new IllegalArgumentException(s"expected term at: $other")
+  }
+
+  /** Does the node contain at least one positive (non-negated) leaf? */
+  private def hasPositive(n: Node): Boolean = n match {
+    case Term(_)  => true
+    case Not(_)   => false
+    case And(cs)  => cs.exists(hasPositive)
+    case Or(cs)   => cs.exists(hasPositive)
+    case _        => false
+  }
+
+  /** Constant-fold absent terms and prune pure-negative clauses (the
+    * Lucene MUST_NOT-only rule). Returns True/False/folded tree. */
+  private[graft] def fold(n: Node, present: String => Boolean): Node = n match {
+    case Term(t) => if (present(t)) Term(t) else False
+    case Not(c) => fold(c, present) match {
+      case False => True
+      case True  => False
+      case cf    => Not(cf)
+    }
+    case And(cs0) =>
+      val cs = cs0.map(fold(_, present))
+      if (cs.contains(False)) False
+      else {
+        val live = cs.filter(_ != True)
+        if (live.isEmpty) True
+        else if (!live.exists(hasPositive)) False // pure-negative conjunction
+        else if (live.size == 1) live.head
+        else And(live)
+      }
+    case Or(cs0) =>
+      val cs = cs0.map(fold(_, present))
+      if (cs.contains(True)) True
+      else {
+        // a pure-negative OR clause can never match on its own (Lucene)
+        val live = cs.filter(c => c != False && hasPositive(c))
+        if (live.isEmpty) False
+        else if (live.size == 1) live.head
+        else Or(live)
+      }
+    case leaf => leaf
+  }
+
+  /** Distinct positive leaf terms in first-occurrence order (the scoring
+    * slots), then distinct negative-only leaf terms. */
+  private[graft] def leafTerms(n: Node): (Seq[String], Seq[String]) = {
+    val pos = scala.collection.mutable.LinkedHashSet.empty[String]
+    val neg = scala.collection.mutable.LinkedHashSet.empty[String]
+    def walk(n: Node, negated: Boolean): Unit = n match {
+      case Term(t) => if (negated) neg += t else pos += t
+      case Not(c)  => walk(c, !negated)
+      case And(cs) => cs.foreach(walk(_, negated))
+      case Or(cs)  => cs.foreach(walk(_, negated))
+      case _       => ()
+    }
+    walk(n, negated = false)
+    (pos.toSeq, (neg -- pos).toSeq)
+  }
+
+  // ---- interval algebra over disjoint ascending (first, last) arrays ----
+  private def intersectIv(a: Array[(Int, Int)], b: Array[(Int, Int)]): Array[(Int, Int)] = {
+    val out = scala.collection.mutable.ArrayBuilder.make[(Int, Int)]
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val lo = math.max(a(i)._1, b(j)._1)
+      val hi = math.min(a(i)._2, b(j)._2)
+      if (lo <= hi) out += ((lo, hi))
+      if (a(i)._2 < b(j)._2) i += 1 else j += 1
+    }
+    out.result()
+  }
+
+  private def unionIv(ivs: Seq[Array[(Int, Int)]]): Array[(Int, Int)] = {
+    val all = ivs.flatten.sortBy(_._1)
+    if (all.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer(all.head)
+    all.tail.foreach { case (lo, hi) =>
+      val (plo, phi) = out.last
+      if (lo <= phi + 1) { if (hi > phi) out(out.length - 1) = (plo, hi) }
+      else out += ((lo, hi))
+    }
+    out.toArray
+  }
+
+  /** Candidate docId coverage of a folded tree: any matching doc lies
+    * inside (AND intersects positive children, OR unions children, NOT
+    * never restricts). */
+  private def coverage(n: Node, ranges: Map[String, Array[(Int, Int)]]): Array[(Int, Int)] =
+    n match {
+      case Term(t) => ranges.getOrElse(t, Array.empty)
+      case And(cs) =>
+        cs.filter(hasPositive).map(coverage(_, ranges)) match {
+          case Seq()       => Array.empty
+          case head +: tail => tail.foldLeft(head)(intersectIv)
+        }
+      case Or(cs) => unionIv(cs.map(coverage(_, ranges)))
+      case Not(_) => Array.empty // only reachable for pure-negative trees
+      case _      => Array.empty
+    }
+
+  /** Compile the folded predicate to a codegen Column over the presence
+    * bitmask (leaf bit positions from `bitOf`). */
+  private def predicate(n: Node, mask: org.apache.spark.sql.Column,
+                        bitOf: Map[String, Int]): org.apache.spark.sql.Column = n match {
+    case Term(t) => mask.bitwiseAND(lit(1L << bitOf(t))) =!= 0L
+    case Not(c)  => !predicate(c, mask, bitOf)
+    case And(cs) => cs.map(predicate(_, mask, bitOf)).reduceLeft(_ && _)
+    case Or(cs)  => cs.map(predicate(_, mask, bitOf)).reduceLeft(_ || _)
+    case True    => lit(true)
+    case _       => lit(false)
+  }
+
+  /** Clause-aware Lucene scoring as a codegen Column over the presence
+    * mask and the per-leaf partial-score pivot (`_p<slot>`): a node
+    * contributes only when it MATCHES — a matched AND adds all children, a
+    * matched OR its matching children, NOT nothing. Additions happen in
+    * fixed tree order (bitwise-deterministic; the SQL oracle mirrors the
+    * same CASE tree term for term). */
+  private def scoreExpr(n: Node, mask: org.apache.spark.sql.Column,
+                        bitOf: Map[String, Int],
+                        slotOf: Map[String, Int]): org.apache.spark.sql.Column = n match {
+    case Term(t) =>
+      slotOf.get(t).map(i => coalesce(col(s"_p$i"), lit(0.0))).getOrElse(lit(0.0))
+    case Not(_) => lit(0.0)
+    case And(cs) =>
+      when(predicate(n, mask, bitOf),
+        cs.map(scoreExpr(_, mask, bitOf, slotOf)).reduceLeft(_ + _)).otherwise(lit(0.0))
+    case Or(cs) =>
+      when(predicate(n, mask, bitOf),
+        cs.map(scoreExpr(_, mask, bitOf, slotOf)).reduceLeft(_ + _)).otherwise(lit(0.0))
+    case _ => lit(0.0)
+  }
+
+  /** Boolean BM25 top-k over the index (see object doc for the contract).
+    * Accepts a query string (parsed) or a pre-built [[Node]]. */
+  def search(ix: Searcher.LoadedIndex, query: String, k: Int): Dataset[Searcher.Hit] =
+    search(ix, parse(query), k)
+
+  def search(ix: Searcher.LoadedIndex, root0: Node, k: Int): Dataset[Searcher.Hit] = {
+    val spark = ix.spark
+    import spark.implicits._
+    if (k <= 0) return spark.emptyDataset[Searcher.Hit]
+    val (pos0, neg0) = leafTerms(root0)
+    val all0 = (pos0 ++ neg0).distinct
+    if (all0.isEmpty) return spark.emptyDataset[Searcher.Hit]
+    val dfs: Map[String, Long] = ix.termstats
+      .filter($"term".isin(all0: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val root = fold(root0, dfs.contains)
+    if (root == False || root == True || !hasPositive(root))
+      return spark.emptyDataset[Searcher.Hit]
+    val (posTerms, negTerms) = leafTerms(root)
+    val allTerms = (posTerms ++ negTerms).distinct
+    val blocks = ix.postings.filter($"term".isin(allTerms: _*))
+    val metaRaw = blocks.select("term", "firstDocId", "lastDocId")
+      .as[(String, Int, Int)].collect()
+    val ranges: Map[String, Array[(Int, Int)]] = metaRaw.groupBy(_._1)
+      .map { case (t, rs) => t -> rs.sortBy(_._2).map(r => (r._2, r._3)) }
+    val cov = coverage(root, ranges)
+    if (cov.isEmpty) return spark.emptyDataset[Searcher.Hit]
+    // every leaf (positive AND negative) decodes only blocks overlapping the
+    // tree's coverage: presence flags are complete for all candidate docs
+    val keys: Set[(String, Int)] = allTerms.iterator.flatMap { t =>
+      val m = ranges.getOrElse(t, Array.empty[(Int, Int)])
+        .map(r => BlockMax.BlockMeta(r._1, r._2, 0, 0.0))
+      BlockMax.overlapping(m, cov).iterator.map(i => (t, m(i).first))
+    }.toSet
+    if (keys.isEmpty) return spark.emptyDataset[Searcher.Hit]
+    val bitOf: Map[String, Int] = allTerms.zipWithIndex.toMap
+    require(allTerms.size <= 62, "boolean query exceeds 62 distinct terms")
+    val slotOf: Map[String, Int] = posTerms.zipWithIndex.toMap
+    val idfs = dfs.map { case (t, d) => t -> Bm25.idf(ix.nDocs, d) }
+    val leafDf = broadcast(allTerms.map { t =>
+      (t, 1L << bitOf(t), slotOf.getOrElse(t, -1), idfs.getOrElse(t, 0.0))
+    }.toDF("term", "bit", "slot", "idf"))
+    val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
+    val partScore = $"idf" *
+      ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
+    val decoded = blocks
+      .join(broadcast(keys.toSeq.toDF("term", "firstDocId")),
+        Seq("term", "firstDocId"), "left_semi")
+      .select("term", "prevDocId", "n", "docIds", "tfs")
+      .as[(String, Int, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (t, prev, n, ids, tfs) =>
+        PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
+      }.toDF("term", "docId", "tf")
+    // each (term, doc) posting is unique → the bit sum is an exact mask and
+    // each positive leaf's max(when(...)) pivot holds its single partial
+    val pivots = posTerms.zipWithIndex.map { case (t, i) =>
+      max(when($"term" === t, $"partScore")).as(s"_p$i")
+    }
+    val agg = decoded
+      .join(leafDf, "term")
+      .join(ix.doclen.select($"docId", $"lenByte"), "docId")
+      .withColumn("partScore", partScore)
+      .groupBy($"docId")
+      .agg(sum($"bit").as("mask"), pivots: _*)
+      .withColumn("score", scoreExpr(root, $"mask", bitOf, slotOf))
+      .filter(predicate(root, $"mask", bitOf))
+    val withDel = ix.tombstones
+      .map(d => agg.join(d, Seq("docId"), "left_anti")).getOrElse(agg)
+    val hits = withDel
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+      .select($"docId".cast("int"), $"score")
+      .as[(Int, Double)].collect()
+      .zipWithIndex.map { case ((d, s), i) => Searcher.Hit(d, s, i + 1) }
+    hits.toSeq.toDS()
+  }
+}

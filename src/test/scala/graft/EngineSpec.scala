@@ -533,6 +533,69 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batch path decoded $decoded of $total postings — block pruning not effective")
   }
 
+  test("boolean queries: nested AND/OR/NOT rank-identical to brute force") {
+    import graft.query.BoolQuery
+    import graft.core.{Bm25, LenByte}
+    def presence(d: Int, t: String): Boolean =
+      oracle.postings.get(t).exists(_.exists(_._1 == d))
+    def tfOf(d: Int, t: String): Long =
+      oracle.postings.get(t).flatMap(_.find(_._1 == d)).map(_._2.toLong).getOrElse(0L)
+    def evalRaw(n: BoolQuery.Node, d: Int): Boolean = n match {
+      case BoolQuery.Term(t) => presence(d, t)
+      case BoolQuery.Not(c)  => !evalRaw(c, d)
+      case BoolQuery.And(cs) => cs.forall(evalRaw(_, d))
+      case BoolQuery.Or(cs)  => cs.exists(evalRaw(_, d))
+      case _                 => false
+    }
+    def brute(qs: String, k: Int): Seq[(Int, Double)] = {
+      val root = BoolQuery.parse(qs)
+      // clause-aware Lucene scoring: only MATCHING clauses contribute
+      def score(n: BoolQuery.Node, d: Int, lb: Int): Double = n match {
+        case BoolQuery.Term(t) =>
+          if (presence(d, t))
+            Bm25.idf(oracle.nDocs, oracle.df(t)) *
+              Bm25.tfNormLossy(tfOf(d, t), lb, oracle.lossyCache)
+          else 0.0
+        case BoolQuery.Not(_) => 0.0
+        case BoolQuery.And(cs) =>
+          if (evalRaw(n, d)) cs.map(score(_, d, lb)).sum else 0.0
+        case BoolQuery.Or(cs) =>
+          if (evalRaw(n, d)) cs.map(score(_, d, lb)).sum else 0.0
+        case _ => 0.0
+      }
+      oracle.docs.map(_.docId).filter(evalRaw(root, _)).map { d =>
+        val lb = LenByte.encode(oracle.docLen(d).toLong)
+        (d, score(root, d, lb))
+      }.sortBy { case (d, s) => (-s, d) }.take(k)
+    }
+    // fold-neutral cases (no pure-negative OR clause, so raw eval == Lucene
+    // semantics): nested AND/OR, NOT under AND, NOT over a parenthesized OR
+    val cases = Seq(
+      "(if AND return) OR (val AND def AND NOT epsilon)",
+      "if AND NOT (return OR val)",
+      "(epsilon OR posting) AND NOT fn_1_0",
+      "(if AND nosuchterm_xyz) OR posting") // absent term folds the left clause away
+    cases.foreach { q =>
+      val got = graft.query.BoolQuery.search(ix, q, 10).collect().sortBy(_.rank)
+      val want = brute(q, 10)
+      assert(got.map(_.docId).toSeq == want.map(_._1), s"bool mismatch [$q]: " +
+        s"${got.map(h => (h.docId, h.score)).toSeq} vs $want")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w._2) < 1e-9, s"[$q]") }
+    }
+    // Lucene pure-negative rules: a MUST_NOT-only query (or clause) matches
+    // nothing / drops out of an OR
+    assert(BoolQuery.search(ix, "NOT if", 10).isEmpty)
+    assert(BoolQuery.search(ix, "(NOT if) OR (NOT return)", 10).isEmpty)
+    val folded = BoolQuery.search(ix, "if OR (NOT return)", 10).collect().map(_.docId).toSeq
+    val plain = BoolQuery.search(ix, "if", 10).collect().map(_.docId).toSeq
+    assert(folded == plain, "pure-negative OR clause must fold away")
+    // operator precedence: AND binds tighter than OR
+    val prec = BoolQuery.parse("if AND return OR val")
+    assert(prec == BoolQuery.Or(Seq(
+      BoolQuery.And(Seq(BoolQuery.Term("if"), BoolQuery.Term("return"))),
+      BoolQuery.Term("val"))))
+  }
+
   test("batch searchAll: NOT queries, disjunctive members, forced WAND — per-query parity") {
     import spark.implicits._
     // NOT queries folded into the batch (per-query skip-pruned exclusion
