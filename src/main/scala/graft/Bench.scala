@@ -412,11 +412,12 @@ object Bench {
       // prefix queries go through the service's own dictionary-expansion
       // entry point (resident expansion cache), the rest through search
       def serve(q: graft.query.QueryLog.LogQuery): Seq[Oracle.Hit] =
-        (q.prefix, q.fuzzy, q.wildcard) match {
-          case (Some(p), _, _)      => svc.searchPrefix(p, 10)
-          case (_, Some((t, d)), _) => svc.searchFuzzy(t, 10, d)
-          case (_, _, Some(w))      => svc.searchWildcard(w, 10)
-          case _                    => svc.search(q.terms, 10, q.phrase, q.exclude, q.slop)
+        (q.prefix, q.fuzzy, q.wildcard, q.bool) match {
+          case (Some(p), _, _, _)      => svc.searchPrefix(p, 10)
+          case (_, Some((t, d)), _, _) => svc.searchFuzzy(t, 10, d)
+          case (_, _, Some(w), _)      => svc.searchWildcard(w, 10)
+          case (_, _, _, Some(b))      => svc.searchBool(b, 10)
+          case _                       => svc.search(q.terms, 10, q.phrase, q.exclude, q.slop)
         }
       queryMix.foreach(serve) // cache misses
       val reps = 50
@@ -628,9 +629,36 @@ object Bench {
           }
           Oracle.topK(hits, k)
         }
+        // nested boolean queries: same lean maps, the SHARED clause-aware
+        // evaluator (BoolQuery.evalAndScore) — candidates are the union of
+        // positive leaves' docs (the pure-negative fold guarantees a
+        // matching doc carries one)
+        def oracleBoolTopK(root0: graft.query.BoolQuery.Node, k: Int): Seq[Oracle.Hit] = {
+          import scala.jdk.CollectionConverters._
+          val folded = graft.query.BoolQuery
+            .foldForEval(root0, t => qIdx.get(t).exists(i => !tfs(i).isEmpty))
+            .getOrElse(return Nil)
+          val (pos, _) = graft.query.BoolQuery.leafTerms(folded)
+          val idfs = pos.map(t =>
+            t -> graft.core.Bm25.idf(nDocs, tfs(qIdx(t)).size.toLong)).toMap
+          val cand: Array[Int] = pos.toArray
+            .flatMap(t => tfs(qIdx(t)).keySet.asScala.map(_.intValue)).distinct.sorted
+          val hits = cand.flatMap { d =>
+            val lb = graft.core.LenByte.encode(lens(d).toLong)
+            val (m, s) = graft.query.BoolQuery.evalAndScore(folded,
+              t => tfs(qIdx(t)).containsKey(d),
+              t => idfs.get(t).map(_ * graft.core.Bm25.tfNormLossy(
+                tfs(qIdx(t)).get(d).toLong, lb, cache)).getOrElse(0.0))
+            if (m) Some(Oracle.Hit(d, s)) else None
+          }
+          Oracle.topK(hits, k)
+        }
         val byQ = batch.groupBy(_._1)
         val details = queryMix.flatMap { q =>
-          val want = oracleTopK(q.terms, 10, q.phrase, q.disjunctive, q.exclude, q.slop)
+          val want = q.bool match {
+            case Some(node) => oracleBoolTopK(node, 10)
+            case None => oracleTopK(q.terms, 10, q.phrase, q.disjunctive, q.exclude, q.slop)
+          }
           val got = byQ.getOrElse(q.id, Array.empty).sortBy(_._2)
           val ok = got.length == want.length &&
             got.zip(want).forall { case (g, w) =>

@@ -139,6 +139,38 @@ object BoolQuery {
     case leaf => leaf
   }
 
+  /** Fold for evaluation: None when the folded tree cannot match anything
+    * (constant, or no positive leaf — the Lucene pure-negative rule),
+    * otherwise the folded tree. The shared entry for every path. */
+  private[graft] def foldForEval(root0: Node, present: String => Boolean): Option[Node] = {
+    val root = fold(root0, present)
+    if (root == False || root == True || !hasPositive(root)) None else Some(root)
+  }
+
+  /** Shared recursive evaluator: (matched, clause-aware score). `partial`
+    * returns a positive leaf's BM25 partial for the CURRENT doc (only
+    * consulted for present positive leaves). Additions happen in tree
+    * order via foldLeft(0.0) — bitwise-identical to the Column form's
+    * left-assoc sum (x + 0.0 == x for every non-negative partial), so the
+    * distributed, batched, and resident paths all produce the same bits. */
+  private[graft] def evalAndScore(n: Node, present: String => Boolean,
+                                  partial: String => Double): (Boolean, Double) = n match {
+    case Term(t) =>
+      val p = present(t)
+      (p, if (p) partial(t) else 0.0)
+    case Not(c) => (!evalAndScore(c, present, partial)._1, 0.0)
+    case And(cs) =>
+      val rs = cs.map(evalAndScore(_, present, partial))
+      val m = rs.forall(_._1)
+      (m, if (m) rs.foldLeft(0.0)(_ + _._2) else 0.0)
+    case Or(cs) =>
+      val rs = cs.map(evalAndScore(_, present, partial))
+      val m = rs.exists(_._1)
+      (m, if (m) rs.foldLeft(0.0)(_ + _._2) else 0.0)
+    case True  => (true, 0.0)
+    case _     => (false, 0.0)
+  }
+
   /** Distinct positive leaf terms in first-occurrence order (the scoring
     * slots), then distinct negative-only leaf terms. */
   private[graft] def leafTerms(n: Node): (Seq[String], Seq[String]) = {
@@ -228,6 +260,115 @@ object BoolQuery {
       when(predicate(n, mask, bitOf),
         cs.map(scoreExpr(_, mask, bitOf, slotOf)).reduceLeft(_ + _)).otherwise(lit(0.0))
     case _ => lit(0.0)
+  }
+
+  /** Batched boolean search: every boolean query of a log in ONE Spark job
+    * (the [[Searcher.searchAll]] analog). Same semantics as [[search]] per
+    * query; the per-(query, doc) (mask, slot partials) aggregate feeds the
+    * SHARED recursive evaluator ([[evalAndScore]]) executor-side with the
+    * broadcast folded trees — scores bitwise-identical to the single-query
+    * Column form. Returns (queryId, rank, docId, score). */
+  def searchAll(ix: Searcher.LoadedIndex, queries: Seq[(Int, Node)],
+                k: Int): DataFrame = {
+    val spark = ix.spark
+    import spark.implicits._
+    def empty =
+      Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")
+    if (queries.isEmpty || k <= 0) return empty
+    val all0 = queries.flatMap { case (_, n) =>
+      val (p, ng) = leafTerms(n); p ++ ng
+    }.distinct
+    if (all0.isEmpty) return empty
+    val dfs: Map[String, Long] = ix.termstats
+      .filter($"term".isin(all0: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val live: Seq[(Int, Node)] = queries.flatMap { case (qid, n) =>
+      foldForEval(n, dfs.contains).map(qid -> _)
+    }
+    if (live.isEmpty) return empty
+    // per-query leaf tables: (queryId, term, bit, slot, idf) — bit/slot
+    // spaces are PER QUERY (each query's own mask and partial array)
+    final case class QInfo(qid: Int, root: Node, posTerms: Seq[String],
+                           bitOf: Map[String, Int])
+    val infos = live.map { case (qid, root) =>
+      val (pos, neg) = leafTerms(root)
+      require(pos.size + neg.size <= 62, s"boolean query $qid exceeds 62 distinct terms")
+      QInfo(qid, root, pos, (pos ++ neg).zipWithIndex.toMap)
+    }
+    val leafRows = infos.flatMap { qi =>
+      qi.bitOf.toSeq.map { case (t, bit) =>
+        (qi.qid, t, 1L << bit, qi.posTerms.indexOf(t),
+          Bm25.idf(ix.nDocs, dfs.getOrElse(t, 0L)))
+      }
+    }
+    val leafDf = broadcast(leafRows.toDF("queryId", "term", "bit", "slot", "idf"))
+    val allTerms = live.flatMap { case (_, n) =>
+      val (p, ng) = leafTerms(n); p ++ ng
+    }.distinct
+    // coverage per query; union of surviving blocks decoded once (extra
+    // blocks decoded for one query only add rows another query's own
+    // predicate discards — same exactness argument as Searcher.searchAll)
+    val blocks = ix.postings.filter($"term".isin(allTerms: _*))
+    val metaRaw = blocks.select("term", "firstDocId", "lastDocId")
+      .as[(String, Int, Int)].collect()
+    val ranges: Map[String, Array[(Int, Int)]] = metaRaw.groupBy(_._1)
+      .map { case (t, rs) => t -> rs.sortBy(_._2).map(r => (r._2, r._3)) }
+    val keys: Set[(String, Int)] = infos.iterator.flatMap { qi =>
+      val cov = coverage(qi.root, ranges)
+      qi.bitOf.keysIterator.flatMap { t =>
+        val m = ranges.getOrElse(t, Array.empty[(Int, Int)])
+          .map(r => BlockMax.BlockMeta(r._1, r._2, 0, 0.0))
+        BlockMax.overlapping(m, cov).iterator.map(i => (t, m(i).first))
+      }
+    }.toSet
+    if (keys.isEmpty) return empty
+    val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
+    val partScore = $"idf" *
+      ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
+    val decoded = blocks
+      .join(broadcast(keys.toSeq.toDF("term", "firstDocId")),
+        Seq("term", "firstDocId"), "left_semi")
+      .select("term", "prevDocId", "n", "docIds", "tfs")
+      .as[(String, Int, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (t, prev, n, ids, tfs) =>
+        PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
+      }.toDF("term", "docId", "tf")
+    val bcTrees = spark.sparkContext.broadcast(
+      infos.map(qi => qi.qid -> ((qi.root, qi.bitOf, qi.posTerms))).toMap)
+    val scored = decoded
+      .join(leafDf, "term")
+      .join(ix.doclen.select($"docId", $"lenByte"), "docId")
+      .withColumn("partScore", partScore)
+      .groupBy($"queryId", $"docId")
+      .agg(sum($"bit").as("mask"),
+        collect_list(when($"slot" >= 0, struct($"slot", $"partScore"))).as("sps"))
+      .select($"queryId", $"docId".cast("int").as("docId"), $"mask",
+        $"sps".cast("array<struct<slot:int,partScore:double>>"))
+      .as[(Int, Int, Long, Seq[(Int, Double)])]
+      .flatMap { case (qid, docId, mask, sps) =>
+        val (root, bitOf, posTerms) = bcTrees.value(qid)
+        val parts = new Array[Double](posTerms.size)
+        sps.foreach { case (slot, p) => parts(slot) = p }
+        val slotIdx = posTerms.zipWithIndex.toMap
+        val (matched, score) = evalAndScore(root,
+          t => (mask & (1L << bitOf(t))) != 0L,
+          // total: a present NEGATIVE leaf's partial is requested but
+          // discarded by its Not parent — 0.0, never a lookup failure
+          t => slotIdx.get(t).map(parts).getOrElse(0.0))
+        if (matched) Iterator.single((qid, docId, score)) else Iterator.empty
+      }
+      .toDF("queryId", "docId", "score")
+    val withDel = ix.tombstones
+      .map(d => scored.join(d, Seq("docId"), "left_anti")).getOrElse(scored)
+    withDel
+      .as[(Int, Int, Double)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) =>
+        top.iterator.zipWithIndex.map { case ((d, s), i) => (qid, i + 1, d, s) }
+      }
+      .toDF("queryId", "rank", "docId", "score")
   }
 
   /** Boolean BM25 top-k over the index (see object doc for the contract).

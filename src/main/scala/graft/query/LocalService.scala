@@ -717,6 +717,101 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     cached ++ rows
   }
 
+  /** Nested boolean query on the serving path (`(a AND b) OR (c AND NOT
+    * d)`): same fold / clause-aware scoring contract as
+    * [[BoolQuery.search]] via the SHARED evaluator — results bitwise-
+    * identical to the distributed path (asserted in EngineSpec). Candidates
+    * are the merged union of the POSITIVE leaves' resident lists (the
+    * pure-negative fold guarantees every matching doc carries a positive
+    * leaf); negative-leaf presence is one binary search per candidate. Any
+    * leaf over the fetch budget routes to the distributed engine. */
+  def searchBool(query: String, k: Int): Seq[Oracle.Hit] =
+    searchBool(BoolQuery.parse(query), k)
+
+  def searchBool(root0: BoolQuery.Node, k: Int): Seq[Oracle.Hit] = {
+    if (k <= 0) return Nil
+    val (pos0, neg0) = BoolQuery.leafTerms(root0)
+    val all0 = (pos0 ++ neg0).distinct
+    if (all0.isEmpty) return Nil
+    val dfs = dfOf(all0)
+    val root = BoolQuery.foldForEval(root0, t => dfs.getOrElse(t, 0L) > 0L)
+      .getOrElse(return Nil)
+    val (posTerms, negTerms) = BoolQuery.leafTerms(root)
+    val allTerms = (posTerms ++ negTerms).distinct
+    def viaDistributed(): Seq[Oracle.Hit] =
+      BoolQuery.search(ix, root, k).collect().sortBy(_.rank)
+        .map(h => Oracle.Hit(h.docId, h.score)).toSeq
+    if (deletesOverBudget || allTerms.exists(t => dfs(t) > maxFetchPostings))
+      return viaDistributed()
+    val lists = resolveLists(allTerms, phrase = false)
+    if (lists == null) return viaDistributed()
+    val byTerm = allTerms.zip(lists).toMap
+    val idfOf = allTerms.map(t => t -> Bm25.idf(ix.nDocs, byTerm(t).n.toLong)).toMap
+    val lenBytes = docLenBytes
+    val posLists = posTerms.map(byTerm).toIndexedSeq
+    val negLists = negTerms.map(byTerm).toIndexedSeq
+    val nP = posLists.size
+    val cursors = new Array[Int](nP)
+    def negPresent(j: Int, docId: Int): Boolean = {
+      val arr = negLists(j).docIds
+      var lo = 0
+      var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < docId) lo = mid + 1 else hi = mid
+      }
+      lo < arr.length && arr(lo) == docId
+    }
+    val negIdx = negTerms.zipWithIndex.toMap
+    val posIdx = posTerms.zipWithIndex.toMap
+    val heap = scala.collection.mutable.PriorityQueue.empty[Oracle.Hit](
+      Ordering.by[Oracle.Hit, (Double, Int)](h => (-h.score, h.docId)))
+    var done = false
+    while (!done) {
+      // merged union scan over the positive lists (ascending docId)
+      var d = Int.MaxValue
+      var i = 0
+      while (i < nP) {
+        if (cursors(i) < posLists(i).n) {
+          val v = posLists(i).docIds(cursors(i))
+          if (v < d) d = v
+        }
+        i += 1
+      }
+      if (d == Int.MaxValue) done = true
+      else {
+        if (!isDeleted(d)) {
+          val lb = lenBytes(d)
+          val (matched, score) = BoolQuery.evalAndScore(root,
+            t => posIdx.get(t) match {
+              case Some(pi) =>
+                cursors(pi) < posLists(pi).n && posLists(pi).docIds(cursors(pi)) == d
+              case None => negPresent(negIdx(t), d)
+            },
+            // total: a present NEGATIVE leaf's partial is requested but
+            // discarded by its Not parent — return 0.0, never throw
+            t => posIdx.get(t).map { pi =>
+              idfOf(t) * Bm25.tfNormLossy(
+                posLists(pi).tfs(cursors(pi)).toLong, lb, ix.lossyCache)
+            }.getOrElse(0.0))
+          if (matched) {
+            if (heap.size < k) heap.enqueue(Oracle.Hit(d, score))
+            else if (score > heap.head.score) {
+              heap.dequeue(); heap.enqueue(Oracle.Hit(d, score))
+            }
+          }
+        }
+        i = 0
+        while (i < nP) { // advance every aligned cursor
+          if (cursors(i) < posLists(i).n && posLists(i).docIds(cursors(i)) == d)
+            cursors(i) += 1
+          i += 1
+        }
+      }
+    }
+    heap.toSeq.sortBy(h => (-h.score, h.docId))
+  }
+
   /** Search reply WITH highlighted snippets — the reference's serving shape
     * (its gRPC `SearchReply` carries per-hit snippets; `qq_server.cc:61-132`
     * scores, then `SimpleHighlighter` reads each hit's body from the doc

@@ -28,7 +28,12 @@ import org.apache.spark.sql.DataFrame
   *    dictionary and evaluated disjunctively;
   *  - a line wrapped in forward slashes (Lucene regexp syntax, e.g.
   *    `/ret[a-z]*n/`) is a REGEX query — full-match-expanded against the
-  *    dictionary ([[Searcher.expandRegex]]) and evaluated disjunctively.
+  *    dictionary ([[Searcher.expandRegex]]) and evaluated disjunctively;
+  *  - a line with UPPERCASE `AND`/`OR`/`NOT` keywords or parentheses
+  *    (Lucene query syntax, e.g. `(if AND return) OR (val AND NOT def)`)
+  *    is a nested BOOLEAN query — parsed by [[BoolQuery.parse]], evaluated
+  *    with clause-aware Lucene scoring ([[BoolQuery.searchAll]] batches
+  *    every boolean query of the log into one Spark job).
   */
 object QueryLog {
 
@@ -43,7 +48,8 @@ object QueryLog {
                             fuzzy: Option[(String, Int)] = None,
                             slop: Int = 0,
                             wildcard: Option[String] = None,
-                            regex: Option[String] = None) {
+                            regex: Option[String] = None,
+                            bool: Option[BoolQuery.Node] = None) {
     /** Evaluates disjunctively (multi-term rewrite of a single probe). */
     def disjunctive: Boolean =
       prefix.nonEmpty || fuzzy.nonEmpty || wildcard.nonEmpty || regex.nonEmpty
@@ -89,6 +95,15 @@ object QueryLog {
         Some(LogQuery(id, Nil, phrase = false, fuzzy = Some((stem.head, dist))))
       else None
     }
+    else if (t.contains("(") ||
+             t.split("\\s+").exists(w => w == "AND" || w == "OR" || w == "NOT")) {
+      // nested boolean query (UPPERCASE Lucene keywords / parens):
+      // `(a AND b) OR (c AND NOT d)` — terms carries every leaf so the
+      // bench's lean oracle tracks their tfs
+      val node = BoolQuery.parse(t)
+      val (pos, neg) = BoolQuery.leafTerms(node)
+      Some(LogQuery(id, pos ++ neg, phrase = false, bool = Some(node)))
+    }
     else {
       val (neg, pos) = t.split("\\s+").toSeq.partition(_.startsWith("-"))
       Some(LogQuery(id, pos.flatMap(w => Tokenizer.terms(w)), phrase = false,
@@ -126,29 +141,33 @@ object QueryLog {
       }
     }
 
-  /** Run a full log against an index in TWO batched Spark pipelines: every
-    * non-phrase query — term, prefix/fuzzy/wildcard/regex expansion, AND
-    * NOT queries — through [[Searcher.searchAll]] (expansions as
-    * disjunctive members, NOT terms via its per-query skip-pruned exclusion
-    * anti-join), phrase/proximity queries through the batched positional
-    * [[Searcher.searchAllPhrase]] path. No per-query driver round trips.
-    * Returns (queryId, rank, docId, score). */
+  /** Run a full log against an index in at most THREE batched Spark
+    * pipelines: every flat non-phrase query — term, prefix/fuzzy/wildcard/
+    * regex expansion, AND NOT queries — through [[Searcher.searchAll]]
+    * (expansions as disjunctive members, NOT terms via its per-query
+    * skip-pruned exclusion anti-join), phrase/proximity queries through the
+    * batched positional [[Searcher.searchAllPhrase]] path, and nested
+    * boolean queries through [[BoolQuery.searchAll]]. No per-query driver
+    * round trips. Returns (queryId, rank, docId, score). */
   def run(ix: Searcher.LoadedIndex, queries: Seq[LogQuery], k: Int): DataFrame = {
     import ix.spark.implicits._
     val resolved = resolve(ix, queries)
-    val termQs = resolved.filter(q => !q.phrase && q.terms.nonEmpty)
+    val boolQs = resolved.collect { case q if q.bool.nonEmpty => (q.id, q.bool.get) }
+    val flat = resolved.filter(_.bool.isEmpty)
+    val termQs = flat.filter(q => !q.phrase && q.terms.nonEmpty)
       .map(q => (q.id, q.terms))
-    val disjunctive = resolved.filter(_.disjunctive).map(_.id).toSet
-    val excludes = resolved.filter(q => !q.phrase && q.exclude.nonEmpty)
+    val disjunctive = flat.filter(_.disjunctive).map(_.id).toSet
+    val excludes = flat.filter(q => !q.phrase && q.exclude.nonEmpty)
       .map(q => q.id -> q.exclude).toMap
-    val phraseQs = resolved.filter(q => q.phrase && q.terms.nonEmpty)
+    val phraseQs = flat.filter(q => q.phrase && q.terms.nonEmpty)
       .map(q => (q.id, q.terms))
-    val slops = resolved.filter(q => q.phrase && q.slop > 0)
+    val slops = flat.filter(q => q.phrase && q.slop > 0)
       .map(q => q.id -> q.slop).toMap
     val parts: Seq[DataFrame] =
       (if (termQs.nonEmpty)
         Seq(Searcher.searchAll(ix, termQs, k, disjunctive, excludes)) else Nil) ++
-      (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k, slops)) else Nil)
+      (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k, slops)) else Nil) ++
+      (if (boolQs.nonEmpty) Seq(BoolQuery.searchAll(ix, boolQs, k)) else Nil)
     parts match {
       case Nil => Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")
       case head :: tail => tail.foldLeft(head)(_ unionByName _)

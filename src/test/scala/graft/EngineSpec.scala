@@ -575,12 +575,31 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "if AND NOT (return OR val)",
       "(epsilon OR posting) AND NOT fn_1_0",
       "(if AND nosuchterm_xyz) OR posting") // absent term folds the left clause away
+    val svc = new graft.query.LocalService(ix)
     cases.foreach { q =>
       val got = graft.query.BoolQuery.search(ix, q, 10).collect().sortBy(_.rank)
       val want = brute(q, 10)
       assert(got.map(_.docId).toSeq == want.map(_._1), s"bool mismatch [$q]: " +
         s"${got.map(h => (h.docId, h.score)).toSeq} vs $want")
       got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w._2) < 1e-9, s"[$q]") }
+      // serving path: bitwise score parity with the distributed path
+      val served = svc.searchBool(q, 10)
+      assert(served.map(_.docId) == got.map(_.docId).toSeq, s"served bool [$q]")
+      served.zip(got).foreach { case (s, g) => assert(s.score == g.score, s"served bits [$q]") }
+    }
+    // batched path: one job for the whole boolean log, per-query parity
+    locally {
+      import spark.implicits._
+      val batch = graft.query.BoolQuery.searchAll(ix,
+          cases.zipWithIndex.map { case (q, i) => (i, BoolQuery.parse(q)) }, 10)
+        .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
+      cases.zipWithIndex.foreach { case (q, i) =>
+        val got = batch.getOrElse(i, Array.empty).sortBy(_._2)
+        val want = brute(q, 10)
+        assert(got.map(_._3).toSeq == want.map(_._1), s"batch bool mismatch [$q]")
+        got.zip(want).foreach { case (g, w) =>
+          assert(math.abs(g._4 - w._2) < 1e-9, s"batch bool score [$q]") }
+      }
     }
     // Lucene pure-negative rules: a MUST_NOT-only query (or clause) matches
     // nothing / drops out of an OR
@@ -948,9 +967,9 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val log = java.nio.file.Files.createTempFile("graft_queries", ".log")
     java.nio.file.Files.writeString(log,
-      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\nretrun~2\n\"if return\"~2\n*eight*\n/re[a-z]+/\n")
+      "# comment\nif return\n\"if return\"\n\nepsilon\nVal, Index!\nfn_1*\nzzz_nosuch*\nif -epsilon\nretrun~2\n\"if return\"~2\n*eight*\n/re[a-z]+/\n(if AND return) OR (val AND NOT epsilon)\n")
     val qs = graft.query.QueryLog.load(log.toString)
-    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false, false, true, false, false))
+    assert(qs.map(_.phrase) == Seq(false, true, false, false, false, false, false, false, true, false, false, false))
     assert(qs(1).terms == Seq("if", "return"))
     assert(qs(3).terms == Seq("val", "index")) // tokenizer-normalized
     assert(qs(4).prefix.contains("fn_1") && qs(4).terms.isEmpty)
@@ -960,14 +979,18 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qs(8).phrase && qs(8).slop == 2 && qs(8).terms == Seq("if", "return")) // slop syntax
     assert(qs(9).wildcard.contains("*eight*") && qs(9).terms.isEmpty) // wildcard syntax
     assert(qs(10).regex.contains("re[a-z]+") && qs(10).terms.isEmpty) // regex syntax
+    assert(qs(11).bool.nonEmpty &&
+      qs(11).terms.toSet == Set("if", "return", "val", "epsilon")) // boolean syntax
     val res = graft.query.QueryLog.run(ix, qs, 10)
       .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
     qs.foreach { q =>
-      val want = (q.prefix, q.fuzzy, q.wildcard, q.regex) match {
-        case (Some(p), _, _, _) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
-        case (_, Some((t, d)), _, _) => Searcher.searchFuzzy(ix, t, 10, d).collect().sortBy(_.rank)
-        case (_, _, Some(w), _) => Searcher.searchWildcard(ix, w, 10).collect().sortBy(_.rank)
-        case (_, _, _, Some(r)) => Searcher.searchRegex(ix, r, 10).collect().sortBy(_.rank)
+      val want = (q.prefix, q.fuzzy, q.wildcard, q.regex, q.bool) match {
+        case (Some(p), _, _, _, _) => Searcher.searchPrefix(ix, p, 10).collect().sortBy(_.rank)
+        case (_, Some((t, d)), _, _, _) => Searcher.searchFuzzy(ix, t, 10, d).collect().sortBy(_.rank)
+        case (_, _, Some(w), _, _) => Searcher.searchWildcard(ix, w, 10).collect().sortBy(_.rank)
+        case (_, _, _, Some(r), _) => Searcher.searchRegex(ix, r, 10).collect().sortBy(_.rank)
+        case (_, _, _, _, Some(b)) =>
+          graft.query.BoolQuery.search(ix, b, 10).collect().sortBy(_.rank)
         case _ => Searcher.search(ix, q.terms, 10, phrase = q.phrase,
           excludeTerms = q.exclude, slop = q.slop).collect().sortBy(_.rank)
       }
