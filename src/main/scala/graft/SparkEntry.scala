@@ -1179,6 +1179,25 @@ object SparkEntry {
           col("n_bpe_est").cast("long").as("n_bpe_est"))
         .orderBy("doc_id")),
 
+    // CCNet/KenLM-style unigram LM surprisal (perplexity-filter proxy):
+    // integer-exact per-doc Σ tf·nll_micro over the corpus unigram LM
+    "text_unigram_nll" -> ((s, dir) =>
+      TextOps.unigramNll(tfTable(s, dir), "doc_id").orderBy("doc_id")),
+
+    // index statistics summary (the engine's /stats introspection shape)
+    "idx_stats" -> { (s, dir) =>
+      val tf = tfTable(s, dir)
+      tf.agg(count(lit(1)).cast("long").as("n_postings"),
+          sum(col("tf")).cast("long").as("n_tokens"))
+        .crossJoin(tf.select("term").distinct()
+          .agg(count(lit(1)).cast("long").as("n_terms")))
+        .crossJoin(lenTable(s, dir)
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("len").cast("long").as("sum_len")))
+        .select(col("n_docs"), col("n_terms"), col("n_postings"), col("n_tokens"),
+          TextOps.microRatio(col("sum_len"), col("n_docs")).as("avg_len_micro"))
+    },
+
     // Gopher-style repetition signals (dup lines / dup trigrams / top
     // bigram mass) over the multi-line fixture
     "text_repetition" -> ((s, dir) =>
@@ -2175,6 +2194,24 @@ object SparkEntry {
          | len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))::BIGINT n_ws_tokens,
          | coalesce(list_sum(list_transform($T, x -> CAST(ceil(length(x)/4.0) AS BIGINT))), 0)::BIGINT n_bpe_est
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_unigram_nll" ->
+      s"""WITH tf AS (SELECT * FROM $TF),
+         | tot AS (SELECT sum(tf)::BIGINT total FROM tf),
+         | lm AS (SELECT term, round(ln((SELECT total FROM tot)::DOUBLE / sum(tf)::DOUBLE) * 1e6)::BIGINT nll_micro
+         |        FROM tf GROUP BY term)
+         |SELECT doc_id, sum(tf)::BIGINT n_tokens,
+         | sum(tf * nll_micro)::BIGINT sum_nll_micro,
+         | round(sum(tf * nll_micro)::DOUBLE / sum(tf)::DOUBLE)::BIGINT avg_nll_micro
+         |FROM tf JOIN lm USING (term) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "idx_stats" ->
+      s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN)
+         |SELECT (SELECT count(*) FROM lens)::BIGINT n_docs,
+         | (SELECT count(DISTINCT term) FROM tf)::BIGINT n_terms,
+         | (SELECT count(*) FROM tf)::BIGINT n_postings,
+         | (SELECT sum(tf) FROM tf)::BIGINT n_tokens,
+         | round((SELECT sum(len) FROM lens)::DOUBLE / (SELECT count(*) FROM lens)::DOUBLE * 1e6)::BIGINT avg_len_micro""".stripMargin,
 
     "text_repetition" ->
       s"""WITH aug AS ($LineAugSql),

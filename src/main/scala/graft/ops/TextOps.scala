@@ -136,6 +136,38 @@ object TextOps {
         .as("n_bpe_est"))
   }
 
+  /** Unigram language-model surprisal per document — the CCNet/KenLM-style
+    * perplexity quality filter reduced to its deterministic core: the LM is
+    * the corpus unigram distribution p(w) = count(w)/total, and a doc's
+    * negative log likelihood Σ −ln p(w) proxies its perplexity (gibberish
+    * and rare-token soup score high; templated text scores low).
+    *
+    * Exactness contract: each term's surprisal is micro-quantized ONCE
+    * (round(1e6·ln(total/count)) — one exact-input IEEE division + ln,
+    * identical in both engines), and the per-doc total is the INTEGER sum
+    * Σ tf·nll_micro — no FP accumulation order anywhere. Outputs
+    * (id, n_tokens, sum_nll_micro, avg_nll_micro).
+    *
+    * Shape at scale: one word-count aggregation for the LM, one broadcast-
+    * able join of the per-doc tf table against it, one per-doc integer sum.
+    * `tf` is the caller's (id, term, tf) table so a memoized corpus tf scan
+    * is reused rather than re-tokenized. */
+  def unigramNll(tf: DataFrame, idCol: String): DataFrame = {
+    val totals = tf.agg(sum(col("tf")).cast("long").as("total"))
+    val lm = tf.groupBy("term").agg(sum(col("tf")).cast("long").as("c"))
+      .crossJoin(broadcast(totals))
+      .select(col("term"),
+        round(log(col("total").cast("double") / col("c").cast("double")) * 1e6)
+          .cast("long").as("nll_micro"))
+    tf.join(lm, "term")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        sum(col("tf") * col("nll_micro")).cast("long").as("sum_nll_micro"))
+      .withColumn("avg_nll_micro",
+        round(col("sum_nll_micro").cast("double") / col("n_tokens").cast("double"))
+          .cast("long"))
+  }
+
   /** Content fingerprint: md5 over the normalized token stream — the
     * oracle-checkable canonical-content hash used for exact near-dup after
     * tokenization (whitespace/punctuation-insensitive). */
