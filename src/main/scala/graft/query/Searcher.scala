@@ -583,6 +583,111 @@ object Searcher {
     } else search(ix, terms, k, conjunctive = false)
   }
 
+  /** Synonym-group BM25 top-k over the index (Lucene `SynonymQuery`
+    * semantics — the engine path of the graded `a5_bm25_syn_topk`
+    * contract): each group of synonymous terms scores as ONE pseudo-term —
+    * per-doc tf is the exact integer SUM over member tfs, groups combine
+    * conjunctively (a doc matches a group when ANY member occurs; a group
+    * whose members are all absent voids the query, the P2 analog).
+    *
+    * Blended document frequency, `exactDf`:
+    *  - true (default; the oracle contract): df_g = distinct docs
+    *    containing ANY member — one extra counting aggregation decoding the
+    *    groups' FULL member lists (union df is not derivable from per-term
+    *    metadata);
+    *  - false: Lucene's production rewrite (`SynonymQuery` uses the MAX
+    *    member docFreq) — metadata-only from termstats, the scale-safe
+    *    serving choice; matching set identical, scores differ.
+    *
+    * Plan: coverage = intersection over groups of the union of member
+    * block ranges (the J3 skip analog: a rare group prunes a hot group's
+    * lists); per-(group, doc) integer tf sums, then the same codegen'd
+    * slot-ordered score sum as every other path. */
+  def searchSynonym(ix: LoadedIndex, groups: Seq[Seq[String]], k: Int,
+                    exactDf: Boolean = true): Dataset[Hit] = {
+    val spark = ix.spark
+    import spark.implicits._
+    val grps = groups.map(_.distinct)
+    require(grps.flatten.distinct.size == grps.flatten.size,
+      "a term may belong to only one synonym group")
+    if (grps.isEmpty || k <= 0) return spark.emptyDataset[Hit]
+    val allMembers = grps.flatten
+    val dfs: Map[String, Long] = ix.termstats
+      .filter($"term".isin(allMembers: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    val liveGroups = grps.map(_.filter(dfs.contains))
+    if (liveGroups.exists(_.isEmpty)) return spark.emptyDataset[Hit] // P2 analog
+    val liveTerms = liveGroups.flatten
+    val blocks = ix.postings.filter($"term".isin(liveTerms: _*))
+    val metaRaw = blocks.select("term", "firstDocId", "lastDocId")
+      .as[(String, Int, Int)].collect()
+    val meta: Map[String, Array[BlockMax.BlockMeta]] = metaRaw.groupBy(_._1)
+      .map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
+      }
+    // conjunctive-over-groups coverage: ∩_g (∪_{m∈g} ranges(m))
+    val perGroupCov = liveGroups.map(g => BlockMax.unionCoverage(g.map(meta(_))))
+    val candidates = perGroupCov.reduceLeft { (a, b) =>
+      val am = a.map(r => BlockMax.BlockMeta(r._1, r._2, 0, 0.0))
+      BlockMax.intersectCoverage(Seq(am,
+        b.map(r => BlockMax.BlockMeta(r._1, r._2, 0, 0.0))))
+    }
+    if (candidates.isEmpty) return spark.emptyDataset[Hit]
+    val keys: Set[(String, Int)] = liveTerms.iterator.flatMap { t =>
+      val m = meta(t)
+      BlockMax.overlapping(m, candidates).iterator.map(i => (t, m(i).first))
+    }.toSet
+    def decode(keySet: Set[(String, Int)]): DataFrame =
+      blocks.join(broadcast(keySet.toSeq.toDF("term", "firstDocId")),
+          Seq("term", "firstDocId"), "left_semi")
+        .select("term", "prevDocId", "n", "docIds", "tfs")
+        .as[(String, Int, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs) =>
+          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
+        }.toDF("term", "docId", "tf")
+    val groupDf = broadcast(liveGroups.zipWithIndex
+      .flatMap { case (g, i) => g.map(t => (t, i)) }.toDF("term", "gid"))
+    // blended df per group
+    val dfG: Map[Int, Long] =
+      if (!exactDf)
+        liveGroups.zipWithIndex.map { case (g, i) => i -> g.map(dfs).max }.toMap
+      else {
+        val fullKeys: Set[(String, Int)] = liveTerms.iterator.flatMap { t =>
+          meta(t).iterator.map(b => (t, b.first))
+        }.toSet
+        decode(fullKeys).join(groupDf, "term")
+          .select("gid", "docId").distinct()
+          .groupBy("gid").agg(count(lit(1)).as("df"))
+          .as[(Int, Long)].collect().toMap
+      }
+    val idfRows = liveGroups.indices.map(i => (i, Bm25.idf(ix.nDocs, dfG(i))))
+    val idfDf = broadcast(idfRows.toDF("gid", "idf"))
+    val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
+    val nGroups = liveGroups.size
+    val scored = decode(keys)
+      .join(groupDf, "term")
+      .groupBy($"gid", $"docId")
+      .agg(sum($"tf").cast("long").as("tfg")) // exact integer blended tf
+      .join(ix.doclen.select($"docId", $"lenByte"), "docId")
+      .join(idfDf, "gid")
+      .withColumn("partScore", $"idf" *
+        ($"tfg" * lit(Bm25.K1 + 1.0) / ($"tfg" + element_at(cacheLit, $"lenByte" + 1))))
+      .groupBy($"docId")
+      .agg(count(lit(1)).as("nMatched"),
+        collect_list(struct($"gid".cast("int").as("slot"), $"partScore")).as("sps"))
+      .withColumn("score", graft.functions.functions.slot_sum($"sps"))
+      .filter($"nMatched" === nGroups)
+    val withDel = ix.tombstones
+      .map(d => scored.join(d, Seq("docId"), "left_anti")).getOrElse(scored)
+    val hits = withDel
+      .orderBy(desc("score"), asc("docId"))
+      .limit(k)
+      .select($"docId".cast("int"), $"score")
+      .as[(Int, Double)].collect()
+      .zipWithIndex.map { case ((d, s), i) => Hit(d, s, i + 1) }
+    hits.toSeq.toDS()
+  }
+
   /** Deep paging ("search_after" cursor — the Elasticsearch analog; the
     * reference serves only page one, `engine_bench.cc` never pages): return
     * the next `k` hits STRICTLY AFTER the cursor `(afterScore, afterDocId)`

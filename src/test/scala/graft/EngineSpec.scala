@@ -533,6 +533,38 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"batch path decoded $decoded of $total postings — block pruning not effective")
   }
 
+  test("synonym-group search: blended tf/df rank-identical to brute force") {
+    import graft.core.{Bm25, LenByte}
+    // groups over the engine corpus vocab; "zzqq_nosuch" exercises the
+    // absent-member drop, the (epsilon|posting) group the blended stats
+    val groups = Seq(Seq("epsilon", "posting", "zzqq_nosuch"), Seq("if"))
+    def tfOf(d: Int, t: String): Long =
+      oracle.postings.get(t).flatMap(_.find(_._1 == d)).map(_._2.toLong).getOrElse(0L)
+    val live = groups.map(_.filter(t => oracle.df(t) > 0))
+    val docsOf: Seq[Set[Int]] = live.map(_.flatMap(t =>
+      oracle.postings(t).map(_._1)).toSet)
+    val dfG = docsOf.map(_.size.toLong)
+    val matchedDocs = docsOf.reduceLeft(_ intersect _).toSeq.sorted
+    val want = matchedDocs.map { d =>
+      val lb = LenByte.encode(oracle.docLen(d).toLong)
+      var s = 0.0
+      live.indices.foreach { i =>
+        val tfg = live(i).map(tfOf(d, _)).sum
+        s += Bm25.idf(oracle.nDocs, dfG(i)) * Bm25.tfNormLossy(tfg, lb, oracle.lossyCache)
+      }
+      (d, s)
+    }.sortBy { case (d, s) => (-s, d) }.take(10)
+    val got = Searcher.searchSynonym(ix, groups, 10).collect().sortBy(_.rank)
+    assert(got.map(_.docId).toSeq == want.map(_._1),
+      s"synonym mismatch: ${got.toSeq} vs $want")
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w._2) < 1e-9) }
+    // Lucene max-df rewrite: same matching set, metadata-only stats
+    val gotMax = Searcher.searchSynonym(ix, groups, 1000, exactDf = false).collect()
+    assert(gotMax.map(_.docId).toSet == matchedDocs.toSet, "max-df match set")
+    // a group with NO live member voids the query (P2 analog)
+    assert(Searcher.searchSynonym(ix, Seq(Seq("if"), Seq("zzqq_nosuch")), 10).isEmpty)
+  }
+
   test("boolean queries: nested AND/OR/NOT rank-identical to brute force") {
     import graft.query.BoolQuery
     import graft.core.{Bm25, LenByte}
