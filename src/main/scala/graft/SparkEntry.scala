@@ -81,6 +81,36 @@ object SparkEntry {
     lenCache.getOrElseUpdate((s, dir),
       docs(s, dir).select(col("doc_id"), size(toks).cast("long").as("len")).cache())
 
+  private val tffCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** (doc_id, term, tff, lenf) — the BM25F per-field table (title = first 8
+    * engine tokens at weight 2, body at weight 1; tff = 2·tf_title +
+    * tf_body, lenf = len + min(len, 8), both exact integers). Memoized like
+    * [[tfTable]]: without the cache every downstream consumer of the
+    * fielded query (pivot, dfs, stats, final join) re-ran the corpus
+    * tokenize + both field explodes (~8 passes, measured 8.5s at sf0.1 for
+    * a 2-term query). */
+  private def tffTable(s: SparkSession, dir: String): DataFrame =
+    tffCache.getOrElseUpdate((s, dir), {
+      val base = docs(s, dir).select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"),
+          slice(col("tk"), 1, 8).as("title"),
+          when(size(col("tk")) <= 8, array().cast("array<string>"))
+            .otherwise(slice(col("tk"), lit(9), size(col("tk")) - lit(8))).as("body"),
+          size(col("tk")).as("n"))
+      val tfT = base.select(col("doc_id"), col("n"), explode(col("title")).as("term"))
+        .groupBy("doc_id", "n", "term").agg(count(lit(1)).as("tft"))
+      val tfB = base.select(col("doc_id"), col("n"), explode(col("body")).as("term"))
+        .groupBy("doc_id", "n", "term").agg(count(lit(1)).as("tfb"))
+      tfT.join(tfB, Seq("doc_id", "n", "term"), "full_outer")
+        .select(col("doc_id"), col("term"),
+          (lit(2) * coalesce(col("tft"), lit(0L)) + coalesce(col("tfb"), lit(0L)))
+            .as("tff"),
+          (col("n") + least(col("n"), lit(8))).cast("long").as("lenf"))
+        .cache()
+    })
+
   /** Codegen'd lossy length (graft.functions.LenByteLossy) — the same
     * kernel the scoring path uses; no Scala UDF wrapper. */
   private def lossyLen(c: Column): Column = graft.functions.functions.len_lossy(c)
@@ -1296,22 +1326,9 @@ object SparkEntry {
     * per-field tf tables are word-count-shaped aggregations; the full-outer
     * merge is an equi-join on (doc, term). */
   private def bm25fTopK(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
-    val base = docs(s, dir).select(col("doc_id"), toks.as("tk"))
-      .select(col("doc_id"),
-        slice(col("tk"), 1, 8).as("title"),
-        when(size(col("tk")) <= 8, array().cast("array<string>"))
-          .otherwise(slice(col("tk"), lit(9), size(col("tk")) - lit(8))).as("body"),
-        size(col("tk")).as("n"))
-    val lens = base.select(col("doc_id"),
-      (col("n") + least(col("n"), lit(8))).cast("long").as("lenf"))
-    val tfT = base.select(col("doc_id"), explode(col("title")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tft"))
-    val tfB = base.select(col("doc_id"), explode(col("body")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tfb"))
-    val tff = tfT.join(tfB, Seq("doc_id", "term"), "full_outer")
-      .select(col("doc_id"), col("term"),
-        (lit(2) * coalesce(col("tft"), lit(0L)) + coalesce(col("tfb"), lit(0L))).as("tff"))
-      .filter(col("term").isin(terms: _*))
+    val tffAll = tffTable(s, dir)
+    val lens = tffAll.select(col("doc_id"), col("lenf")).distinct()
+    val tff = tffAll.filter(col("term").isin(terms: _*))
     val pivoted = tff.groupBy("doc_id")
       .agg(max(when(col("term") === terms.head, col("tff"))).as("tf0"),
         terms.tail.zipWithIndex.map { case (t, i) =>

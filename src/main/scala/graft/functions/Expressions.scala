@@ -151,6 +151,70 @@ case class LongArrayDot(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** Symmetric max-abs int8 quantization of an `array<bigint>` vector:
+  * q_j = round(v_j · 127 / max|v|) ∈ [−127, 127] (zero vector unchanged).
+  * One codegen'd pass; the Column-HOF equivalent
+  * (`array_max(transform(abs))` + `transform(round(...))`) is three
+  * interpreted passes per row. Rounding is HALF-AWAY-FROM-ZERO (SQL
+  * `round` in Spark and DuckDB alike) — NOT `Math.round`, whose
+  * floor(x+0.5) sends −2.5 to −2 while both engines send it to −3. */
+case class Int8Quantize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_int8 requires ARRAY<BIGINT>, got ${other.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = v.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) { val x = math.abs(v.getLong(i)); if (x > s) s = x; i += 1 }
+    val out = new Array[Long](n)
+    i = 0
+    if (s == 0L) while (i < n) { out(i) = v.getLong(i); i += 1 }
+    else while (i < n) {
+      val d = v.getLong(i) * 127.0 / s
+      out(i) = (if (d >= 0) math.floor(d + 0.5) else math.ceil(d - 0.5)).toLong
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("maxAbs")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $x = java.lang.Math.abs($a.getLong($i));
+         |  if ($x > $s) $s = $x;
+         |}
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double d = $a.getLong($i) * 127.0d / ($s == 0L ? 1L : $s);
+         |  $out[$i] = ($s == 0L) ? $a.getLong($i)
+         |    : (long) (d >= 0 ? java.lang.Math.floor(d + 0.5d)
+         |                     : java.lang.Math.ceil(d - 0.5d));
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
+    copy(child = newChild)
+}
+
 /** Slot-ordered deterministic score sum over `array<struct<slot:int,
   * v:double>>`: sorts the (unique-slot) entries by slot ascending and adds
   * left to right — bitwise-identical to the reference's per-slot scoring
@@ -262,6 +326,8 @@ object functions {
     ColumnBridge.column(LenByteLossy(ColumnBridge.expression(c)))
   def slot_sum(c: Column): Column =
     ColumnBridge.column(SlotOrderedSum(ColumnBridge.expression(c)))
+  def int8(c: Column): Column =
+    ColumnBridge.column(Int8Quantize(ColumnBridge.expression(c)))
 }
 
 /** SQL-side registration: `graft_len_byte(len)`, `graft_bm25_idf(n, df)`,

@@ -286,14 +286,24 @@ object Dedup {
   def contaminationOverlap(corpus: DataFrame, evalDocs: DataFrame,
                            textCol: String, idCol: String,
                            n: Int = 3, minShared: Int = 5): DataFrame = {
+    // per-doc array_distinct BEFORE the explode: within-doc duplicate
+    // n-grams (heavy under a small vocabulary) collapse in a per-row pass,
+    // so the join input carries one row per DISTINCT (doc, gram) and the
+    // per-doc aggregation is a plain count — no countDistinct Expand
+    // doubling the post-join rows (measured 12.2s -> ~2s at sf0.1)
+    // STAGED selects (tokens materialized before the shingle lambda): a
+    // tokenizer expression inlined into the transform lambda re-evaluates
+    // per shingle index — quadratic per doc (same trap the minhash
+    // signature pass documents)
     def grams(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("id"),
-        explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("g"))
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("t"))
+      .select(col("id"),
+        explode(array_distinct(TextOps.shingles(col("t"), n))).as("g"))
     val evalGrams = grams(evalDocs).select("g").distinct()
     grams(corpus)
       .join(broadcast(evalGrams), "g")
       .groupBy("id")
-      .agg(countDistinct(col("g")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 }

@@ -48,11 +48,7 @@ object Similarity {
     * IEEE division + round is cross-engine deterministic; a zero vector
     * stays zero. Scores over int8 codes rank by [[qdot]] (≤ 127²·dim —
     * exact int64). */
-  def int8Quantize(v: Column): Column = {
-    val s = array_max(transform(v, x => abs(x)))
-    when(s === 0, v)
-      .otherwise(transform(v, x => round(x * lit(127.0) / s).cast("long")))
-  }
+  def int8Quantize(v: Column): Column = graft.functions.functions.int8(v)
 
   /** Brute-force cosine top-k against one query vector (the exact
     * baseline). Returns (id, cos_micro, rank). */
