@@ -1228,6 +1228,24 @@ object SparkEntry {
           TextOps.microRatio(col("sum_len"), col("n_docs")).as("avg_len_micro"))
     },
 
+    // fixed-window token chunking with overlap (doc -> training sequences)
+    "text_chunks" -> ((s, dir) =>
+      TextOps.chunkDocs(docs(s, dir), "text", "doc_id", chunkTokens = 64, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("n_chunk_tokens"), col("chunk_sha"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // deterministic sequence packing: corpus laid end-to-end in hash order,
+    // exclusive prefix sum via the two-pass range-partition scan (no
+    // unpartitioned window), bin = offset / seqLen
+    "pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(
+          lenTable(s, dir).withColumnRenamed("len", "n_tokens"),
+          "doc_id", "n_tokens", seqLen = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("offset").as("tok_offset"),
+          col("bin_id"), col("bin_offset"))
+        .orderBy("doc_id")),
+
     // Gopher-style repetition signals (dup lines / dup trigrams / top
     // bigram mass) over the multi-line fixture
     "text_repetition" -> ((s, dir) =>
@@ -2211,6 +2229,31 @@ object SparkEntry {
          | len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))::BIGINT n_ws_tokens,
          | coalesce(list_sum(list_transform($T, x -> CAST(ceil(length(x)/4.0) AS BIGINT))), 0)::BIGINT n_bpe_est
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_chunks" ->
+      s"""WITH base AS (SELECT doc_id, $T tk FROM documents),
+         | st AS (SELECT doc_id, tk, len(tk) n,
+         |   CASE WHEN len(tk) <= 8 THEN 1
+         |        ELSE CAST(ceil((len(tk) - 8)::DOUBLE / 56) AS INT) END n_chunks
+         |  FROM base WHERE len(tk) > 0),
+         | ch AS (SELECT doc_id, unnest(list_transform(range(n_chunks),
+         |   i -> {'ci': i, 'c': tk[i*56+1 : i*56+64]}), recursive := true) FROM st)
+         |SELECT doc_id, ci::BIGINT chunk_idx, len(c)::BIGINT n_chunk_tokens,
+         | sha256(array_to_string(c, ' ')) chunk_sha
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH lens AS (SELECT * FROM $LEN),
+         | b AS (SELECT doc_id, len n_tokens,
+         |   ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 1000000 bucket
+         |  FROM lens),
+         | o AS (SELECT doc_id, n_tokens,
+         |   coalesce(sum(n_tokens) OVER (ORDER BY bucket, doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT tok_offset
+         |  FROM b)
+         |SELECT doc_id, n_tokens, tok_offset,
+         | (tok_offset // 2048)::BIGINT bin_id, (tok_offset % 2048)::BIGINT bin_offset
+         |FROM o ORDER BY doc_id""".stripMargin,
 
     "text_unigram_nll" ->
       s"""WITH tf AS (SELECT * FROM $TF),

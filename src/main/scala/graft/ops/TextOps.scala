@@ -305,6 +305,86 @@ object TextOps {
           .as("clean_sha"))
   }
 
+  /** Fixed-window token chunking with overlap — the doc → training-sequence
+    * split every pre-training pipeline runs before packing. Chunk i covers
+    * tokens [i·stride, i·stride + chunkTokens) with stride = chunkTokens −
+    * overlap; the final chunk clamps at the doc end. nChunks =
+    * ceil((n − overlap)/stride) for n > overlap, else 1 (empty docs emit
+    * nothing). Map-only (per-row array ops + one explode — no shuffle, no
+    * state), so it composes with scan pruning at any corpus size. Returns
+    * (id, chunk_idx, n_chunk_tokens, chunk_sha). */
+  def chunkDocs(df: DataFrame, textCol: String, idCol: String,
+                chunkTokens: Int = 64, overlap: Int = 8): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+      .withColumn("n_chunks",
+        when(col("n") <= overlap, lit(1))
+          .otherwise(ceil((col("n") - lit(overlap)).cast("double") / stride).cast("int")))
+    staged
+      .select(col(idCol), col("tk"),
+        posexplode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => slice(col("tk"), i * stride + 1, lit(chunkTokens)))))
+      .toDF(idCol, "tk", "chunk_idx", "chunk")
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        sha2(concat_ws(" ", col("chunk")), 256).as("chunk_sha"))
+  }
+
+  /** Deterministic sequence packing (the GPT-style "concatenate the corpus
+    * in a fixed order, slice into seqLen windows" layout): docs are laid
+    * end to end in [[hashBucket]] order (ties by id) and each doc's global
+    * token offset places it in bin = offset / seqLen at bin_offset =
+    * offset % seqLen. The exclusive prefix sum is computed WITHOUT an
+    * unpartitioned window: a range repartition on the order key, one
+    * per-partition total collected to the driver (P rows), and a window
+    * PARTITIONED by the range partition id — the classic two-pass scan, so
+    * the operator scales with the largest partition, not the corpus. The
+    * result is independent of where the range boundaries fall (offsets
+    * accumulate in partition order = global order). Returns
+    * (id, n_tokens, offset, bin_id, bin_offset). */
+  def packSequences(df: DataFrame, idCol: String, nTokensCol: String,
+                    seqLen: Long, salt: String = "graft",
+                    partitions: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    require(seqLen > 0)
+    val ordered = df
+      .select(col(idCol), col(nTokensCol).cast("long").as("n_tokens"),
+        hashBucket(col(idCol), salt).as("bucket"))
+      .repartitionByRange(partitions, col("bucket"), col(idCol))
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+    val partTotals: Map[Int, Long] = {
+      import spark.implicits._
+      ordered.groupBy("pid").agg(sum("n_tokens").as("t"))
+        .as[(Int, Long)].collect().toMap
+    }
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partTotals.keys.toSeq.sorted.map { pid =>
+        val o = pid -> acc
+        acc += partTotals(pid)
+        o
+      }.toMap
+    }
+    val offsetDf = {
+      import spark.implicits._
+      broadcast(offsets.toSeq.toDF("pid", "part_offset"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"))
+      .orderBy(col("bucket"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ordered
+      .withColumn("local_prefix", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .join(offsetDf, "pid")
+      .withColumn("offset", col("part_offset") + col("local_prefix"))
+      .select(col(idCol), col("n_tokens"), col("offset"),
+        (col("offset") / seqLen).cast("long").as("bin_id"),
+        pmod(col("offset"), lit(seqLen)).cast("long").as("bin_offset"))
+  }
+
   /** Deterministic per-million hash bucket of an id column: the sampling
     * primitive. md5 of `id:salt`, first 15 hex digits (< 2^60, sign-safe)
     * mod 1e6 — reproducible across engines, runs, and partitionings. */

@@ -462,6 +462,45 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(2L).getAs[String]("clean_sha") == sha("epsilon only"))
   }
 
+  test("chunking: overlap windows cover every token, tail clamps") {
+    import spark.implicits._
+    val text = (1 to 150).map(i => s"w$i").mkString(" ") // 150 tokens
+    val d = Seq((0L, text), (1L, "tiny doc"), (2L, "")).toDF("doc_id", "text")
+    val r = TextOps.chunkDocs(d, "text", "doc_id", chunkTokens = 64, overlap = 8)
+      .collect().groupBy(_.getLong(0))
+    // 150 tokens, stride 56: chunks at 0/56/112 -> 3 (ceil(142/56))
+    assert(r(0L).length == 3)
+    val sizes = r(0L).sortBy(_.getAs[Int]("chunk_idx")).map(_.getAs[Long]("n_chunk_tokens"))
+    assert(sizes.toSeq == Seq(64L, 64L, 38L)) // tail clamps at doc end
+    assert(r(1L).length == 1 && r(1L).head.getAs[Long]("n_chunk_tokens") == 2L)
+    assert(!r.contains(2L)) // empty doc emits nothing
+    // coverage: stride 56 < 64 => consecutive chunks overlap by 8
+  }
+
+  test("packing: offsets are an exact exclusive prefix sum in hash order") {
+    import spark.implicits._
+    val d = (0L until 300L).map(i => (i, 10L + (i % 7))).toDF("doc_id", "n_tokens")
+    val packed = TextOps.packSequences(d, "doc_id", "n_tokens", seqLen = 128L,
+      partitions = 7).collect()
+    assert(packed.length == 300)
+    // reconstruct the expected order (bucket, id) and check offsets exactly
+    val byId = packed.map(r => r.getLong(0) -> r).toMap
+    val order = packed.sortBy(r => (r.getAs[Long]("offset"))).map(_.getLong(0))
+    var acc = 0L
+    order.foreach { id =>
+      val r = byId(id)
+      assert(r.getAs[Long]("offset") == acc, s"offset mismatch at doc $id")
+      assert(r.getAs[Long]("bin_id") == acc / 128L)
+      assert(r.getAs[Long]("bin_offset") == acc % 128L)
+      acc += r.getAs[Long]("n_tokens")
+    }
+    // determinism: a different partition count yields identical offsets
+    val packed3 = TextOps.packSequences(d, "doc_id", "n_tokens", seqLen = 128L,
+      partitions = 3).collect().map(r => r.getLong(0) -> r.getAs[Long]("offset")).toMap
+    packed.foreach(r => assert(packed3(r.getLong(0)) == r.getAs[Long]("offset"),
+      "offsets must be partitioning-independent"))
+  }
+
   test("sampling: stratified keep-rate determinism and quota bounds") {
     import spark.implicits._
     val d = (0L until 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
