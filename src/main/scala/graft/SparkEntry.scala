@@ -1228,6 +1228,27 @@ object SparkEntry {
           TextOps.microRatio(col("sum_len"), col("n_docs")).as("avg_len_micro"))
     },
 
+    // the composite curation decision — the end-to-end quality-filter
+    // pipeline (length gate ∧ no repeated lines ∧ bounded trigram
+    // repetition ∧ bounded LM surprisal), assembled from the memoized
+    // signal operators; each flag rides along so a dropped doc is
+    // attributable
+    "filter_quality" -> { (s, dir) =>
+      val q = TextOps.qualityFeatures(docs(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("len_ok").cast("long").as("len_ok"))
+      val rep = TextOps.repetitionSignals(lineAugmented(s, dir), "text", "doc_id")
+        .select(col("doc_id"), col("dup_line_ratio_micro"), col("dup_trigram_ratio_micro"))
+      val nll = TextOps.unigramNll(tfTable(s, dir), "doc_id")
+        .select(col("doc_id"), col("avg_nll_micro"))
+      q.join(rep, "doc_id").join(nll, "doc_id")
+        .select(col("doc_id"), col("len_ok"), col("dup_line_ratio_micro"),
+          col("dup_trigram_ratio_micro"), col("avg_nll_micro"),
+          (col("len_ok") === 1 && col("dup_line_ratio_micro") === 0 &&
+            col("dup_trigram_ratio_micro") < 200000 &&
+            col("avg_nll_micro") < 3450000).cast("long").as("keep"))
+        .orderBy("doc_id")
+    },
+
     // fixed-window token chunking with overlap (doc -> training sequences)
     "text_chunks" -> ((s, dir) =>
       TextOps.chunkDocs(docs(s, dir), "text", "doc_id", chunkTokens = 64, overlap = 8)
@@ -2229,6 +2250,29 @@ object SparkEntry {
          | len(list_filter(regexp_split_to_array(text, ' +'), x -> x <> ''))::BIGINT n_ws_tokens,
          | coalesce(list_sum(list_transform($T, x -> CAST(ceil(length(x)/4.0) AS BIGINT))), 0)::BIGINT n_bpe_est
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "filter_quality" ->
+      s"""WITH aug AS ($LineAugSql),
+         | base AS (SELECT doc_id, list_filter(str_split(text, chr(10)), x -> x <> '') ls,
+         |   $T tk FROM aug),
+         | rep AS (SELECT doc_id,
+         |   CASE WHEN len(ls) = 0 THEN 0 ELSE round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)::DOUBLE * 1e6)::BIGINT END dup_line,
+         |   CASE WHEN len(g3) = 0 THEN 0 ELSE round((len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)::DOUBLE * 1e6)::BIGINT END dup_tri
+         |  FROM (SELECT doc_id, ls,
+         |    CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+         |      ELSE list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' ')) END g3
+         |   FROM base)),
+         | tf AS (SELECT * FROM $TF),
+         | tot AS (SELECT sum(tf)::BIGINT total FROM tf),
+         | lm AS (SELECT term, round(ln((SELECT total FROM tot)::DOUBLE / sum(tf)::DOUBLE) * 1e6)::BIGINT nll_micro
+         |        FROM tf GROUP BY term),
+         | nll AS (SELECT doc_id, round(sum(tf * nll_micro)::DOUBLE / sum(tf)::DOUBLE)::BIGINT avg_nll
+         |         FROM tf JOIN lm USING (term) GROUP BY doc_id),
+         | q AS (SELECT doc_id, (len($T) >= 5 AND len($T) <= 100000)::BIGINT len_ok FROM documents)
+         |SELECT doc_id, len_ok, dup_line dup_line_ratio_micro, dup_tri dup_trigram_ratio_micro,
+         | avg_nll avg_nll_micro,
+         | (len_ok = 1 AND dup_line = 0 AND dup_tri < 200000 AND avg_nll < 3450000)::BIGINT keep
+         |FROM q JOIN rep USING (doc_id) JOIN nll USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "text_chunks" ->
       s"""WITH base AS (SELECT doc_id, $T tk FROM documents),
