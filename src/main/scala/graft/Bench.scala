@@ -125,7 +125,7 @@ object Bench {
     * because lazily-backed hosts serve a fast BURST from recently-freed
     * frames before collapsing to the ~10-25 MB/s materialization floor —
     * a single fast probe proves nothing. Returns (gbTouched, sec). */
-  private def pageWarm(targetGb: Long, maxSec: Int): (Double, Double) = {
+  private[graft] def pageWarm(targetGb: Long, maxSec: Int): (Double, Double) = {
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val chunkBytes = 256 << 20

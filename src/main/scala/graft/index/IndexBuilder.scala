@@ -310,17 +310,21 @@ object IndexBuilder {
     var docsInMem: Option[Dataset[DocRow]] = None
     var docsRelease: () => Unit = () => ()
     timed("docstore") { if (!Manifest.isCommitted(indexDir, "docstore")) {
-      val (docs, release) = assignDocIdsPersisted(spark, corpus, partitions)
+      val (docs, release) = timed("docstore.assign") {
+        assignDocIdsPersisted(spark, corpus, partitions)
+      }
       // doc lengths are computed in the SAME map as the docstore write (one
       // tokenize ride on the write pass; no separate doclen stage/job)
-      docs.map { d =>
-        val len = Tokenizer.terms(d.content).length
-        StoredDoc(d.docId, d.repo, d.path, d.commit, d.lang, d.sha256, d.content,
-          len, LenByte.encode(len.toLong))
-      }.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore")
+      timed("docstore.write") {
+        docs.map { d =>
+          val len = Tokenizer.terms(d.content).length
+          StoredDoc(d.docId, d.repo, d.path, d.commit, d.lang, d.sha256, d.content,
+            len, LenByte.encode(len.toLong))
+        }.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore")
+      }
       docsInMem = Some(docs) // still persisted — the tokenize passes reuse it
       docsRelease = release
-      Manifest.commit(spark, indexDir, "docstore")
+      timed("docstore.commit") { Manifest.commit(spark, indexDir, "docstore") }
     }}
     val docstore = docsInMem.getOrElse(spark.read.parquet(s"$indexDir/docstore").as[DocRow])
 
@@ -353,22 +357,25 @@ object IndexBuilder {
       // scale this grows into the tens of thousands of partitions)
       val blockParts = math.min(4096L,
         math.max(partitions.toLong, totalPostings / PostingsPerPartition)).toInt
+      if (profile) println(s"BUILD_STAGE postings.parts $blockParts (est $totalPostings postings)")
       timed("postings.enc") {
         buildBlocksWithSpans(spark, flatPostings(docstore), hot, blockParts)
           .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings")
       }
-      Manifest.commit(spark, indexDir, "postings")
+      timed("postings.commit") { Manifest.commit(spark, indexDir, "postings") }
     }}
     docsRelease() // last consumer of the cached sorted corpus
 
     timed("termstats") { if (!Manifest.isCommitted(indexDir, "termstats")) {
       // pure metadata aggregation over three small columns of the committed
       // block store — no tokenize, no payload read (column pruning)
-      spark.read.parquet(s"$indexDir/postings")
-        .groupBy("term")
-        .agg(sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
-        .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats")
-      Manifest.commit(spark, indexDir, "termstats")
+      timed("termstats.agg") {
+        spark.read.parquet(s"$indexDir/postings")
+          .groupBy("term")
+          .agg(sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
+          .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats")
+      }
+      timed("termstats.commit") { Manifest.commit(spark, indexDir, "termstats") }
     }}
     Manifest.commitSnapshot(spark, indexDir, nDocs)
   }

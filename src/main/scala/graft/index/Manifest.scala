@@ -34,12 +34,16 @@ object Manifest {
       finally s.close()
     } else Nil
     // per-file row counts straight from parquet footers on the driver —
-    // zero Spark jobs (manifest commits must not add fixed overhead that
-    // caps scaling efficiency)
-    val entries = files.map { f =>
-      val rows = parquetRowCount(f)
-      s"""{"file":"${f.getFileName}","rows":$rows,"bytes":${Files.size(f)}}"""
-    }
+    // zero Spark jobs, and footers are read CONCURRENTLY: a serial loop
+    // over a few hundred postings files costs ~2.8 s of per-build fixed
+    // time (measured; identical at 2 and 8 cores), which is pure Amdahl
+    // serial fraction against the N→4N scaling criterion
+    import scala.collection.parallel.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val entries = files.par.map { f =>
+      val rows = parquetRowCount(f, conf)
+      f.getFileName.toString -> s"""{"file":"${f.getFileName}","rows":$rows,"bytes":${Files.size(f)}}"""
+    }.toList.sortBy(_._1).map(_._2)
     val json =
       s"""{"stage":"$stage","ts":${System.currentTimeMillis()},"files":[${entries.mkString(",")}]}"""
     val tmp = Paths.get(indexDir, s"_manifest_$stage.json.tmp")
@@ -50,13 +54,14 @@ object Manifest {
   }
 
   /** Row count from the parquet footer (driver-side, no job). */
-  def parquetRowCount(f: java.nio.file.Path): Long = {
+  def parquetRowCount(
+      f: java.nio.file.Path,
+      conf: org.apache.hadoop.conf.Configuration = new org.apache.hadoop.conf.Configuration()): Long = {
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.hadoop.fs.{Path => HPath}
-    import org.apache.hadoop.conf.Configuration
     import scala.jdk.CollectionConverters._
     try {
-      val in = HadoopInputFile.fromPath(new HPath(f.toString), new Configuration())
+      val in = HadoopInputFile.fromPath(new HPath(f.toString), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
       finally r.close()

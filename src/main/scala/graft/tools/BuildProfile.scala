@@ -25,13 +25,16 @@ object BuildProfile {
     val cpus = args(0).toInt
     val corpusDir = args(1)
     val ixDir = args(2)
+    // partitions fixed across parallelism levels, as in Bench.benchParts —
+    // the profiled build must be the IDENTICAL job the bench trial times
+    val parts = if (args.length > 3) args(3).toInt else 32
     // mirror Bench.session exactly so stage times decompose the bench trial
     val localDir = if (java.nio.file.Files.isWritable(java.nio.file.Paths.get("/dev/shm")))
       java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "graft_prof").toString
     else System.getProperty("java.io.tmpdir")
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.local.dir", localDir)
       .config("spark.shuffle.file.buffer", "1m")
       .config("spark.sql.adaptive.enabled", "false")
@@ -39,7 +42,7 @@ object BuildProfile {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    IndexBuilder.build(spark, spark.read.parquet(corpusDir), ixDir, cpus)
+    IndexBuilder.build(spark, spark.read.parquet(corpusDir), ixDir, parts)
     println(f"BUILD_TOTAL ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
