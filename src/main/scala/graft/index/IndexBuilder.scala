@@ -41,7 +41,7 @@ object IndexBuilder {
   final case class DocLen(docId: Int, len: Int, lenByte: Int)
   final case class BlockRow(term: String, prevDocId: Int, firstDocId: Int, lastDocId: Int,
                             n: Int, maxTf: Int, minLenByte: Int, sumTf: Int,
-                            docIds: Array[Byte], tfs: Array[Byte],
+                            docIds: Array[Byte], tfs: Array[Byte], lenBytes: Array[Byte],
                             positions: Array[Byte], offsets: Array[Byte])
 
   /** Max postings a salted (term, shard) group should hold; terms with df
@@ -252,7 +252,8 @@ object IndexBuilder {
                 }
               pending = PostingCodec.encode(head.term, postings).map(b =>
                 BlockRow(b.term, b.prevDocId, b.firstDocId, b.lastDocId, b.n,
-                  b.maxTf, b.minLenByte, b.sumTf, b.docIds, b.tfs, b.positions, b.offsets))
+                  b.maxTf, b.minLenByte, b.sumTf, b.docIds, b.tfs, b.lenBytes,
+                  b.positions, b.offsets))
             }
           }
           def hasNext: Boolean = { refill(); pending.hasNext }

@@ -16,6 +16,15 @@ import graft.core.{BitPack, Delta, Varint}
   *  - docIds: delta-gap vs `prevDocId` (the skip entry's prev-doc-id,
   *    seeded 0 for the first block, `flash_containers.h:22`), varint.
   *  - tfs: raw varint.
+  *  - lenBytes: the per-posting lossy doc-length byte (the BM25 norm,
+  *    Lucene's `norms` analog) framed like tfs. Inlining the norm in the
+  *    posting stream makes scoring join-free: without it every query job
+  *    joins decoded postings against a doc-length table that at corpus
+  *    scale (10^10 docs) is neither broadcastable nor cheap to shuffle
+  *    against. Costs ≤1 byte/posting (values are 0-255; full blocks
+  *    bit-pack at the group max width). The reference needs no such
+  *    stream only because its doc store is a local mmap array
+  *    (`doc_length_store.h`) — a lookup Spark executors don't have.
   *  - positions: per posting `varint(n)` then within-posting delta varints
   *    starting from 0 (`flash_engine_dumper.h:456-461`).
   *  - offsets: per posting `varint(n)` then delta-encoded interleaved
@@ -32,6 +41,7 @@ final case class PostingBlock(
     sumTf: Int,       // Σ tf in block — term cf derives from metadata alone
     docIds: Array[Byte],
     tfs: Array[Byte],
+    lenBytes: Array[Byte],
     positions: Array[Byte],
     offsets: Array[Byte])
 
@@ -109,6 +119,7 @@ object PostingCodec {
         s"postings for '$term' not strictly increasing")
       val docIdBytes = frame(Delta.encode(ids, prev))
       val tfBytes = frame(arr.map(_.tf))
+      val lenBytes = frame(arr.map(_.lenByte))
       val posB = scala.collection.mutable.ArrayBuilder.make[Byte]
       val offB = scala.collection.mutable.ArrayBuilder.make[Byte]
       arr.foreach { p => posB ++= p.posBlob; offB ++= p.offBlob }
@@ -121,7 +132,7 @@ object PostingCodec {
       val minLb = arr.iterator.map(_.lenByte).min
       val sumTf = arr.iterator.map(_.tf).sum
       val blk = PostingBlock(term, prev, ids.head, ids.last, arr.length,
-        maxTf, minLb, sumTf, docIdBytes, tfBytes, posB.result(), offB.result())
+        maxTf, minLb, sumTf, docIdBytes, tfBytes, lenBytes, posB.result(), offB.result())
       prev = ids.last
       blk
     }
@@ -133,6 +144,11 @@ object PostingCodec {
     val tf = unframe(tfs, n)
     Array.tabulate(n)(i => (ids(i), tf(i)))
   }
+
+  /** Decode the per-posting lossy doc-length bytes (the inline norm
+    * stream) — parallel to the block's docId order. */
+  def decodeLenBytes(n: Int, lenBytes: Array[Byte]): Array[Int] =
+    unframe(lenBytes, n)
 
   /** Decode per-posting position lists (phrase path only). */
   def decodePositions(n: Int, positions: Array[Byte]): Array[Array[Int]] = {

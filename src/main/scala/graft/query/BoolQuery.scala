@@ -325,19 +325,13 @@ object BoolQuery {
     val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
     val partScore = $"idf" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
-    val decoded = blocks
+    val decoded = Searcher.decodedScoreRows(ix, blocks
       .join(broadcast(keys.toSeq.toDF("term", "firstDocId")),
-        Seq("term", "firstDocId"), "left_semi")
-      .select("term", "prevDocId", "n", "docIds", "tfs")
-      .as[(String, Int, Int, Array[Byte], Array[Byte])]
-      .flatMap { case (t, prev, n, ids, tfs) =>
-        PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
-      }.toDF("term", "docId", "tf")
+        Seq("term", "firstDocId"), "left_semi"))
     val bcTrees = spark.sparkContext.broadcast(
       infos.map(qi => qi.qid -> ((qi.root, qi.bitOf, qi.posTerms))).toMap)
     val scored = decoded
       .join(leafDf, "term")
-      .join(ix.doclen.select($"docId", $"lenByte"), "docId")
       .withColumn("partScore", partScore)
       .groupBy($"queryId", $"docId")
       .agg(sum($"bit").as("mask"),
@@ -416,14 +410,9 @@ object BoolQuery {
     val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
     val partScore = $"idf" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
-    val decoded = blocks
+    val decoded = Searcher.decodedScoreRows(ix, blocks
       .join(broadcast(keys.toSeq.toDF("term", "firstDocId")),
-        Seq("term", "firstDocId"), "left_semi")
-      .select("term", "prevDocId", "n", "docIds", "tfs")
-      .as[(String, Int, Int, Array[Byte], Array[Byte])]
-      .flatMap { case (t, prev, n, ids, tfs) =>
-        PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
-      }.toDF("term", "docId", "tf")
+        Seq("term", "firstDocId"), "left_semi"))
     // each (term, doc) posting is unique → the bit sum is an exact mask and
     // each positive leaf's max(when(...)) pivot holds its single partial
     val pivots = posTerms.zipWithIndex.map { case (t, i) =>
@@ -431,7 +420,6 @@ object BoolQuery {
     }
     val agg = decoded
       .join(leafDf, "term")
-      .join(ix.doclen.select($"docId", $"lenByte"), "docId")
       .withColumn("partScore", partScore)
       .groupBy($"docId")
       .agg(sum($"bit").as("mask"), pivots: _*)

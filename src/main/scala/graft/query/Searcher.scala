@@ -60,6 +60,13 @@ object Searcher {
       }
     }
     def postings: DataFrame = segRead("postings")
+    /** Whether the postings carry the inline per-posting norm stream
+      * (`lenBytes`, [[graft.index.PostingCodec]]). When true, scoring is
+      * join-free; a legacy index without the column falls back to the
+      * (docId, lenByte) docstore-projection join. Resolved once per loaded
+      * index from the parquet schema — no data read. */
+    lazy val hasInlineLen: Boolean =
+      try postings.columns.contains("lenBytes") catch { case _: Throwable => false }
     /** For an incrementally-built index (streaming segments) stats rows are
       * per (term, segment) and need summing; a batch index skips the extra
       * aggregation. */
@@ -113,6 +120,43 @@ object Searcher {
   /** `bloom_enable_factor` sentinel: never consult the bloom store
     * (reference `types.h:54`). */
   val BloomNeverUse = 0
+
+  /** Decode posting blocks into scoring rows (term, docId, tf, lenByte).
+    *
+    * An inline-norm index ([[LoadedIndex.hasInlineLen]]) reads the lenByte
+    * from the block's own `lenBytes` stream — the whole scoring pipeline
+    * then runs with ZERO joins against per-doc state. A legacy index joins
+    * the (docId, lenByte) docstore projection instead; that join is the
+    * scale hazard this codec stream exists to remove (at 10^10 docs the
+    * projection is neither broadcastable nor cheap to shuffle decoded
+    * postings against).
+    *
+    * `acc` (optional) accumulates decoded-posting counts for diagnostics. */
+  def decodedScoreRows(ix: LoadedIndex, blocks: DataFrame,
+                       acc: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
+    val spark = ix.spark
+    import spark.implicits._
+    if (ix.hasInlineLen) {
+      blocks.select("term", "prevDocId", "n", "docIds", "tfs", "lenBytes")
+        .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs, lbs) =>
+          acc.foreach(_.add(n))
+          val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+          val lb = PostingCodec.decodeLenBytes(n, lbs)
+          dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, lb(i)) }
+        }
+        .toDF("term", "docId", "tf", "lenByte")
+    } else {
+      blocks.select("term", "prevDocId", "n", "docIds", "tfs")
+        .as[(String, Int, Int, Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs) =>
+          acc.foreach(_.add(n))
+          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
+        }
+        .toDF("term", "docId", "tf")
+        .join(ix.doclen.select(col("docId"), col("lenByte")), "docId")
+    }
+  }
 
   /** Conjunctive (optionally phrase) BM25 top-k for one query.
     * Returns (docId, score, rank), rank 1-based.
@@ -288,14 +332,7 @@ object Searcher {
     // conjunctive AND + per-slot score pivot in one hash aggregation over
     // decoded (term, docId, tf) triples — (P3) only scoring columns are read
     def scoreOf(sel: DataFrame): DataFrame = {
-      val agg = sel.select("term", "prevDocId", "n", "docIds", "tfs")
-        .as[(String, Int, Int, Array[Byte], Array[Byte])]
-        .flatMap { case (t, prev, n, ids, tfs) =>
-          decodedAcc.add(n)
-          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
-        }
-        .toDF("term", "docId", "tf")
-        .join(lenByteOf, "docId")
+      val agg = decodedScoreRows(ix, sel, Some(decodedAcc))
         .join(slotDf, "term")
         .withColumn("partScore", partScoreExpr)
         .groupBy($"docId")
@@ -341,15 +378,28 @@ object Searcher {
       if (!phrase) null // scored directly via scoreOf(pruned) below
       else {
         // (J4) phrase path: decode positions for candidate docs and keep
-        // only docs where adjusted positions intersect.
-        val withPos0 = pruned
-          .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
-          .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
-          .flatMap { case (t, prev, n, ids, tfs, pos) =>
-            val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
-            val ps = PostingCodec.decodePositions(n, pos)
-            dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i)) }
-          }
+        // only docs where adjusted positions intersect. The per-posting
+        // norm rides the decode on an inline-norm index (lenByte = -1
+        // marks a legacy index; scoring joins the docstore projection).
+        val inlineLen = ix.hasInlineLen
+        val withPos0 =
+          if (inlineLen)
+            pruned.select("term", "prevDocId", "n", "docIds", "tfs", "lenBytes", "positions")
+              .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+              .flatMap { case (t, prev, n, ids, tfs, lbs, pos) =>
+                val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+                val lb = PostingCodec.decodeLenBytes(n, lbs)
+                val ps = PostingCodec.decodePositions(n, pos)
+                dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i), lb(i)) }
+              }
+          else
+            pruned.select("term", "prevDocId", "n", "docIds", "tfs", "positions")
+              .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+              .flatMap { case (t, prev, n, ids, tfs, pos) =>
+                val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+                val ps = PostingCodec.decodePositions(n, pos)
+                dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i), -1) }
+              }
         // (J5) bloom semi-join: two-way cost-ruled probes against the bloom
         // store — lossy-positive, so the positional check below stays exact.
         // Each check is (rowTerm, probe, useEnd): read rowTerm's filter for
@@ -386,10 +436,10 @@ object Searcher {
                 }
                 if (ok) Iterator.single(docId) else Iterator.empty
               }.toDF("docId")
-            withPos0.toDF("term", "docId", "tf", "pos")
+            withPos0.toDF("term", "docId", "tf", "pos", "lenByte")
               .join(passing, "docId")
-              .select($"term", $"docId", $"tf", $"pos")
-              .as[(String, Int, Int, Array[Int])]
+              .select($"term", $"docId", $"tf", $"pos", $"lenByte")
+              .as[(String, Int, Int, Array[Int], Int)]
           case None => withPos0
         }
         val bcQTerms = spark.sparkContext.broadcast(queryTerms)
@@ -405,7 +455,7 @@ object Searcher {
               val posOk = if (slop == 0) graft.core.Oracle.phraseMatch(posLists)
                           else graft.core.Oracle.proximityMatch(posLists, slop)
               if (posOk)
-                byTerm.valuesIterator.map(_.head).map(r => (r._1, r._2, r._3))
+                byTerm.valuesIterator.map(_.head).map(r => (r._1, r._2, r._3, r._5))
               else Iterator.empty
             } else Iterator.empty
           }
@@ -419,8 +469,10 @@ object Searcher {
     // merge.
     val scored =
       if (!phrase) scoreOf(pruned)
-      else minusExcluded(matched.toDF("term", "docId", "tf")
-        .join(lenByteOf, "docId")
+      else minusExcluded({
+          val m = matched.toDF("term", "docId", "tf", "lenByte")
+          if (ix.hasInlineLen) m else m.drop("lenByte").join(lenByteOf, "docId")
+        }
         .join(slotDf, "term")
         .withColumn("partScore", partScoreExpr)
         .groupBy($"docId")
@@ -638,13 +690,9 @@ object Searcher {
       BlockMax.overlapping(m, candidates).iterator.map(i => (t, m(i).first))
     }.toSet
     def decode(keySet: Set[(String, Int)]): DataFrame =
-      blocks.join(broadcast(keySet.toSeq.toDF("term", "firstDocId")),
-          Seq("term", "firstDocId"), "left_semi")
-        .select("term", "prevDocId", "n", "docIds", "tfs")
-        .as[(String, Int, Int, Array[Byte], Array[Byte])]
-        .flatMap { case (t, prev, n, ids, tfs) =>
-          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
-        }.toDF("term", "docId", "tf")
+      decodedScoreRows(ix,
+        blocks.join(broadcast(keySet.toSeq.toDF("term", "firstDocId")),
+          Seq("term", "firstDocId"), "left_semi"))
     val groupDf = broadcast(liveGroups.zipWithIndex
       .flatMap { case (g, i) => g.map(t => (t, i)) }.toDF("term", "gid"))
     // blended df per group
@@ -667,8 +715,10 @@ object Searcher {
     val scored = decode(keys)
       .join(groupDf, "term")
       .groupBy($"gid", $"docId")
-      .agg(sum($"tf").cast("long").as("tfg")) // exact integer blended tf
-      .join(ix.doclen.select($"docId", $"lenByte"), "docId")
+      // exact integer blended tf; lenByte is functionally dependent on
+      // docId (every decoded row of a doc carries the same norm) so max()
+      // just picks the value — no doc-length join after the aggregation
+      .agg(sum($"tf").cast("long").as("tfg"), max($"lenByte").as("lenByte"))
       .join(idfDf, "gid")
       .withColumn("partScore", $"idf" *
         ($"tfg" * lit(Bm25.K1 + 1.0) / ($"tfg" + element_at(cacheLit, $"lenByte" + 1))))
@@ -1066,15 +1116,13 @@ object Searcher {
     // terms' block counts (already collected driver-side as `metaRaw`)
     def scoreRows(keys: Set[(String, Int)]): DataFrame = {
       val keysDf = broadcast(keys.toSeq.toDF("term", "firstDocId"))
-      val posting = blocksAll.join(keysDf, Seq("term", "firstDocId"), "left_semi")
-        .select("term", "prevDocId", "n", "docIds", "tfs")
-        .as[(String, Int, Int, Array[Byte], Array[Byte])]
-        .flatMap { case (t, prev, n, ids, tfs) =>
-          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1, p._2))
-        }.toDF("term", "docId", "tf")
+      // norms ride the decode ([[decodedScoreRows]]): no per-doc join in
+      // the batch scoring pipeline — the fanned-out posting rows never
+      // shuffle against a corpus-sized doc-length table
+      val posting = decodedScoreRows(ix,
+        blocksAll.join(keysDf, Seq("term", "firstDocId"), "left_semi"))
       val scored = posting
         .join(broadcast(q), "term")
-        .join(ix.doclen.select("docId", "lenByte"), "docId")
         .join(idfDf, "term")
         .withColumn("partScore", partScore)
         .groupBy($"queryId", $"docId", $"nTerms", $"disj")
@@ -1220,15 +1268,30 @@ object Searcher {
     }.toSet
     if (neededKeys.isEmpty) return empty
     val keysDf = broadcast(neededKeys.toSeq.toDF("term", "firstDocId"))
-    // decode (docIds, tfs, positions) of surviving blocks once for the batch
-    val decoded = blocksAll.join(keysDf, Seq("term", "firstDocId"), "left_semi")
-      .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
-      .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
-      .flatMap { case (t, prev, n, ids, tfs, pos) =>
-        val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
-        val ps = PostingCodec.decodePositions(n, pos)
-        dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i)) }
-      }.toDF("term", "docId", "tf", "pos")
+    // decode (docIds, tfs, positions) of surviving blocks once for the
+    // batch; the inline norm stream rides along (lenByte = -1 on a legacy
+    // index → the scoring join fallback below)
+    val inlineLen = ix.hasInlineLen
+    val pruned = blocksAll.join(keysDf, Seq("term", "firstDocId"), "left_semi")
+    val decoded = (
+      if (inlineLen)
+        pruned.select("term", "prevDocId", "n", "docIds", "tfs", "lenBytes", "positions")
+          .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+          .flatMap { case (t, prev, n, ids, tfs, lbs, pos) =>
+            val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+            val lb = PostingCodec.decodeLenBytes(n, lbs)
+            val ps = PostingCodec.decodePositions(n, pos)
+            dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i), lb(i)) }
+          }
+      else
+        pruned.select("term", "prevDocId", "n", "docIds", "tfs", "positions")
+          .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+          .flatMap { case (t, prev, n, ids, tfs, pos) =>
+            val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+            val ps = PostingCodec.decodePositions(n, pos)
+            dt.iterator.zipWithIndex.map { case ((d, tf), i) => (t, d, tf, ps(i), -1) }
+          }
+    ).toDF("term", "docId", "tf", "pos", "lenByte")
     // attach each decoded posting to every live query using that term, then
     // run the per-slot positional intersection per (query, doc) group
     val qTermDf = broadcast(live.flatMap { case (qid, ts) =>
@@ -1238,10 +1301,10 @@ object Searcher {
     val bcSlops = spark.sparkContext.broadcast(slops)
     val matched = decoded
       .join(qTermDf, "term")
-      .select($"queryId", $"docId", $"term", $"tf", $"pos")
-      .as[(Int, Int, String, Int, Array[Int])]
+      .select($"queryId", $"docId", $"term", $"tf", $"pos", $"lenByte")
+      .as[(Int, Int, String, Int, Array[Int], Int)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, String, Int, Array[Int])]) =>
+      .flatMapGroups { (key: (Int, Int), rows: Iterator[(Int, Int, String, Int, Array[Int], Int)]) =>
         val (qid, docId) = key
         val byTerm = rows.toArray.groupBy(_._3)
         val qts = bcQ.value(qid)
@@ -1251,14 +1314,16 @@ object Searcher {
           if (slop == 0) graft.core.Oracle.phraseMatch(posLists)
           else graft.core.Oracle.proximityMatch(posLists, slop)
         }
-        if (posOk) byTerm.valuesIterator.map(_.head).map(r => (qid, docId, r._3, r._4))
+        if (posOk) byTerm.valuesIterator.map(_.head).map(r => (qid, docId, r._3, r._4, r._6))
         else Iterator.empty
-      }.toDF("queryId", "docId", "term", "tf")
+      }.toDF("queryId", "docId", "term", "tf", "lenByte")
     val cacheLit = array(ix.lossyCache.map(lit).toSeq: _*)
     val partScore = $"idf" *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
-    val phraseScored = matched
-      .join(ix.doclen.select("docId", "lenByte"), "docId")
+    val phraseScored = (
+        if (inlineLen) matched
+        else matched.drop("lenByte").join(ix.doclen.select("docId", "lenByte"), "docId")
+      )
       .join(broadcast(idfW), Seq("queryId", "term"))
       .withColumn("partScore", partScore)
       .groupBy($"queryId", $"docId")

@@ -140,20 +140,39 @@ object StreamingIndexer {
     // re-encoded blobs carried through (already in wire format)
     val src = spark.read.option("basePath", s"$indexDir/postings")
       .parquet(segs.map(s => s"$indexDir/postings/seg=$s"): _*)
-    val flat = src
-      .select("term", "prevDocId", "n", "docIds", "tfs", "positions", "offsets")
-      .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
-      .flatMap { case (t, prev, n, ids, tfs, pos, off) =>
-        val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
-        val ps = PostingCodec.decodePositions(n, pos)
-        val os = PostingCodec.decodeOffsets(n, off)
-        dt.iterator.zipWithIndex.map { case ((d, tf), i) =>
-          (t, d, tf, PostingCodec.encodePositionsBlob(ps(i)),
-            PostingCodec.encodeOffsetsBlob(os(i).map(_._1), os(i).map(_._2)))
-        }
-      }.toDF("term", "docId", "tf", "posBlob", "offBlob")
-    // lenByte for the merged block-max metadata comes from the docstore's
-    // inline length columns (columnar projection, no standalone doclen)
+    // per-posting norms come from the source blocks' inline lenBytes
+    // stream (no docstore join in the merge); segments written before the
+    // stream existed fall back to the (docId, lenByte) join below
+    val inlineLen = src.columns.contains("lenBytes")
+    val flat = (
+      if (inlineLen)
+        src.select("term", "prevDocId", "n", "docIds", "tfs", "lenBytes", "positions", "offsets")
+          .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+          .flatMap { case (t, prev, n, ids, tfs, lbs, pos, off) =>
+            val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+            val lb = PostingCodec.decodeLenBytes(n, lbs)
+            val ps = PostingCodec.decodePositions(n, pos)
+            val os = PostingCodec.decodeOffsets(n, off)
+            dt.iterator.zipWithIndex.map { case ((d, tf), i) =>
+              (t, d, tf, PostingCodec.encodePositionsBlob(ps(i)),
+                PostingCodec.encodeOffsetsBlob(os(i).map(_._1), os(i).map(_._2)), lb(i))
+            }
+          }
+      else
+        src.select("term", "prevDocId", "n", "docIds", "tfs", "positions", "offsets")
+          .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+          .flatMap { case (t, prev, n, ids, tfs, pos, off) =>
+            val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+            val ps = PostingCodec.decodePositions(n, pos)
+            val os = PostingCodec.decodeOffsets(n, off)
+            dt.iterator.zipWithIndex.map { case ((d, tf), i) =>
+              (t, d, tf, PostingCodec.encodePositionsBlob(ps(i)),
+                PostingCodec.encodeOffsetsBlob(os(i).map(_._1), os(i).map(_._2)), -1)
+            }
+          }
+    ).toDF("term", "docId", "tf", "posBlob", "offBlob", "lb")
+    // the docstore is read for its own segment rewrite (and as the legacy
+    // norm source when the postings predate the inline lenBytes stream)
     val srcStoreAll = spark.read.option("basePath", s"$indexDir/docstore")
       .parquet(segs.map(s => s"$indexDir/docstore/seg=$s"): _*)
     // delete tombstones are PHYSICALLY applied here (the Lucene merge
@@ -169,8 +188,11 @@ object StreamingIndexer {
       .getOrElse(flat)
     val mergedDocs = tomb.fold(segs.flatMap(info.get).map(_._1).sum)(_ =>
       srcStore.count())
-    val flatTyped = flatLive
-      .join(srcStore.select($"docId", $"lenByte".as("lb")), "docId")
+    val flatTyped = (
+        if (inlineLen) flatLive
+        else flatLive.drop("lb")
+          .join(srcStore.select($"docId", $"lenByte".as("lb")), "docId")
+      )
       .select($"term", $"docId", $"tf", $"posBlob", $"offBlob", $"lb")
       .as[(String, Int, Int, Array[Byte], Array[Byte], Int)]
       .map(r => IndexBuilder.FlatPosting(r._1, r._2, r._3, r._4, r._5, r._6))
