@@ -323,21 +323,26 @@ object SparkEntry {
     * every 4th, and a WITHIN-doc repeat of the first line on every 5th.
     * Mirrored exactly by `LineAugSql` for the oracle. */
   private def lineAugmented(s: SparkSession, dir: String): DataFrame = {
-    val t = TextOps.wsTokens(col("text"))
+    // tokens are STAGED into a column before the transform lambda: a column
+    // expression referenced inside a HOF lambda re-evaluates per element
+    // (the quadratic-per-doc trap), so `tk` must be materialized first
+    val t = col("tk")
     // guard size=0: sequence(0, -1) would produce a DESCENDING range
     val lines = when(size(t) === 0, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), floor((size(t) - lit(1)) / lit(8)).cast("int")),
         i => concat_ws(" ", slice(t, i * lit(8) + lit(1), lit(8)))))
     val firstLine = concat_ws(" ", slice(t, 1, 8))
-    docs(s, dir).select(col("doc_id"), col("lang"), concat(
-      concat_ws("\n", lines),
-      when(col("doc_id") % 5 === 0, concat(lit("\n"), firstLine)).otherwise(lit("")),
-      when(col("doc_id") % 3 === 0,
-        lit("\nall rights reserved standard license footer")).otherwise(lit("")),
-      when(col("doc_id") % 4 === 0,
-        lit("\nshared navigation header menu home")).otherwise(lit("")))
-      .as("text"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"), TextOps.wsTokens(col("text")).as("tk"))
+      .select(col("doc_id"), col("lang"), concat(
+        concat_ws("\n", lines),
+        when(col("doc_id") % 5 === 0, concat(lit("\n"), firstLine)).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          lit("\nall rights reserved standard license footer")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("\nshared navigation header menu home")).otherwise(lit("")))
+        .as("text"))
   }
 
   /** Wildcard (glob) dictionary expansion (P6): `*`/`?` pattern over the
