@@ -1156,6 +1156,44 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     IndexBuilder.build(spark, corpus, tmp, partitions = 8)
     assert(Searcher.load(spark, tmp).nDocs == NDocs)
   }
+
+  test("legacy index without the inline norm stream: fallback join is rank-identical") {
+    // indexes written before the lenBytes stream existed lack the column;
+    // every scoring path must fall back to the (docId, lenByte) docstore
+    // join with identical results. Simulate one by stripping the column.
+    built
+    val legacyDir = java.nio.file.Files.createTempDirectory("graft_ix_legacy").toString
+    try {
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(tmp), new java.io.File(legacyDir))
+      spark.read.parquet(s"$tmp/postings").drop("lenBytes")
+        .write.mode("overwrite").parquet(s"$legacyDir/postings")
+      val legacy = Searcher.load(spark, legacyDir)
+      assert(ix.hasInlineLen, "current builds must carry the inline norm stream")
+      assert(!legacy.hasInlineLen)
+      // per-query path: conjunctive, disjunctive, and phrase
+      Seq(Seq("if", "return"), Seq("hash", "seed", "mask")).foreach { q =>
+        val a = Searcher.search(ix, q, 10).collect().sortBy(_.rank)
+        val b = Searcher.search(legacy, q, 10).collect().sortBy(_.rank)
+        assert(a.map(h => (h.docId, h.score)).toSeq == b.map(h => (h.docId, h.score)).toSeq,
+          s"legacy fallback diverges for $q")
+      }
+      val po = Searcher.search(ix, Seq("if", "return"), 10, phrase = true)
+        .collect().sortBy(_.rank)
+      val pl = Searcher.search(legacy, Seq("if", "return"), 10, phrase = true)
+        .collect().sortBy(_.rank)
+      assert(po.map(h => (h.docId, h.score)).toSeq == pl.map(h => (h.docId, h.score)).toSeq)
+      // batched path
+      val qs = TestQueries.mix.zipWithIndex.map { case (q, i) => (i, q) }
+      val ba = Searcher.searchAll(ix, qs, 10).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+      val bb = Searcher.searchAll(legacy, qs, 10).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sortBy(x => (x._1, x._2))
+      assert(ba.toSeq == bb.toSeq, "legacy fallback diverges on the batched path")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(legacyDir))
+    }
+  }
 }
 
 object TestQueries {
