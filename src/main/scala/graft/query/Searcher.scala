@@ -1118,7 +1118,14 @@ object Searcher {
       val keysDf = broadcast(keys.toSeq.toDF("term", "firstDocId"))
       // norms ride the decode ([[decodedScoreRows]]): no per-doc join in
       // the batch scoring pipeline — the fanned-out posting rows never
-      // shuffle against a corpus-sized doc-length table
+      // shuffle against a corpus-sized doc-length table.
+      // Measured negative result: repartitioning the decoded postings by
+      // docId before the fan-out join (to make the aggregate below
+      // exchange-free) ran 2x SLOWER on the 2.4M-doc log — it shuffles
+      // every decoded posting row with its term string and adds a stage
+      // barrier, while the aggregate's own exchange carries post-partial-agg
+      // rows keyed by compact ints and the log's fan-out factor is only
+      // ~1-2x (few queries share a term). Keep decode→score one fused stage.
       val posting = decodedScoreRows(ix,
         blocksAll.join(keysDf, Seq("term", "firstDocId"), "left_semi"))
       val scored = posting
