@@ -171,6 +171,103 @@ object BoolQuery {
     case _     => (false, 0.0)
   }
 
+  /** [[evalAndScore]] compiled to int-indexed postorder arrays for the
+    * resident serving hot loop ([[LocalService.searchBool]] runs the
+    * evaluator once per candidate doc — the merged union of the positive
+    * lists, which for a hot leaf is most of the corpus). The recursive
+    * form allocates a Seq + tuple per inner node and hashes term STRINGS
+    * per leaf per doc; compiled evaluation is two flat array passes with
+    * zero allocation. Node order is postorder (children before parents,
+    * ascending child order preserved), so the And/Or sums visit children
+    * in exactly `foldLeft(0.0)(_ + _._2)`'s left-assoc order — the scores
+    * are bitwise-identical to [[evalAndScore]] (asserted differentially
+    * in EngineSpec and QuerySpec).
+    *
+    * Leaf slots: `leafSlot(i) >= 0` is a positive-term slot (indexes the
+    * caller's aligned/partial arrays); `leafSlot(i) < 0` is `~negSlot`.
+    * Instances carry per-doc scratch — one instance per query evaluation
+    * loop, NOT shared across threads. */
+  private[graft] final class Compiled(ops: Array[Int], leafSlot: Array[Int],
+                                      childStart: Array[Int], children: Array[Int]) {
+    private val n = ops.length
+    private val m = new Array[Boolean](n)
+    private val s = new Array[Double](n)
+    /** True iff the doc matches; the clause-aware score is [[lastScore]].
+      * `posPresent`/`partials` are indexed by positive slot (partials need
+      * only be valid at present slots), `negPresent` by negative slot. */
+    def eval(posPresent: Array[Boolean], partials: Array[Double],
+             negPresent: Array[Boolean]): Boolean = {
+      var i = 0
+      while (i < n) {
+        (ops(i): @annotation.switch) match {
+          case 0 => // leaf
+            val sl = leafSlot(i)
+            if (sl >= 0) {
+              val p = posPresent(sl)
+              m(i) = p
+              s(i) = if (p) partials(sl) else 0.0
+            } else {
+              m(i) = negPresent(~sl)
+              s(i) = 0.0 // a negative-only leaf never scores
+            }
+          case 1 => // not
+            m(i) = !m(children(childStart(i)))
+            s(i) = 0.0
+          case 2 => // and
+            var c = childStart(i)
+            val end = childStart(i + 1)
+            var all = true
+            while (c < end) { all &&= m(children(c)); c += 1 }
+            m(i) = all
+            var acc = 0.0
+            if (all) { c = childStart(i); while (c < end) { acc += s(children(c)); c += 1 } }
+            s(i) = acc
+          case _ => // or: sums ALL children (unmatched ones hold 0.0)
+            var c = childStart(i)
+            val end = childStart(i + 1)
+            var any = false
+            var acc = 0.0
+            while (c < end) { val ci = children(c); any ||= m(ci); acc += s(ci); c += 1 }
+            m(i) = any
+            s(i) = if (any) acc else 0.0
+        }
+        i += 1
+      }
+      m(n - 1)
+    }
+    def lastScore: Double = s(n - 1)
+  }
+
+  /** Flatten a folded tree into a [[Compiled]] program. `posIdx`/`negIdx`
+    * are the caller's slot assignments from [[leafTerms]] (a term in both
+    * maps resolves positive, mirroring evalAndScore's posIdx-first probe). */
+  private[graft] def compile(root: Node, posIdx: Map[String, Int],
+                             negIdx: Map[String, Int]): Compiled = {
+    val ops = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val leafSlot = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val childLists = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    def emit(op: Int, slot: Int, cs: Seq[Int]): Int = {
+      ops += op; leafSlot += slot; childLists += cs; ops.length - 1
+    }
+    def walk(n: Node): Int = n match {
+      case Term(t) =>
+        emit(0, posIdx.get(t).getOrElse(~negIdx(t)), Nil)
+      case Not(c)  => val ci = walk(c); emit(1, 0, Seq(ci))
+      case And(cs) => val cis = cs.map(walk); emit(2, 0, cis)
+      case Or(cs)  => val cis = cs.map(walk); emit(3, 0, cis)
+      case True    => emit(2, 0, Nil) // empty AND ≡ true (foldForEval never emits these,
+      case False   => emit(3, 0, Nil) // empty OR ≡ false  but stay total)
+    }
+    walk(root)
+    val childStart = new Array[Int](ops.length + 1)
+    var acc = 0
+    var i = 0
+    while (i < ops.length) { childStart(i) = acc; acc += childLists(i).size; i += 1 }
+    childStart(ops.length) = acc
+    new Compiled(ops.toArray, leafSlot.toArray, childStart,
+      childLists.flatten.toArray)
+  }
+
   /** Distinct positive leaf terms in first-occurrence order (the scoring
     * slots), then distinct negative-only leaf terms. */
   private[graft] def leafTerms(n: Node): (Seq[String], Seq[String]) = {

@@ -748,68 +748,124 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val byTerm = allTerms.zip(lists).toMap
     val idfOf = allTerms.map(t => t -> Bm25.idf(ix.nDocs, byTerm(t).n.toLong)).toMap
     val lenBytes = docLenBytes
-    val posLists = posTerms.map(byTerm).toIndexedSeq
-    val negLists = negTerms.map(byTerm).toIndexedSeq
-    val nP = posLists.size
-    val cursors = new Array[Int](nP)
-    def negPresent(j: Int, docId: Int): Boolean = {
-      val arr = negLists(j).docIds
-      var lo = 0
-      var hi = arr.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (arr(mid) < docId) lo = mid + 1 else hi = mid
-      }
-      lo < arr.length && arr(lo) == docId
-    }
+    // lists hoisted to primitive arrays (an IndexedSeq apply per posting is
+    // a virtual call in the hottest loop of the serving path)
+    val nP = posTerms.size
+    val nNeg = negTerms.size
+    val posDocs = posTerms.map(t => byTerm(t).docIds).toArray
+    val posTfs = posTerms.map(t => byTerm(t).tfs).toArray
+    val posNs = posTerms.map(t => byTerm(t).n).toArray
+    val negDocs = negTerms.map(t => byTerm(t).docIds).toArray
+    val negNs = negTerms.map(t => byTerm(t).n).toArray
+    val posIdfs = posTerms.map(idfOf).toArray
     val negIdx = negTerms.zipWithIndex.toMap
     val posIdx = posTerms.zipWithIndex.toMap
-    val heap = scala.collection.mutable.PriorityQueue.empty[Oracle.Hit](
-      Ordering.by[Oracle.Hit, (Double, Int)](h => (-h.score, h.docId)))
-    var done = false
-    while (!done) {
-      // merged union scan over the positive lists (ascending docId)
-      var d = Int.MaxValue
-      var i = 0
-      while (i < nP) {
-        if (cursors(i) < posLists(i).n) {
-          val v = posLists(i).docIds(cursors(i))
-          if (v < d) d = v
+
+    /** Merged union scan over docIds in `[fromDoc, untilDoc)` — per-doc
+      * scoring is independent, so a range split never changes a bit of any
+      * score. The tree runs COMPILED ([[BoolQuery.compile]]): the recursive
+      * evaluator's per-doc Seq/tuple allocation and string hashing owned a
+      * ~20x serving tail on this loop. */
+    def scanRange(fromDoc: Int, untilDoc: Int): Seq[Oracle.Hit] = {
+      val prog = BoolQuery.compile(root, posIdx, negIdx) // per-range scratch
+      val posAligned = new Array[Boolean](nP)
+      val partials = new Array[Double](nP)
+      val negPres = new Array[Boolean](nNeg)
+      val cursors = new Array[Int](nP)
+      val negCursors = new Array[Int](nNeg)
+      def seek(arr: Array[Int], n: Int, target: Int): Int = {
+        var lo = 0
+        var hi = n
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid) < target) lo = mid + 1 else hi = mid
         }
-        i += 1
+        lo
       }
-      if (d == Int.MaxValue) done = true
-      else {
-        if (!isDeleted(d)) {
-          val lb = lenBytes(d)
-          val (matched, score) = BoolQuery.evalAndScore(root,
-            t => posIdx.get(t) match {
-              case Some(pi) =>
-                cursors(pi) < posLists(pi).n && posLists(pi).docIds(cursors(pi)) == d
-              case None => negPresent(negIdx(t), d)
-            },
-            // total: a present NEGATIVE leaf's partial is requested but
-            // discarded by its Not parent — return 0.0, never throw
-            t => posIdx.get(t).map { pi =>
-              idfOf(t) * Bm25.tfNormLossy(
-                posLists(pi).tfs(cursors(pi)).toLong, lb, ix.lossyCache)
-            }.getOrElse(0.0))
-          if (matched) {
-            if (heap.size < k) heap.enqueue(Oracle.Hit(d, score))
-            else if (score > heap.head.score) {
-              heap.dequeue(); heap.enqueue(Oracle.Hit(d, score))
-            }
-          }
-        }
+      var i = 0
+      while (i < nP) { cursors(i) = seek(posDocs(i), posNs(i), fromDoc); i += 1 }
+      var j = 0
+      while (j < nNeg) { negCursors(j) = seek(negDocs(j), negNs(j), fromDoc); j += 1 }
+      val heap = scala.collection.mutable.PriorityQueue.empty[Oracle.Hit](
+        Ordering.by[Oracle.Hit, (Double, Int)](h => (-h.score, h.docId)))
+      var done = false
+      while (!done) {
+        // merged union scan over the positive lists (ascending docId)
+        var d = Int.MaxValue
         i = 0
-        while (i < nP) { // advance every aligned cursor
-          if (cursors(i) < posLists(i).n && posLists(i).docIds(cursors(i)) == d)
-            cursors(i) += 1
+        while (i < nP) {
+          if (cursors(i) < posNs(i)) {
+            val v = posDocs(i)(cursors(i))
+            if (v < d) d = v
+          }
           i += 1
         }
+        if (d == Int.MaxValue || d >= untilDoc) done = true
+        else {
+          if (!isDeleted(d)) {
+            val lb = lenBytes(d)
+            i = 0
+            while (i < nP) {
+              val al = cursors(i) < posNs(i) && posDocs(i)(cursors(i)) == d
+              posAligned(i) = al
+              if (al) partials(i) = posIdfs(i) *
+                Bm25.tfNormLossy(posTfs(i)(cursors(i)).toLong, lb, ix.lossyCache)
+              i += 1
+            }
+            j = 0
+            while (j < nNeg) { // gallop the neg cursor to the first id >= d
+              val arr = negDocs(j)
+              val n = negNs(j)
+              var c = negCursors(j)
+              var step = 1
+              while (c + step < n && arr(c + step) < d) { c += step; step <<= 1 }
+              var hi = math.min(n, c + step + 1)
+              var lo = c
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (arr(mid) < d) lo = mid + 1 else hi = mid
+              }
+              negCursors(j) = lo
+              negPres(j) = lo < n && arr(lo) == d
+              j += 1
+            }
+            if (prog.eval(posAligned, partials, negPres)) {
+              val score = prog.lastScore
+              if (heap.size < k) heap.enqueue(Oracle.Hit(d, score))
+              else if (score > heap.head.score) {
+                heap.dequeue(); heap.enqueue(Oracle.Hit(d, score))
+              }
+            }
+          }
+          i = 0
+          while (i < nP) { // advance every aligned cursor
+            if (cursors(i) < posNs(i) && posDocs(i)(cursors(i)) == d)
+              cursors(i) += 1
+            i += 1
+          }
+        }
       }
+      heap.toSeq.sortBy(h => (-h.score, h.docId))
     }
-    heap.toSeq.sortBy(h => (-h.score, h.docId))
+
+    // heavy unions split the docId domain at equal-count boundaries of the
+    // largest positive list, one disjoint range per core (same split rule
+    // as scoreDense; per-doc independence makes the merge exact)
+    val w = LocalService.scanParallelism
+    val total = posNs.foldLeft(0L)(_ + _.toLong)
+    if (total < math.max(scanThreshold.toLong, w.toLong) || w < 2)
+      scanRange(0, Int.MaxValue)
+    else {
+      val big = posNs.indices.maxBy(posNs)
+      val bounds = (1 until w).map(i => posDocs(big)((posNs(big).toLong * i / w).toInt))
+      val ranges = (0 +: bounds).zip(bounds :+ Int.MaxValue)
+      val tasks = ranges.map { case (lo, hi) =>
+        LocalService.scanPool.submit(new java.util.concurrent.Callable[Seq[Oracle.Hit]] {
+          def call(): Seq[Oracle.Hit] = scanRange(lo, hi)
+        })
+      }
+      tasks.flatMap(_.get()).sortBy(h => (-h.score, h.docId)).take(k)
+    }
   }
 
   /** Search reply WITH highlighted snippets — the reference's serving shape
