@@ -167,8 +167,20 @@ object Dedup {
     * with the same DataFrame shape. Scale notes: the label table is one
     * row per PAIRED doc (≪ corpus), `localCheckpoint` cuts the lineage
     * each round so the plan never grows with iterations, and the
-    * convergence check rides the same shuffle as the propagation. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    * convergence check rides the same shuffle as the propagation.
+    *
+    * Size gate: the candidate graph after LSH + bucket caps is O(duplicate
+    * pairs), orders of magnitude smaller than the corpus — at small scale
+    * the distributed loop's per-round job overhead dwarfs the work. Below
+    * `localEdgeLimit` edges (default 4M ≈ 64 MB of id pairs) the edges are
+    * collected once and resolved with path-compressed union-find on the
+    * driver (unioning toward the smaller root, so each root IS the
+    * component min — bit-identical output to the propagation loop, which
+    * OpsSpec asserts by running both paths on the same graph). Graphs over
+    * the limit — a 100 TB corpus with billions of dup pairs — take the
+    * distributed loop unchanged. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+                          localEdgeLimit: Long = 4000000L): DataFrame = {
     // both orientations in ONE pass over the pairs plan (a union of two
     // selects would evaluate the upstream LSH pipeline twice)
     val edges = pairs
@@ -178,6 +190,36 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .cache()
+    val nEdges = edges.count() // materializes the cache either way
+    if (nEdges <= localEdgeLimit) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val idType = edges.schema("src").dataType
+      val collected = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      edges.unpersist(false)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      collected.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { // smaller root wins -> root = component min
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val ids = parent.keySet().toArray(new Array[java.lang.Long](0))
+      return ids.map(id => (id.longValue(), find(id.longValue()))).toSeq
+        .toDF("id", "comp")
+        .select(col("id").cast(idType), col("comp").cast(idType))
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()

@@ -224,6 +224,11 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((30L to 35L).forall(cc(_) == 30L), s"chain not converged: $cc")
     assert((40L to 43L).forall(cc(_) == 40L))
     assert(cc.size == 15) // only paired ids appear; singletons are absent
+    // the distributed propagation loop (localEdgeLimit=0 forces it) must
+    // produce the identical labeling as the size-gated local union-find
+    val dist = Dedup.connectedComponents(pairs, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == cc, s"local vs distributed components differ: $dist vs $cc")
   }
 
   test("components over LSH candidates cluster the near-dup group") {
