@@ -46,27 +46,37 @@ object TextOps {
     * counts broadcast onto the bigram table. Scales as a word-count. */
   def collocations(df: DataFrame, textCol: String,
                    minCount: Long = 5L, topN: Int = 20): DataFrame = {
+    // ONE corpus scan: unigrams and bigrams explode together and share one
+    // count shuffle (bigram keys carry a space, token keys never do, so the
+    // key spaces cannot collide); totals are sums over the grouped counts,
+    // not extra corpus passes (previously 4 tokenize scans, now 1)
     val toks = df.select(tokens(col(textCol)).as("t"))
-    val uni = toks.select(explode(col("t")).as("w"))
-      .groupBy("w").agg(count(lit(1)).cast("long").as("c"))
-    val uTot = toks.select(sum(size(col("t"))).cast("long").as("u"))
-    val bi = toks.select(explode(shingles(col("t"), 2)).as("bigram"))
-    val bTot = bi.agg(count(lit(1)).cast("long").as("b"))
-    val bCnt = bi.groupBy("bigram").agg(count(lit(1)).cast("long").as("n"))
-      .filter(col("n") >= minCount)
+    val cnt = toks
+      .select(explode(concat(col("t"), shingles(col("t"), 2))).as("g"))
+      .groupBy("g").agg(count(lit(1)).cast("long").as("c"))
+      .cache()
+    val isBigram = col("g").contains(" ")
+    val uni = cnt.filter(!isBigram).withColumnRenamed("g", "w")
+    val uTot = uni.agg(sum(col("c")).cast("long").as("u"))
+    val bTot = cnt.filter(isBigram).agg(sum(col("c")).cast("long").as("b"))
+    val bCnt = cnt.filter(isBigram && col("c") >= minCount)
+      .select(col("g").as("bigram"), col("c").as("n"))
       .withColumn("w1", split(col("bigram"), " ").getItem(0))
       .withColumn("w2", split(col("bigram"), " ").getItem(1))
     val joined = bCnt
       .join(broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
       .join(broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
       .crossJoin(broadcast(uTot)).crossJoin(broadcast(bTot))
-    joined
+    val out = joined
       .withColumn("pmi_micro", round(log(
         (col("n") * col("u") * col("u")).cast("double") /
           (col("b") * col("c1") * col("c2")).cast("double")) * 1e6).cast("long"))
       .select(col("bigram"), col("n"), col("pmi_micro"))
       .orderBy(desc("pmi_micro"), asc("bigram"))
       .limit(topN)
+      .localCheckpoint() // eager: top-N rows, frees the count cache below
+    cnt.unpersist(false)
+    out
   }
 
   /** Micro-quantized ratio of two integer columns (exact cross-engine). */
