@@ -34,13 +34,18 @@ object ServeProbe {
       else if (q.phrase && q.slop > 0) "prox" else if (q.phrase) "phrase"
       else if (q.exclude.nonEmpty) "not" else "term"
     qs.foreach(serve) // warm
-    qs.foreach { q =>
-      val t = System.nanoTime()
-      var r = 0
-      while (r < 5) { serve(q); r += 1 }
-      println(f"PERQ ${(System.nanoTime() - t) / 5e6}%8.2f ms  ${kind(q)}%-8s " +
-        (q.prefix.orElse(q.wildcard).orElse(q.fuzzy.map(_._1))
-          .getOrElse(q.terms.take(6).mkString(" "))))
+    // two measured passes: pass 1 still pays C2 JIT on the first queries,
+    // pass 2 is steady state — compare them to tell compilation tails from
+    // real serving cost
+    (1 to 2).foreach { pass =>
+      qs.foreach { q =>
+        val t = System.nanoTime()
+        var r = 0
+        while (r < 5) { serve(q); r += 1 }
+        println(f"PERQ$pass ${(System.nanoTime() - t) / 5e6}%8.2f ms  ${kind(q)}%-8s " +
+          (q.prefix.orElse(q.wildcard).orElse(q.fuzzy.map(_._1))
+            .getOrElse(q.terms.take(6).mkString(" "))))
+      }
     }
     val t0 = System.nanoTime()
     var r = 0
