@@ -93,20 +93,16 @@ object SparkEntry {
     * a 2-term query). */
   private def tffTable(s: SparkSession, dir: String): DataFrame =
     tffCache.getOrElseUpdate((s, dir), {
-      val base = docs(s, dir).select(col("doc_id"), toks.as("tk"))
-        .select(col("doc_id"),
-          slice(col("tk"), 1, 8).as("title"),
-          when(size(col("tk")) <= 8, array().cast("array<string>"))
-            .otherwise(slice(col("tk"), lit(9), size(col("tk")) - lit(8))).as("body"),
-          size(col("tk")).as("n"))
-      val tfT = base.select(col("doc_id"), col("n"), explode(col("title")).as("term"))
-        .groupBy("doc_id", "n", "term").agg(count(lit(1)).as("tft"))
-      val tfB = base.select(col("doc_id"), col("n"), explode(col("body")).as("term"))
-        .groupBy("doc_id", "n", "term").agg(count(lit(1)).as("tfb"))
-      tfT.join(tfB, Seq("doc_id", "n", "term"), "full_outer")
-        .select(col("doc_id"), col("term"),
-          (lit(2) * coalesce(col("tft"), lit(0L)) + coalesce(col("tfb"), lit(0L)))
-            .as("tff"),
+      // one positional explode + one aggregation: weighted tf
+      // 2·tf_title + tf_body == per-occurrence weight (pos < 8 ? 2 : 1),
+      // so the two per-field word-count tables and their full-outer
+      // shuffle join collapse into a single groupBy
+      docs(s, dir).select(col("doc_id"), toks.as("tk"))
+        .select(col("doc_id"), size(col("tk")).as("n"), posexplode(col("tk")))
+        .toDF("doc_id", "n", "pos", "term")
+        .groupBy("doc_id", "n", "term")
+        .agg(sum(when(col("pos") < 8, 2L).otherwise(1L)).cast("long").as("tff"))
+        .select(col("doc_id"), col("term"), col("tff"),
           (col("n") + least(col("n"), lit(8))).cast("long").as("lenf"))
         .cache()
     })
