@@ -164,3 +164,59 @@ class OracleSpec extends AnyFunSuite {
     assert(g(0)._2.toSeq == Seq(0, 2)) // positions of 'a'
   }
 }
+
+/** Differential sweep: the serving path's COMPILED boolean evaluator
+  * ([[graft.query.BoolQuery.compile]]) vs the recursive reference
+  * ([[BoolQuery.evalAndScore]]) over seeded-random trees and doc states.
+  * Match must be identical and, when matched, the clause-aware score
+  * bitwise-equal (the compiled postorder preserves the recursive form's
+  * left-assoc addition order). */
+class BoolCompileSpec extends AnyFunSuite {
+  import graft.query.BoolQuery
+  import graft.query.BoolQuery.{And, Node, Not, Or, Term}
+
+  private val vocab = (0 until 8).map(i => s"t$i")
+  private val indexed = vocab.take(6).toSet // t6/t7 fold away as absent
+
+  private def randTree(r: scala.util.Random, depth: Int): Node =
+    if (depth == 0 || r.nextInt(4) == 0) Term(vocab(r.nextInt(vocab.size)))
+    else r.nextInt(3) match {
+      case 0 => Not(randTree(r, depth - 1))
+      case 1 => And(Seq.fill(2 + r.nextInt(2))(randTree(r, depth - 1)))
+      case _ => Or(Seq.fill(2 + r.nextInt(2))(randTree(r, depth - 1)))
+    }
+
+  test("compiled evaluator == recursive evaluator on random trees/docs") {
+    val r = new scala.util.Random(20260819L)
+    var evaluated = 0
+    (0 until 300).foreach { _ =>
+      BoolQuery.foldForEval(randTree(r, 4), indexed.contains) match {
+        case None => () // constant-folded or pure-negative: nothing to run
+        case Some(folded) =>
+          val (pos, neg) = BoolQuery.leafTerms(folded)
+          val posIdx = pos.zipWithIndex.toMap
+          val negIdx = neg.zipWithIndex.toMap
+          val prog = BoolQuery.compile(folded, posIdx, negIdx)
+          (0 until 40).foreach { _ =>
+            val posPresent = Array.fill(pos.size)(r.nextBoolean())
+            val partials = Array.fill(pos.size)(r.nextDouble() * 5.0)
+            val negPresent = Array.fill(neg.size)(r.nextBoolean())
+            def present(t: String): Boolean = posIdx.get(t) match {
+              case Some(i) => posPresent(i)
+              case None    => negPresent(negIdx(t))
+            }
+            def partial(t: String): Double =
+              posIdx.get(t).map(i => if (posPresent(i)) partials(i) else 0.0)
+                .getOrElse(0.0)
+            val (wantM, wantS) = BoolQuery.evalAndScore(folded, present, partial)
+            val gotM = prog.eval(posPresent, partials, negPresent)
+            assert(gotM == wantM, s"match diverged on $folded")
+            if (wantM) assert(prog.lastScore == wantS, // bitwise
+              s"score diverged on $folded: ${prog.lastScore} vs $wantS")
+            evaluated += 1
+          }
+      }
+    }
+    assert(evaluated > 5000, s"sweep too small: $evaluated")
+  }
+}

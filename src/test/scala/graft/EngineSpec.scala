@@ -924,6 +924,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val queries = TestQueries.mix.map(q => (q, false)) ++
       Seq((Seq("if", "return"), true), (Seq("return", "val"), true))
     val wants = queries.map { case (q, p) => Oracle.search(oracle, q, 10, p) }
+    // a nested bool query rides every rep too: its compiled evaluator +
+    // range-split scan share the scan pool ACROSS the 16 clients
+    val boolQ = "(if AND return) OR (val AND NOT epsilon)"
+    val boolWant = new graft.query.LocalService(ix).searchBool(boolQ, 10)
+    assert(boolWant.nonEmpty)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
     val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {
@@ -939,6 +944,10 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
                 else if (got.zip(want).exists { case (g, w) => math.abs(g.score - w.score) > 1e-9 })
                   errs.add(s"t$tid $q phrase=$p: score drift")
               }
+              val gotB = svc.searchBool(boolQ, 10)
+              if (gotB.map(_.docId) != boolWant.map(_.docId) ||
+                  gotB.zip(boolWant).exists { case (g, w) => g.score != w.score })
+                errs.add(s"t$tid bool: ${gotB.map(_.docId)} vs ${boolWant.map(_.docId)}")
               rep += 1
             }
           } catch { case e: Throwable => errs.add(s"t$tid: $e") }
