@@ -417,7 +417,7 @@ object Bench {
           case (_, Some((t, d)), _, _) => svc.searchFuzzy(t, 10, d)
           case (_, _, Some(w), _)      => svc.searchWildcard(w, 10)
           case (_, _, _, Some(b))      => svc.searchBool(b, 10)
-          case _                       => svc.search(q.terms, 10, q.phrase, q.exclude, q.slop)
+          case _                       => svc.search(q.terms, 10, q.phrase, q.exclude, q.slop, boosts = q.boosts)
         }
       queryMix.foreach(serve) // cache misses
       val reps = 50
@@ -590,7 +590,8 @@ object Bench {
         def oracleTopK(terms0: Seq[String], k: Int, phrase: Boolean,
                        disjunctive: Boolean,
                        exclude: Seq[String] = Nil,
-                       slop: Int = 0): Seq[Oracle.Hit] = {
+                       slop: Int = 0,
+                       boosts: Map[String, Double] = Map.empty): Seq[Oracle.Hit] = {
           import scala.jdk.CollectionConverters._
           // disjunctive (prefix/OR): absent terms contribute nothing;
           // conjunctive: any absent term voids the query (P2 guard)
@@ -599,7 +600,9 @@ object Bench {
           val exMaps = exclude.map(t => tfs(qIdx(t)))
           val maps = terms.map(t => tfs(qIdx(t)))
           if (!disjunctive && maps.exists(_.isEmpty)) return Nil
-          val idfs = terms.map(t => graft.core.Bm25.idf(nDocs, tfs(qIdx(t)).size.toLong))
+          val idfs = terms.map(t =>
+            graft.core.Bm25.idf(nDocs, tfs(qIdx(t)).size.toLong) *
+              boosts.getOrElse(t, 1.0))
           val cand: Array[Int] =
             if (disjunctive)
               maps.iterator.flatMap(_.keySet.asScala).map(_.intValue).toArray.distinct.sorted
@@ -657,7 +660,7 @@ object Bench {
         val details = queryMix.flatMap { q =>
           val want = q.bool match {
             case Some(node) => oracleBoolTopK(node, 10)
-            case None => oracleTopK(q.terms, 10, q.phrase, q.disjunctive, q.exclude, q.slop)
+            case None => oracleTopK(q.terms, 10, q.phrase, q.disjunctive, q.exclude, q.slop, q.boosts)
           }
           val got = byQ.getOrElse(q.id, Array.empty).sortBy(_._2)
           val ok = got.length == want.length &&

@@ -196,7 +196,8 @@ object SparkEntry {
   private def bm25TopK(s: SparkSession, dir: String, terms: Seq[String], k: Int,
                        conjunctive: Boolean = true,
                        eligible: Option[DataFrame] = None,
-                       excludeTerms: Seq[String] = Nil): DataFrame = {
+                       excludeTerms: Seq[String] = Nil,
+                       boosts: Map[String, Double] = Map.empty): DataFrame = {
     val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
     val pivoted0 = tfq.groupBy("doc_id")
       .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
@@ -238,7 +239,11 @@ object SparkEntry {
     val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
     val lossy = lossyLen(col("len")).cast("double")
     val score = terms.indices.map { i =>
-      val idf = log(lit(1.0) + (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val idf0 = log(lit(1.0) + (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      // query-time boost (Lucene `term^B`): (idf·B)·tfNorm, the engine's
+      // association order; unboosted slots keep the unmodified tree
+      val b = boosts.getOrElse(terms(i), 1.0)
+      val idf = if (b == 1.0) idf0 else idf0 * lit(b)
       val tfn = col(s"tf$i") * lit(2.2) /
         (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * lossy / avg))
       if (conjunctive) idf * tfn
@@ -679,6 +684,11 @@ object SparkEntry {
     // A5/O2/O3 + F5-F7: the flagship lossy-BM25 conjunctive top-k
     "a5_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10)),
     "a5_bm25_topk3" -> ((s, dir) => bm25TopK(s, dir, Seq("join", "hash", "dup"), 10)),
+    // query-time term boost (Lucene `term^B`): same conjunctive query as
+    // a5_bm25_topk with the `query` slot weighted 2.5x — the boost
+    // multiplies that slot's idf on every path (engine, serving, batch log)
+    "a5_bm25_boost_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
+      boosts = Map("query" -> 2.5))),
     // nested boolean query — (spark AND query) OR (join AND hash AND NOT
     // dup) — with clause-aware Lucene scoring: only MATCHING clauses
     // contribute (engine path: graft.query.BoolQuery over the index)
@@ -1482,7 +1492,8 @@ object SparkEntry {
 
   private def bm25Sql(terms: Seq[String], k: Int,
                       filterWhere: Option[String] = None,
-                      excludeTerms: Seq[String] = Nil): String = {
+                      excludeTerms: Seq[String] = Nil,
+                      boosts: Map[String, Double] = Map.empty): String = {
     val joins = terms.zipWithIndex.map { case (t, i) =>
       s"JOIN (SELECT doc_id, tf AS tf$i FROM tf WHERE term = '$t') t$i USING (doc_id) " +
         s"CROSS JOIN (SELECT count(*)::BIGINT df$i FROM tf WHERE term = '$t') d$i"
@@ -1492,7 +1503,10 @@ object SparkEntry {
        else s" ANTI JOIN (SELECT DISTINCT doc_id FROM tf WHERE term IN (" +
          excludeTerms.map(t => s"'$t'").mkString(",") + ")) ex USING (doc_id)")
     val score = terms.indices.map { i =>
-      s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
+      val b = boosts.getOrElse(terms(i), 1.0)
+      val idfSql = if (b == 1.0) s"ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5))"
+                   else s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * $b)"
+      s"($idfSql * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
     }.mkString(" + ")
     s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
        | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
@@ -1728,6 +1742,8 @@ object SparkEntry {
 
     "a5_bm25_topk" -> bm25Sql(Seq("spark", "query"), 10),
     "a5_bm25_topk3" -> bm25Sql(Seq("join", "hash", "dup"), 10),
+    "a5_bm25_boost_topk" -> bm25Sql(Seq("spark", "query"), 10,
+      boosts = Map("query" -> 2.5)),
 
     "a5_bool_topk" -> {
       val terms = Seq("spark", "query", "join", "hash", "dup")

@@ -51,10 +51,16 @@ object Oracle {
     * semantics): a doc containing ANY excluded term is dropped from the
     * candidate set, and excluded terms never contribute to the score. */
   def search(ix: Index, queryTerms: Seq[String], k: Int, phrase: Boolean = false,
-             excludeTerms: Seq[String] = Nil, slop: Int = 0): Seq[Hit] = {
+             excludeTerms: Seq[String] = Nil, slop: Int = 0,
+             boosts: Map[String, Double] = Map.empty): Seq[Hit] = {
     if (queryTerms.isEmpty || k <= 0) return Nil
     val lists = queryTerms.map(t => ix.postings.getOrElse(t, return Nil))
-    val idfs = queryTerms.map(t => Bm25.idf(ix.nDocs, ix.df(t)))
+    // query-time term boost (Lucene `term^B`; absent in the reference, whose
+    // SearchQuery has no per-term weight — a natural completion): each
+    // slot's weight is the driver-side double idf·B, then ·tfNorm — the
+    // same association order on every path, so scores stay bitwise-equal
+    val idfs = queryTerms.map(t =>
+      Bm25.idf(ix.nDocs, ix.df(t)) * boosts.getOrElse(t, 1.0))
     val excluded: Set[Int] = excludeTerms.distinct.iterator
       .flatMap(t => ix.postings.getOrElse(t, Array.empty[(Int, Int, Array[Int])]))
       .map(_._1).toSet

@@ -120,9 +120,10 @@ final class LocalService(val ix: Searcher.LoadedIndex,
                           phrase: Boolean, conjunctive: Boolean = true,
                           excludeTerms: Seq[String] = Nil,
                           slop: Int = 0,
-                          after: Option[(Double, Int)] = None): Seq[Oracle.Hit] =
+                          after: Option[(Double, Int)] = None,
+                          boosts: Map[String, Double] = Map.empty): Seq[Oracle.Hit] =
     Searcher.search(ix, queryTerms, k, phrase, conjunctive = conjunctive,
-        excludeTerms = excludeTerms, slop = slop, after = after)
+        excludeTerms = excludeTerms, slop = slop, after = after, boosts = boosts)
       .collect().sortBy(_.rank).map(h => Oracle.Hit(h.docId, h.score)).toSeq
 
   /** In-flight fetches, keyed by term (suffix "#p" = with positions):
@@ -194,7 +195,9 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * driver — one hot term on a 100 TB corpus must never OOM the server. */
   def search(queryTerms: Seq[String], k: Int, phrase: Boolean = false,
              excludeTerms: Seq[String] = Nil, slop: Int = 0,
-             after: Option[(Double, Int)] = None): Seq[Oracle.Hit] = {
+             after: Option[(Double, Int)] = None,
+             boosts: Map[String, Double] = Map.empty): Seq[Oracle.Hit] = {
+    require(boosts.valuesIterator.forall(_ > 0.0), "boosts must be positive")
     if (queryTerms.isEmpty || k <= 0) return Nil
     val uniq = queryTerms.distinct
     // NOT terms (Lucene MUST_NOT; same semantics as Searcher.search's
@@ -210,19 +213,19 @@ final class LocalService(val ix: Searcher.LoadedIndex,
         dfs.valuesIterator.exists(_ > maxFetchPostings) ||
         exPresent.exists(t => dfCache.get(t).longValue() > maxFetchPostings))
       return distributed(queryTerms, k, phrase, excludeTerms = exPresent,
-        slop = slop, after = after)
+        slop = slop, after = after, boosts = boosts)
 
     val lists = resolveLists(uniq, phrase)
     if (lists == null)
       return distributed(queryTerms, k, phrase, excludeTerms = exPresent,
-        slop = slop, after = after)
+        slop = slop, after = after, boosts = boosts)
     val exLists: IndexedSeq[TermList] =
       if (exPresent.isEmpty) IndexedSeq.empty
       else {
         val r = resolveLists(exPresent, phrase = false)
         if (r == null)
           return distributed(queryTerms, k, phrase, excludeTerms = exPresent,
-            slop = slop, after = after)
+            slop = slop, after = after, boosts = boosts)
         r.toIndexedSeq
       }
 
@@ -234,8 +237,10 @@ final class LocalService(val ix: Searcher.LoadedIndex,
 
     val byTerm = uniq.zip(lists).toMap
     val slots = queryTerms.map(byTerm).toIndexedSeq
+    // slot weight = idf·boost, the same driver-side double as the other
+    // paths — boosted scores stay bitwise-identical engine-wide
     val idfs = queryTerms.map { t =>
-      Bm25.idf(ix.nDocs, byTerm(t).n.toLong)
+      Bm25.idf(ix.nDocs, byTerm(t).n.toLong) * boosts.getOrElse(t, 1.0)
     }.toArray
     val lenBytes = docLenBytes
     // parallel range scan for heavy queries: the leapfrog cost is bounded

@@ -49,7 +49,8 @@ object QueryLog {
                             slop: Int = 0,
                             wildcard: Option[String] = None,
                             regex: Option[String] = None,
-                            bool: Option[BoolQuery.Node] = None) {
+                            bool: Option[BoolQuery.Node] = None,
+                            boosts: Map[String, Double] = Map.empty) {
     /** Evaluates disjunctively (multi-term rewrite of a single probe). */
     def disjunctive: Boolean =
       prefix.nonEmpty || fuzzy.nonEmpty || wildcard.nonEmpty || regex.nonEmpty
@@ -106,8 +107,21 @@ object QueryLog {
     }
     else {
       val (neg, pos) = t.split("\\s+").toSeq.partition(_.startsWith("-"))
-      Some(LogQuery(id, pos.flatMap(w => Tokenizer.terms(w)), phrase = false,
-        exclude = neg.flatMap(w => Tokenizer.terms(w.drop(1)))))
+      // Lucene term boost: `word^2` / `word^2.5` on an unquoted line
+      // multiplies that term's score contribution (must be > 0)
+      val parsed = pos.map { w =>
+        val caret = w.lastIndexOf('^')
+        if (caret > 0 && w.drop(caret + 1).nonEmpty &&
+            w.drop(caret + 1).forall(c => c.isDigit || c == '.'))
+          (Tokenizer.terms(w.take(caret)), w.drop(caret + 1).toDouble)
+        else (Tokenizer.terms(w), 1.0)
+      }
+      val boosts = parsed.collect {
+        case (ts, b) if b != 1.0 && ts.nonEmpty => ts.head -> b
+      }.toMap
+      Some(LogQuery(id, parsed.flatMap(_._1), phrase = false,
+        exclude = neg.flatMap(w => Tokenizer.terms(w.drop(1))),
+        boosts = boosts))
     }
   }
 
@@ -159,13 +173,16 @@ object QueryLog {
     val disjunctive = flat.filter(_.disjunctive).map(_.id).toSet
     val excludes = flat.filter(q => !q.phrase && q.exclude.nonEmpty)
       .map(q => q.id -> q.exclude).toMap
+    val boosts = flat.filter(q => !q.phrase && q.boosts.nonEmpty)
+      .map(q => q.id -> q.boosts).toMap
     val phraseQs = flat.filter(q => q.phrase && q.terms.nonEmpty)
       .map(q => (q.id, q.terms))
     val slops = flat.filter(q => q.phrase && q.slop > 0)
       .map(q => q.id -> q.slop).toMap
     val parts: Seq[DataFrame] =
       (if (termQs.nonEmpty)
-        Seq(Searcher.searchAll(ix, termQs, k, disjunctive, excludes)) else Nil) ++
+        Seq(Searcher.searchAll(ix, termQs, k, disjunctive, excludes,
+          boosts = boosts)) else Nil) ++
       (if (phraseQs.nonEmpty) Seq(Searcher.searchAllPhrase(ix, phraseQs, k, slops)) else Nil) ++
       (if (boolQs.nonEmpty) Seq(BoolQuery.searchAll(ix, boolQs, k)) else Nil)
     parts match {

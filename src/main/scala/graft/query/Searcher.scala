@@ -174,9 +174,13 @@ object Searcher {
              conjunctive: Boolean = true,
              excludeTerms: Seq[String] = Nil,
              slop: Int = 0,
-             after: Option[(Double, Int)] = None): Dataset[Hit] = {
+             after: Option[(Double, Int)] = None,
+             boosts: Map[String, Double] = Map.empty): Dataset[Hit] = {
     require(conjunctive || !phrase, "phrase queries are conjunctive by definition")
     require(slop >= 0, "slop must be non-negative")
+    // boosts scale each slot's idf weight; non-positive boosts would break
+    // the BMW ceiling rule (ub would no longer upper-bound the slot score)
+    require(boosts.valuesIterator.forall(_ > 0.0), "boosts must be positive")
     val spark = ix.spark
     import spark.implicits._
     val terms0 = queryTerms.distinct
@@ -202,9 +206,12 @@ object Searcher {
     if (terms.isEmpty) return spark.emptyDataset[Hit]
     val idfs: Map[String, Double] = dfs.map { case (t, df) => t -> Bm25.idf(ix.nDocs, df) }
     // a repeated query term scores once PER SLOT (`scoring.h:133-142`) —
-    // fold the multiplicity into the idf weight, for scoring AND bounds
+    // fold the multiplicity AND the query-time boost into the idf weight,
+    // for scoring bounds (every slot of term t contributes
+    // ≤ idf·boost·maxTfNorm, so the summed ceiling stays an upper bound)
     val idfW: Map[String, Double] =
-      idfs.map { case (t, v) => t -> v * queryTerms.count(_ == t) }
+      idfs.map { case (t, v) =>
+        t -> v * queryTerms.count(_ == t) * boosts.getOrElse(t, 1.0) }
     val cache = ix.lossyCache
     val nTerms = terms.size
 
@@ -324,7 +331,8 @@ object Searcher {
     // term so nMatched is a plain conditional count (no countDistinct
     // Expand rewrite doubling the aggregation input).
     val slotDf = broadcast(queryTerms.zipWithIndex.map { case (t, i) =>
-      (i, t, idfs.getOrElse(t, 0.0), queryTerms.indexOf(t) == i)
+      (i, t, idfs.getOrElse(t, 0.0) * boosts.getOrElse(t, 1.0),
+        queryTerms.indexOf(t) == i)
     }.toDF("slot", "term", "idf", "firstSlot"))
     val cacheLit = array(cache.map(lit).toSeq: _*)
     val partScoreExpr = $"idf" *
@@ -990,7 +998,8 @@ object Searcher {
   def searchAll(ix: LoadedIndex, queries: Seq[(Int, Seq[String])], k: Int,
                 disjunctive: Set[Int] = Set.empty,
                 excludes: Map[Int, Seq[String]] = Map.empty,
-                wandMinPostings: Long = 50000L): DataFrame = {
+                wandMinPostings: Long = 50000L,
+                boosts: Map[Int, Map[String, Double]] = Map.empty): DataFrame = {
     val spark = ix.spark
     import spark.implicits._
     def empty =
@@ -1024,11 +1033,20 @@ object Searcher {
     // between equal-score docs. `firstSlot` marks each distinct term's
     // first slot so nMatched is a conditional count (no countDistinct
     // Expand rewrite).
+    // per-slot query-time boost (Lucene `term^B`; log syntax `if^2`):
+    // multiplies the slot's idf weight in the SAME association order as the
+    // single-query path and the oracle ((idf·B)·tfNorm), so boosted scores
+    // stay bitwise-identical across all three paths
+    def boostOf(qid: Int, t: String): Double =
+      boosts.getOrElse(qid, Map.empty).getOrElse(t, 1.0)
+    require(boosts.valuesIterator.flatMap(_.valuesIterator).forall(_ > 0.0),
+      "boosts must be positive")
     val q = live.flatMap { case (qid, ts) =>
       ts.zipWithIndex.map { case (t, slot) =>
-        (qid, t, ts.distinct.size, slot, disjunctive(qid), ts.indexOf(t) == slot)
+        (qid, t, ts.distinct.size, slot, disjunctive(qid), ts.indexOf(t) == slot,
+          boostOf(qid, t))
       }
-    }.toDF("queryId", "term", "nTerms", "slot", "disj", "firstSlot")
+    }.toDF("queryId", "term", "nTerms", "slot", "disj", "firstSlot", "boost")
     // ---- per-query block-range pruning over collected block metadata ----
     // ub = idf · tfNorm(maxTf, minLenByte): the BMW score ceiling, PER-TERM
     // base (query-slot multiplicity is applied per query at filter time)
@@ -1043,8 +1061,11 @@ object Searcher {
         t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, r._4,
           idf * Bm25.tfNormLossy(r._5.toLong, r._6, cache)))
       }
-    // per-query plan: candidate coverage + range-surviving blocks
-    final case class QPlan(qid: Int, uniq: Seq[String], mult: Map[String, Int],
+    // per-query plan: candidate coverage + range-surviving blocks.
+    // `wt` = slot multiplicity · boost per unique term — the factor a term's
+    // block ceiling is scaled by in the BMW rule (all slots of t together
+    // contribute ≤ wt(t) · idf(t) · maxTfNorm)
+    final case class QPlan(qid: Int, uniq: Seq[String], wt: Map[String, Double],
                            disj: Boolean, candidates: Array[(Int, Int)],
                            rangeSel: Map[String, Array[Int]], estPostings: Long)
     val plans: Seq[QPlan] = live.flatMap { case (qid, ts) =>
@@ -1060,7 +1081,9 @@ object Searcher {
           val sel = uniq.map(t => t -> BlockMax.overlapping(meta(t), cand)).toMap
           val est = uniq.iterator
             .map(t => sel(t).iterator.map(i => meta(t)(i).n.toLong).sum).sum
-          Some(QPlan(qid, uniq, ts.groupBy(identity).map { case (t, xs) => t -> xs.size },
+          Some(QPlan(qid, uniq,
+            ts.groupBy(identity).map { case (t, xs) =>
+              t -> xs.size * boostOf(qid, t) },
             disjunctive(qid), cand, sel, est))
         }
       }
@@ -1109,7 +1132,10 @@ object Searcher {
     // ---- shared scoring pipeline (pilot and main decode different keys) ----
     val idfDf = broadcast(idfs.toSeq.toDF("term", "idf"))
     val cacheLit = array(cache.map(lit).toSeq: _*)
-    val partScore = $"idf" *
+    // (idf·boost)·tfNorm — the same association order as the single-query
+    // path's driver-side idf·boost slot weight (mult by 1.0 is IEEE-exact,
+    // so unboosted queries are unchanged bitwise)
+    val partScore = ($"idf" * $"boost") *
       ($"tf" * lit(Bm25.K1 + 1.0) / ($"tf" + element_at(cacheLit, $"lenByte" + 1)))
     // surviving block keys as a broadcast semi-join, not a scalar UDF —
     // stays inside whole-stage codegen and the set is bounded by the batch
@@ -1164,8 +1190,8 @@ object Searcher {
       else {
         val pilotKeys: Set[(String, Int)] = wandPlans.iterator.flatMap { p =>
           val perTermScaled = p.uniq.map { t =>
-            val mult = p.mult(t)
-            meta(t).map(b => if (mult == 1) b else b.copy(ub = b.ub * mult))
+            val w = p.wt(t)
+            meta(t).map(b => if (w == 1.0) b else b.copy(ub = b.ub * w))
           }
           val iv = BlockMax.pilotIntervals(perTermScaled,
             BlockMax.refineByBlocks(perTermScaled, p.candidates),
@@ -1186,14 +1212,14 @@ object Searcher {
       val th = thetas.getOrElse(p.qid, Double.NegativeInfinity)
       p.uniq.iterator.flatMap { t =>
         val m = meta(t)
-        val multT = p.mult(t)
+        val wtT = p.wt(t)
         val idxs =
           if (th == Double.NegativeInfinity) p.rangeSel(t)
           else p.rangeSel(t).filter { i =>
             val b = m(i)
             val others = p.uniq.iterator.filter(_ != t)
-              .map(t2 => p.mult(t2) * BlockMax.maxUbIn(meta(t2), b.first, b.last)).sum
-            b.ub * multT + others >= th - 1e-9
+              .map(t2 => p.wt(t2) * BlockMax.maxUbIn(meta(t2), b.first, b.last)).sum
+            b.ub * wtT + others >= th - 1e-9
           }
         idxs.iterator.map(i => (t, m(i).first))
       }

@@ -183,6 +183,61 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     wantW.zip(gotW).foreach { case (w, g) => assert(math.abs(g.score - w.score) < 1e-9) }
   }
 
+  test("query-time boosts (term^B): bitwise parity on all three paths, WAND-safe") {
+    built
+    // Lucene term boost — absent in the reference (SearchQuery has no
+    // per-term weight); completed on every path with one association order
+    // ((idf·B)·tfNorm), so distributed, serving, batch-log and oracle
+    // scores are bitwise-equal
+    val cases: Seq[(Seq[String], Map[String, Double])] = Seq(
+      (Seq("if", "return"), Map("return" -> 2.5)),     // hot∧hot, boosted hot
+      (Seq("epsilon", "if"), Map("epsilon" -> 4.0)),   // rare boosted
+      (Seq("hash", "seed", "mask"), Map("hash" -> 0.5, "mask" -> 3.0)),
+      (Seq("if", "return"), Map.empty[String, Double])) // no-op boost map
+    val svc = new graft.query.LocalService(ix)
+    cases.foreach { case (q, b) =>
+      val want = Oracle.search(oracle, q, 10, boosts = b)
+      val got = Searcher.search(ix, q, 10, boosts = b).collect().sortBy(_.rank)
+      assert(got.map(_.docId).toSeq == want.map(_.docId), s"boost $q $b")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.score == w.score, s"boost score not bitwise for $q $b") }
+      // forced WAND pilot: boosted ceilings must stay upper bounds
+      val gotW = Searcher.search(ix, q, 10, wandMinPostings = 0L, boosts = b)
+        .collect().sortBy(_.rank)
+      assert(gotW.map(_.docId).toSeq == want.map(_.docId), s"boost WAND $q $b")
+      gotW.zip(want).foreach { case (g, w) => assert(g.score == w.score) }
+      // serving path
+      val served = svc.search(q, 10, boosts = b)
+      assert(served.map(_.docId) == want.map(_.docId), s"boost served $q $b")
+      served.zip(want).foreach { case (g, w) => assert(g.score == w.score) }
+    }
+    // a strong boost on the rarer term must be able to REORDER the top-k
+    // (sanity that the weight reaches the score, not just the bounds)
+    val plain = Searcher.search(ix, Seq("if", "return"), 10).collect().sortBy(_.rank)
+    val boosted = Searcher.search(ix, Seq("if", "return"), 10,
+      boosts = Map("if" -> 50.0)).collect().sortBy(_.rank)
+    assert(plain.map(_.docId).toSeq != boosted.map(_.docId).toSeq ||
+      plain.zip(boosted).exists { case (p, bq) => p.score != bq.score })
+    // log syntax `term^B` parses and the batched run matches per-query
+    import spark.implicits._
+    val qs = Seq(
+      graft.query.QueryLog.parseLine("if^2 return", 0).get,
+      graft.query.QueryLog.parseLine("epsilon^3.5 if -val", 1).get,
+      graft.query.QueryLog.parseLine("if return", 2).get)
+    assert(qs(0).boosts == Map("if" -> 2.0) && qs(0).terms == Seq("if", "return"))
+    assert(qs(1).boosts == Map("epsilon" -> 3.5) && qs(1).exclude == Seq("val"))
+    assert(qs(2).boosts.isEmpty)
+    val res = graft.query.QueryLog.run(ix, qs, 10)
+      .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
+    qs.foreach { q =>
+      val want = Searcher.search(ix, q.terms, 10, excludeTerms = q.exclude,
+        boosts = q.boosts).collect().sortBy(_.rank)
+      val got = res.getOrElse(q.id, Array.empty).sortBy(_._2)
+      assert(got.map(_._3).toSeq == want.map(_.docId).toSeq, s"boost log q${q.id}")
+      got.map(_._4).zip(want.map(_.score)).foreach { case (g, w) => assert(g == w) }
+    }
+  }
+
   test("prefix search (trie equal_prefix_range analog) rank-identical vs oracle") {
     // oracle-side expansion: same deterministic (df desc, term asc) cap over
     // the single-JVM index's dictionary
