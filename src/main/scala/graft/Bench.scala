@@ -35,6 +35,21 @@ object Bench {
     } else System.getProperty("java.io.tmpdir")
   }
 
+  /** Atomically (tmp + rename) write a bench artifact snapshot. `Bench.main`
+    * calls this after every phase and every interleave loop so a run killed
+    * by an external budget still leaves its freshest complete measurements
+    * on disk (`BENCH_partial.json` in the working dir); the final artifact
+    * overwrites the same file without the "partial" marker. Best-effort —
+    * a write failure must never take down the bench. */
+  private def writeBenchFile(name: String, json: String): Unit = try {
+    val p = java.nio.file.Paths.get(name)
+    val tmp = java.nio.file.Paths.get(name + ".tmp")
+    java.nio.file.Files.writeString(tmp, json + "\n")
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  } catch { case _: Throwable => () }
+
   /** Partition count for the scaling trials, FIXED across both parallelism
     * levels: on a real cluster the job's partitioning (shuffle partitions,
     * range-partition width) does not change with the executor count, so
@@ -333,6 +348,48 @@ object Bench {
     def descending(times: Seq[Double]): Boolean =
       times.size < 2 || times.last < 0.9 * times.init.min
     var loop = 0
+    // cumulative artifact state: every phase below fills its slice and
+    // snapshots the whole artifact to BENCH_partial.json, so an externally
+    // killed run still leaves its freshest complete measurements on disk
+    // (-1 / {} = phase not reached)
+    var queriesJson = "{}"
+    var queriesTotal = -1.0
+    var searchJson = """{"n_queries":-1,"sec":-1,"qps":-1,"served_qps":-1,"served_qps_16":-1,"served_p50_ms":-1,"served_p99_ms":-1}"""
+    var streamingJson = """{"docs":-1,"docs_per_sec":-1,"compact_sec":-1}"""
+    var matchRateV = -1.0
+    def indexingJson: String = {
+      val secN = if (timesN.nonEmpty) timesN.min else -1.0
+      val sec4N = if (times4N.nonEmpty) times4N.min else -1.0
+      val tputN = if (secN > 0) benchDocs / secN else -1.0
+      val tput4N = if (sec4N > 0) benchDocs / sec4N else -1.0
+      val eff = if (secN > 0 && sec4N > 0) tput4N / (4.0 * tputN) else -1.0
+      val flagN = flaggedIdx(probesN.toSeq, postProbesN.toSeq)
+      val flag4N = flaggedIdx(probes4N.toSeq, postProbes4N.toSeq)
+      s"""{"docs":$benchDocs,"n_cores":$nCores,"n4_cores":$n4Cores,""" +
+      s""""sec_localN":$secN,"sec_local4N":$sec4N,""" +
+      s""""loops":$loop,"warmup_localN":$warmN,"warmup_local4N":$warm4N,""" +
+      s""""trials_localN":[${timesN.mkString(",")}],""" +
+      s""""trials_local4N":[${times4N.mkString(",")}],""" +
+      s""""noise_probes_localN":[${probesN.mkString(",")}],""" +
+      s""""noise_probes_local4N":[${probes4N.mkString(",")}],""" +
+      s""""noise_probes_post_localN":[${postProbesN.mkString(",")}],""" +
+      s""""noise_probes_post_local4N":[${postProbes4N.mkString(",")}],""" +
+      s""""noise_probe_ref":$probeRef,""" +
+      s""""flagged_localN":[${flagN.mkString(",")}],""" +
+      s""""flagged_local4N":[${flag4N.mkString(",")}],""" +
+      s""""min_support_localN":${support(timesN.toSeq)},""" +
+      s""""min_support_local4N":${support(times4N.toSeq)},""" +
+      s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
+      s""""page_warm":{"fault_mb_per_sec_before":$faultRateBefore,""" +
+      s""""fault_mb_per_sec_after":$faultRateAfter,""" +
+      s""""warmed_gb":$warmedGb,"warm_sec":$warmSec},""" +
+      s""""scaling_efficiency":$eff}"""
+    }
+    def artifact(partial: String): String = {
+      val p = if (partial == null) "" else s""""partial":"$partial","""
+      s"""{$p"metric":"total","value":$queriesTotal,"unit":"sec","queries":$queriesJson,"sf":"$sfDir","indexing":$indexingJson,"search":$searchJson,"streaming":$streamingJson,"match_rate":$matchRateV}"""
+    }
+    writeBenchFile("BENCH_partial.json", artifact("warmup_done"))
     // under-supported override: a level whose minimum has <2 supporting
     // trials makes the estimate a single draw (one run's single "good" 4N
     // trial carried 50% invisible IO-stall inflation) — validity outranks
@@ -358,16 +415,12 @@ object Bench {
         runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN, postProbesN)
       }
       loop += 1
+      writeBenchFile("BENCH_partial.json", artifact(s"indexing_loop_$loop"))
     }
     // min over ALL trials per level: noise is one-sided, so the min is the
     // attainable-throughput estimator and never benefits from exclusion
-    val secN = timesN.min
-    val sec4N = times4N.min
-    val tputN = benchDocs / secN
-    val tput4N = benchDocs / sec4N
-    val eff = tput4N / (4.0 * tputN)
-    val flagN = flaggedIdx(probesN.toSeq, postProbesN.toSeq)
-    val flag4N = flaggedIdx(probes4N.toSeq, postProbes4N.toSeq)
+    // (estimator + validity fields live in indexingJson above)
+    writeBenchFile("BENCH_partial.json", artifact("indexing_done"))
 
     // --- operator queries + search ---
     val spark = session(8)
@@ -378,6 +431,9 @@ object Bench {
       }
       name -> sec
     }
+    queriesJson = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    queriesTotal = results.map(_._2).sum
+    writeBenchFile("BENCH_partial.json", artifact("queries_done"))
 
     // --- BM25 query-set throughput + oracle match rate on the built index ---
     // query workload from the checked-in log (reference query_pool.h format:
@@ -459,6 +515,8 @@ object Bench {
       (queryMix.size * reps / sec, nClients.toLong * queryMix.size * reps / sec16,
         pct(0.50), pct(0.99))
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
+    searchJson = s"""{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms}"""
+    writeBenchFile("BENCH_partial.json", artifact("search_done"))
 
     // --- streaming ingest: the incremental path's throughput. A corpus
     // slice is appended as micro-batch segments (each segment commit is
@@ -489,38 +547,20 @@ object Bench {
       slice.unpersist(false)
       (streamN, streamN / ingestSec, cSec)
     } catch { case _: Throwable => (0, -1.0, -1.0) }
+    streamingJson = s"""{"docs":$streamDocs,"docs_per_sec":$streamDocsPerSec,"compact_sec":$compactSec}"""
+    writeBenchFile("BENCH_partial.json", artifact("streaming_done"))
 
     // oracle match rate (top-10 rank-identical, score tol 0.001).
     // Defensive: the bench line must be emitted even if this phase dies.
-    val matchRate = try {
+    matchRateV = try {
       val (rate, mismatches) = matchRateDetail(queryMix, batch, benchDocs)
       mismatches.foreach(m => System.err.println(s"[bench] match mismatch: $m"))
       rate
     } catch { case _: Throwable => -1.0 }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val indexing =
-      s"""{"docs":$benchDocs,"n_cores":$nCores,"n4_cores":$n4Cores,""" +
-      s""""sec_localN":$secN,"sec_local4N":$sec4N,""" +
-      s""""loops":$loop,"warmup_localN":$warmN,"warmup_local4N":$warm4N,""" +
-      s""""trials_localN":[${timesN.mkString(",")}],""" +
-      s""""trials_local4N":[${times4N.mkString(",")}],""" +
-      s""""noise_probes_localN":[${probesN.mkString(",")}],""" +
-      s""""noise_probes_local4N":[${probes4N.mkString(",")}],""" +
-      s""""noise_probes_post_localN":[${postProbesN.mkString(",")}],""" +
-      s""""noise_probes_post_local4N":[${postProbes4N.mkString(",")}],""" +
-      s""""noise_probe_ref":$probeRef,""" +
-      s""""flagged_localN":[${flagN.mkString(",")}],""" +
-      s""""flagged_local4N":[${flag4N.mkString(",")}],""" +
-      s""""min_support_localN":${support(timesN.toSeq)},""" +
-      s""""min_support_local4N":${support(times4N.toSeq)},""" +
-      s""""docs_per_sec_localN":$tputN,"docs_per_sec_local4N":$tput4N,""" +
-      s""""page_warm":{"fault_mb_per_sec_before":$faultRateBefore,""" +
-      s""""fault_mb_per_sec_after":$faultRateAfter,""" +
-      s""""warmed_gb":$warmedGb,"warm_sec":$warmSec},""" +
-      s""""scaling_efficiency":$eff}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","indexing":$indexing,"search":{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms},"streaming":{"docs":$streamDocs,"docs_per_sec":$streamDocsPerSec,"compact_sec":$compactSec},"match_rate":$matchRate}""")
+    val line = artifact(null)
+    println(line)
+    writeBenchFile("BENCH_partial.json", line)
     spark.stop()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpRoot))
   }
