@@ -135,6 +135,26 @@ object SparkEntry {
   private def docBlocks(s: SparkSession, dir: String): DataFrame =
     blockCache.getOrElseUpdate((s, dir), buildDocBlocks(s, dir).cache())
 
+  /** doc_ids matching ALL `terms`, decoded from the real posting blocks —
+    * the shared candidate set of the a7 facet family. (term, doc_id) rows
+    * are unique by index construction (one posting per pair), so a plain
+    * count equals the distinct-term count without countDistinct's Expand. */
+  private def conjMatchedDocs(s: SparkSession, dir: String,
+                              terms: Seq[String]): DataFrame = {
+    import s.implicits._
+    docBlocks(s, dir)
+      .filter(col("term").isin(terms: _*))
+      .select("term", "prevDocId", "n", "docIds", "tfs")
+      .as[(String, Int, Int, Array[Byte], Array[Byte])]
+      .flatMap { case (t, prev, n, ids, tfs) =>
+        PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1))
+      }
+      .toDF("term", "doc_id")
+      .groupBy("doc_id").agg(count(lit(1)).as("nm"))
+      .filter(col("nm") === terms.size)
+      .select("doc_id")
+  }
+
   private def buildDocBlocks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = docs(s, dir).count()
@@ -458,11 +478,13 @@ object SparkEntry {
     // A1: term frequency per doc
     "a1_tf" -> ((s, dir) => tfTable(s, dir).orderBy("doc_id", "term")),
 
-    // A3: df/cf term statistics
-    "a3_termstats" -> ((s, dir) => docs(s, dir)
-      .select(col("doc_id"), explode(toks).as("term"))
+    // A3: df/cf term statistics — over the memoized (doc, term, tf) table,
+    // where each (doc, term) appears once: df = row count, cf = Σtf. Same
+    // result as exploding raw tokens, without countDistinct's Expand and
+    // with the tf-table scan shared across the a1/a3/f5/j* query family.
+    "a3_termstats" -> ((s, dir) => tfTable(s, dir)
       .groupBy("term")
-      .agg(countDistinct("doc_id").cast("long").as("df"), count(lit(1)).cast("long").as("cf"))
+      .agg(count(lit(1)).cast("long").as("df"), sum("tf").cast("long").as("cf"))
       .orderBy("term")),
 
     // A4: doc lengths + global stats
@@ -568,23 +590,22 @@ object SparkEntry {
     // driven decode, then one join + partial-agg count). Engine path:
     // Searcher.facetCounts over the docstore's metadata columns.
     "a7_facet_counts" -> { (s, dir) =>
-      import s.implicits._
-      val terms = Seq("spark", "query")
-      val matched = docBlocks(s, dir)
-        .filter(col("term").isin(terms: _*))
-        .select("term", "prevDocId", "n", "docIds", "tfs")
-        .as[(String, Int, Int, Array[Byte], Array[Byte])]
-        .flatMap { case (t, prev, n, ids, tfs) =>
-          PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1))
-        }
-        .toDF("term", "doc_id")
-        .groupBy("doc_id").agg(countDistinct(col("term")).as("nm"))
-        .filter(col("nm") === terms.size)
-        .select("doc_id")
-      matched
+      conjMatchedDocs(s, dir, Seq("spark", "query"))
         .join(docs(s, dir).select(col("doc_id").cast("int").as("doc_id"), col("lang")), "doc_id")
         .groupBy("lang").agg(count(lit(1)).cast("long").as("n_docs"))
         .orderBy("lang")
+    },
+
+    // A7: histogram facet (the ES `histogram` aggregation): matching-doc
+    // counts per fixed-width numeric bucket — same matched set as
+    // a7_facet_counts, bucketed on n_chars (width 500). Engine path:
+    // Searcher.facetHistogram over any numeric docstore column.
+    "a7_histogram_facet" -> { (s, dir) =>
+      conjMatchedDocs(s, dir, Seq("spark", "query"))
+        .join(docs(s, dir).select(col("doc_id").cast("int").as("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(floor(col("n_chars") / lit(500)).cast("long").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+        .orderBy("bucket")
     },
 
     // significant terms (the ES significant_terms aggregation): terms
@@ -683,6 +704,35 @@ object SparkEntry {
 
     // A5/O2/O3 + F5-F7: the flagship lossy-BM25 conjunctive top-k
     "a5_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10)),
+    // Lucene-style `explain`: per-term score decomposition (tf, df, idf,
+    // tfNorm, contribution) for the top-1 doc of the flagship conjunctive
+    // query — the introspection surface every search engine ships
+    // (IndexSearcher.explain; the reference exposes doc_freqs in
+    // SearchResult, types.h:341-345, but no per-term breakdown). All
+    // components micro-quantized from the same doubles the scorer
+    // multiplies, so the decomposition is consistent with a5_bm25_topk.
+    // Resident-path equivalent: LocalService.explain (spec-asserted to sum
+    // to the served score).
+    "a5_explain" -> { (s, dir) =>
+      val terms = Seq("spark", "query")
+      val top1 = bm25TopK(s, dir, terms, 1).select("doc_id")
+      val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
+      val dfT = tfq.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      val len = lenTable(s, dir)
+      val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("len").cast("long").as("sum_len"))
+      val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      val tfn = col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * lossyLen(col("len")).cast("double") / avg))
+      tfq.join(top1, "doc_id").join(dfT, "term").join(len, "doc_id").crossJoin(stats)
+        .select(col("term"), col("doc_id"), col("tf"), col("df"),
+          col("n_docs"), col("len"),
+          round(idf * 1e6).cast("long").as("idf_micro"),
+          round(tfn * 1e6).cast("long").as("tfnorm_micro"),
+          round((idf * tfn) * 1e6).cast("long").as("contrib_micro"))
+        .orderBy("term")
+    },
     "a5_bm25_topk3" -> ((s, dir) => bm25TopK(s, dir, Seq("join", "hash", "dup"), 10)),
     // query-time term boost (Lucene `term^B`): same conjunctive query as
     // a5_bm25_topk with the `query` slot weighted 2.5x — the boost
@@ -1772,6 +1822,38 @@ object SparkEntry {
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     },
 
+    // explain decomposition: rank-1 selection mirrors the a5_bm25_topk
+    // oracle's scored ranking; the per-term component expressions are the
+    // same doubles micro-rounded term by term
+    "a5_explain" -> {
+      val terms = Seq("spark", "query")
+      val joins = terms.zipWithIndex.map { case (t, i) =>
+        s"JOIN (SELECT doc_id, tf AS tf$i FROM tf WHERE term = '$t') t$i USING (doc_id) " +
+          s"CROSS JOIN (SELECT count(*)::BIGINT df$i FROM tf WHERE term = '$t') d$i"
+      }.mkString(" ")
+      val score = terms.indices.map { i =>
+        s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
+      }.mkString(" + ")
+      val idfSql = "ln(1.0 + (s.n_docs - d.df + 0.5)/(d.df + 0.5))"
+      val tfnSql = s"(t.tf * 2.2 / (t.tf + 1.2 * (0.25 + 0.75 * ${lossySql("l.len")} / (s.sum_len::DOUBLE / s.n_docs::DOUBLE))))"
+      s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
+         | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
+         | base AS (SELECT * FROM lens CROSS JOIN stats $joins),
+         | top1 AS (SELECT doc_id FROM
+         |   (SELECT doc_id, row_number() OVER (ORDER BY ($score) DESC, doc_id) rank FROM base)
+         |  WHERE rank = 1),
+         | dfs AS (SELECT term, count(*)::BIGINT df FROM tf
+         |  WHERE term IN (${terms.map(t => s"'$t'").mkString(",")}) GROUP BY term)
+         |SELECT t.term, t.doc_id, t.tf, d.df, s.n_docs, l.len,
+         | round($idfSql * 1e6)::BIGINT idf_micro,
+         | round($tfnSql * 1e6)::BIGINT tfnorm_micro,
+         | round(($idfSql * $tfnSql) * 1e6)::BIGINT contrib_micro
+         |FROM tf t JOIN top1 USING (doc_id) JOIN dfs d USING (term)
+         | JOIN lens l USING (doc_id) CROSS JOIN stats s
+         |WHERE t.term IN (${terms.map(t => s"'$t'").mkString(",")})
+         |ORDER BY term""".stripMargin
+    },
+
     "a5_bm25f_topk" -> {
       val terms = Seq("spark", "query")
       val joins = terms.zipWithIndex.map { case (t, i) =>
@@ -1843,6 +1925,13 @@ object SparkEntry {
          |WHERE doc_id IN (SELECT doc_id FROM $TF WHERE term IN ('spark','query')
          |                 GROUP BY doc_id HAVING count(DISTINCT term) = 2)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "a7_histogram_facet" ->
+      s"""SELECT (n_chars // 500)::BIGINT bucket, count(*)::BIGINT n_docs
+         |FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM $TF WHERE term IN ('spark','query')
+         |                 GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "a7_significant_terms" ->
       s"""WITH tf AS (SELECT * FROM $TF),

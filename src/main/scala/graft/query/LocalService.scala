@@ -287,6 +287,74 @@ final class LocalService(val ix: Searcher.LoadedIndex,
                   phrase: Boolean = false): Seq[Oracle.Hit] =
     search(queryTerms, k, phrase, after = Some((afterScore, afterDocId)))
 
+  /** Lucene-style `explain`: per-term score decomposition — (term, tf, df,
+    * idf·boost, tfNorm, contribution) — for ONE document under the
+    * conjunctive query. The contributions are the very doubles [[search]]
+    * sums for this doc (same idf source — resident list length — same lossy
+    * tfNorm, same slot order), so Σ contribution is bitwise-equal to the
+    * served score (asserted in ServingSpec). Empty when the doc is deleted,
+    * misses any query term, or any term is absent from the index
+    * (conjunctive semantics). The reference returns only doc_freqs with a
+    * result (`types.h:341-345`); this completes the per-term breakdown its
+    * users would reach for first when a ranking surprises them.
+    *
+    * Scale: cache-resident terms answer with a binary search; a term over
+    * the fetch budget never materializes its list — tf comes from a
+    * block-range-pruned decode job (the [[Searcher]] J3 skip analog), df
+    * from termstats. */
+  def explain(queryTerms: Seq[String], docId: Int,
+              boosts: Map[String, Double] = Map.empty): Seq[LocalService.Explanation] = {
+    val uniq = queryTerms.distinct
+    if (uniq.isEmpty || docId < 0 || isDeleted(docId)) return Nil
+    val dfs = dfOf(uniq)
+    if (dfs.valuesIterator.exists(_ == 0L)) return Nil
+    val lenBytes = docLenBytes
+    if (docId >= lenBytes.length) return Nil
+    val lb = lenBytes(docId)
+    // resident lists for budget-fitting terms (one coalesced fetch); heavy
+    // terms resolve per-doc tf via pruned block decode instead
+    val light = uniq.filter(t => dfs(t) <= maxFetchPostings)
+    val lists = if (light.isEmpty) Seq.empty else resolveLists(light, phrase = false)
+    if (light.nonEmpty && lists == null) return Nil
+    val byTerm = light.zip(lists).toMap
+    val rows = uniq.map { t =>
+      byTerm.get(t) match {
+        case Some(tl) =>
+          val i = java.util.Arrays.binarySearch(tl.docIds, docId)
+          if (i < 0) return Nil // conjunctive: doc misses this term
+          (t, tl.tfs(i).toLong, tl.n.toLong)
+        case None =>
+          val tf = tfViaBlocks(t, docId)
+          if (tf == 0L) return Nil
+          (t, tf, dfs(t))
+      }
+    }
+    rows.map { case (t, tf, df) =>
+      val idf = Bm25.idf(ix.nDocs, df) * boosts.getOrElse(t, 1.0)
+      val tfn = Bm25.tfNormLossy(tf, lb, ix.lossyCache)
+      LocalService.Explanation(t, tf, df, idf, tfn, idf * tfn)
+    }
+  }
+
+  /** tf of (term, docId) by decoding ONLY the blocks whose docId range
+    * covers the doc — the J3 skip-pointer analog as a point lookup; never
+    * materializes the term's full list (safe for hot terms over the fetch
+    * budget). 0 when the doc does not contain the term. */
+  private def tfViaBlocks(term: String, docId: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val rows = ix.postings
+      .filter(col("term") === term &&
+        col("firstDocId") <= docId && col("lastDocId") >= docId)
+      .select("prevDocId", "n", "docIds", "tfs").collect()
+    var tf = 0L
+    rows.foreach { r =>
+      PostingCodec.decodeDocIdTf(r.getInt(0), r.getInt(1),
+        r.getAs[Array[Byte]]("docIds"), r.getAs[Array[Byte]]("tfs"))
+        .foreach { case (d, t) => if (d == docId) tf = t.toLong }
+    }
+    tf
+  }
+
   /** One bounded-heap leapfrog pass over docIds in `[fromDoc, untilDoc)` —
     * the k-way max-pivot intersection of the reference
     * (`query_processing.h:710-852`), lossy BM25, inline bounded heap:
@@ -913,6 +981,11 @@ final class LocalService(val ix: Searcher.LoadedIndex,
 }
 
 object LocalService {
+  /** One term's slice of an `explain` decomposition: contribution =
+    * idf·tfNorm, and the per-doc score is the slot-ordered Σ contribution. */
+  final case class Explanation(term: String, tf: Long, df: Long,
+                               idf: Double, tfNorm: Double, contribution: Double)
+
   /** Largest index (docs) served with the dense per-thread accumulator:
     * 2^24 docs = 128 MB of doubles per serving thread. */
   val maxDenseDocs: Long = 1L << 24

@@ -921,9 +921,12 @@ object Searcher {
           PostingCodec.decodeDocIdTf(prev, n, ids, tfs).iterator.map(p => (t, p._1))
         }.toDF("term", "docId")
     }
+    // terms are distinct and each (term, docId) posting is unique across
+    // blocks (salted shards partition the docId space), so a plain count
+    // equals the distinct-term count without countDistinct's Expand
     val matched = decodeIds(terms)
       .groupBy($"docId")
-      .agg(countDistinct($"term").as("nMatched"))
+      .agg(count(lit(1)).as("nMatched"))
       .filter($"nMatched" === terms.size)
       .select("docId")
     val ex = excludeTerms.distinct.filter(meta.contains)
@@ -943,6 +946,18 @@ object Searcher {
       .join(ix.docstore.select(col("docId"), col(facetCol)), "docId")
       .groupBy(col(facetCol))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** Histogram facet (the ES `histogram` aggregation): matching-doc counts
+    * per fixed-width bucket of a numeric docstore column — same matched
+    * set and join shape as [[facetCounts]], bucket = floor(col / width). */
+  def facetHistogram(ix: LoadedIndex, queryTerms: Seq[String], numCol: String,
+                     width: Long, excludeTerms: Seq[String] = Nil): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    matchingDocs(ix, queryTerms, excludeTerms)
+      .join(ix.docstore.select(col("docId"), col(numCol)), "docId")
+      .groupBy(floor(col(numCol) / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 
   /** Pruning diagnostics of the most recent [[search]] call on this JVM
     * (driver-side; for tests/benchmarks, not part of the query result). */

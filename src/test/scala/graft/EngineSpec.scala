@@ -487,6 +487,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .intersect(oracle.postings("return").map(_._1).toSet)
     assert(m == wantM)
     assert(Searcher.matchingDocs(ix, Seq("if", "zzz_absent")).isEmpty)
+    // histogram facet: same matched set, bucketed on the numeric len column
+    val gotH = Searcher.facetHistogram(ix, Seq("if", "return"), "len", 10L)
+      .as[(Long, Long)].collect().toMap
+    val wantH = wantM.groupBy(d => oracle.docLen(d).toLong / 10L)
+      .map { case (b, ds) => b -> ds.size.toLong }
+    assert(gotH == wantH, s"histogram mismatch: $gotH vs $wantH")
   }
 
   test("phrase query matches oracle") {
@@ -875,6 +881,40 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val warmMs = (System.nanoTime() - t0) / 1e6
     assert(again.map(_.docId) == Oracle.search(oracle, Seq("if", "return"), 10).map(_.docId))
     assert(warmMs < 200.0, s"warm serve took ${warmMs}ms — not a resident path")
+  }
+
+  test("LocalService: explain decomposes the served score exactly") {
+    built
+    val svc = new graft.query.LocalService(ix)
+    val terms = Seq("if", "return")
+    val hits = svc.search(terms, 3)
+    assert(hits.nonEmpty)
+    hits.foreach { h =>
+      val ex = svc.explain(terms, h.docId)
+      assert(ex.map(_.term) == terms)
+      // slot-ordered sum of the decomposition IS the served score, bitwise
+      val sum = ex.foldLeft(0.0)(_ + _.contribution)
+      assert(sum == h.score, s"explain sum $sum != served ${h.score}")
+      ex.foreach { e =>
+        assert(e.contribution == e.idf * e.tfNorm && e.tf > 0 && e.df > 0)
+      }
+    }
+    // boosts flow through the decomposition the same way search applies them
+    val bHits = svc.search(terms, 1, boosts = Map("return" -> 2.5))
+    val bEx = svc.explain(terms, bHits.head.docId, boosts = Map("return" -> 2.5))
+    assert(bEx.foldLeft(0.0)(_ + _.contribution) == bHits.head.score)
+    // conjunctive semantics: absent term or a doc missing one term => empty
+    assert(svc.explain(Seq("if", "zzz_absent"), hits.head.docId).isEmpty)
+    val retDocs = oracle.postings("return").map(_._1).toSet
+    oracle.postings("if").map(_._1).find(!retDocs.contains(_)).foreach { d =>
+      assert(svc.explain(terms, d).isEmpty, s"doc $d lacks 'return'")
+    }
+    // over-budget terms: identical decomposition via pruned block decode,
+    // with nothing materialized on the driver
+    val tight = new graft.query.LocalService(ix, maxFetchPostings = 50L)
+    assert(tight.explain(terms, hits.head.docId) == svc.explain(terms, hits.head.docId))
+    assert(tight.residentPostings == 0L,
+      "explain materialized a hot term list on the driver")
   }
 
   test("LocalService: parallel range scan is bitwise-identical to sequential") {
