@@ -1217,6 +1217,14 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // ANN quality eval: recall@10 of the IVF index vs the exact brute-force
+    // top-10 for 3 probe queries — training and assignment shared across
+    // queries; the number a pipeline checks before trusting kCells/nprobe.
+    "ann_recall_at10" -> ((s, dir) =>
+      Similarity.ivfRecallAtK(embs(s, dir), "embedding", "vec_id",
+          queryIds = Seq(0L, 1L, 2L), kTop = 10, kCells = 16, iters = 2, nprobe = 4)
+        .orderBy("query_id")),
+
     // k-NN join: nearest neighbor for each of the first 200 vectors
     "ann_knn1" -> { (s, dir) =>
       val e = embs(s, dir).filter(col("vec_id") < 200)
@@ -1536,6 +1544,37 @@ object SparkEntry {
   private val SHING =
     s"(CASE WHEN len($T) < 3 THEN []::VARCHAR[] ELSE list_transform(range(1, len($T) - 1), i -> array_to_string(($T)[i:i+2], ' ')) END)"
   private val QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1e6))"
+
+  /** Exact integer squared L2 between two quantized list columns (SQL). */
+  private def ivfD2(v: String, c: String) =
+    s"list_sum(list_transform(range(len($v)), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1])))"
+
+  /** The IVF k-means training chain (16 cells, 2 Lloyd iterations) as
+    * DuckDB CTEs, shared by the `ann_ivf_topk` and `ann_recall_at10`
+    * oracles: `v` = quantized vectors, `c2` = trained centroids, `af` =
+    * final (vec_id, qv, cell) assignment — mirrors
+    * [[graft.ops.Similarity.kmeansCentroids]] step for step. */
+  private val IvfTrainCtes: String = {
+    def asn(cin: String, out: String) =
+      s"""$out AS (SELECT vec_id, qv, cell FROM (
+         |  SELECT v.vec_id, v.qv, $cin.cell,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${ivfD2("v.qv", s"$cin.cv")}, $cin.cell) rn
+         |  FROM v, $cin) WHERE rn = 1)""".stripMargin
+    def upd(ain: String, cin: String, out: String) =
+      s"""${out}_m AS (SELECT cell, i, round(avg(qv[i+1]))::BIGINT m
+         |  FROM $ain, unnest(range(len(qv))) u(i) GROUP BY cell, i),
+         | ${out}_l AS (SELECT cell, list(m ORDER BY i) cv FROM ${out}_m GROUP BY cell),
+         | $out AS (SELECT $cin.cell, coalesce(${out}_l.cv, $cin.cv) cv
+         |  FROM $cin LEFT JOIN ${out}_l USING (cell))""".stripMargin
+    s"""v AS (SELECT vec_id, $QUANT qv FROM embeddings),
+       | c0 AS (SELECT vec_id::INT cell, qv cv FROM v WHERE vec_id < 16),
+       | ${asn("c0", "a1")},
+       | ${upd("a1", "c0", "c1")},
+       | ${asn("c1", "a2")},
+       | ${upd("a2", "c1", "c2")},
+       | ${asn("c2", "af")}""".stripMargin
+  }
   /** SQL mirror of [[punct]] (regexp_replace global, literal patterns). */
   private val PUNCT =
     "regexp_replace(regexp_replace(text, ' a ', '. ', 'g'), ' the ', '; ', 'g')"
@@ -2251,36 +2290,40 @@ object SparkEntry {
          |SELECT id_a, id_b, cos_micro FROM pairs WHERE cos_micro >= 500000
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "ann_ivf_topk" -> {
-      def d2(v: String, c: String) =
-        s"list_sum(list_transform(range(len($v)), i -> ($v[i+1]-$c[i+1])*($v[i+1]-$c[i+1])))"
-      def asn(cin: String, out: String) =
-        s"""$out AS (SELECT vec_id, qv, cell FROM (
-           |  SELECT v.vec_id, v.qv, $cin.cell,
-           |    row_number() OVER (PARTITION BY v.vec_id
-           |      ORDER BY ${d2("v.qv", s"$cin.cv")}, $cin.cell) rn
-           |  FROM v, $cin) WHERE rn = 1)""".stripMargin
-      def upd(ain: String, cin: String, out: String) =
-        s"""${out}_m AS (SELECT cell, i, round(avg(qv[i+1]))::BIGINT m
-           |  FROM $ain, unnest(range(len(qv))) u(i) GROUP BY cell, i),
-           | ${out}_l AS (SELECT cell, list(m ORDER BY i) cv FROM ${out}_m GROUP BY cell),
-           | $out AS (SELECT $cin.cell, coalesce(${out}_l.cv, $cin.cv) cv
-           |  FROM $cin LEFT JOIN ${out}_l USING (cell))""".stripMargin
-      s"""WITH v AS (SELECT vec_id, $QUANT qv FROM embeddings),
-         | c0 AS (SELECT vec_id::INT cell, qv cv FROM v WHERE vec_id < 16),
-         | ${asn("c0", "a1")},
-         | ${upd("a1", "c0", "c1")},
-         | ${asn("c1", "a2")},
-         | ${upd("a2", "c1", "c2")},
-         | ${asn("c2", "af")},
+    "ann_ivf_topk" ->
+      s"""WITH $IvfTrainCtes,
          | q AS (SELECT qv qqv FROM v WHERE vec_id = 0),
-         | probe AS (SELECT cell FROM c2, q ORDER BY ${d2("qqv", "c2.cv")}, cell LIMIT 4),
+         | probe AS (SELECT cell FROM c2, q ORDER BY ${ivfD2("qqv", "c2.cv")}, cell LIMIT 4),
          | cand AS (SELECT af.vec_id, af.cell,
          |   round(list_dot_product(af.qv, qqv) / sqrt(list_dot_product(af.qv, af.qv) * list_dot_product(qqv, qqv)) * 1e6)::BIGINT cos_micro
          |  FROM af JOIN probe USING (cell) CROSS JOIN q),
          | top AS (SELECT *, row_number() OVER (ORDER BY cos_micro DESC, vec_id) rank FROM cand)
          |SELECT vec_id, cell::BIGINT cell, cos_micro, rank::BIGINT rank
-         |FROM top WHERE rank <= 10 ORDER BY rank""".stripMargin
+         |FROM top WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    // recall@10: the same trained index (shared CTEs) probed for 3 query
+    // ids; IVF and exact top-10 sets intersect per query
+    "ann_recall_at10" -> {
+      val cos = (a: String, b: String) =>
+        s"round(list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)) * 1e6)::BIGINT"
+      s"""WITH $IvfTrainCtes,
+         | qs AS (SELECT vec_id qid, qv qqv FROM v WHERE vec_id IN (0,1,2)),
+         | probe AS (SELECT qid, cell FROM (
+         |   SELECT qs.qid, c2.cell, row_number() OVER (PARTITION BY qs.qid
+         |     ORDER BY ${ivfD2("qqv", "c2.cv")}, c2.cell) rn FROM c2, qs) WHERE rn <= 4),
+         | ivf AS (SELECT qid, vec_id FROM (
+         |   SELECT p.qid, af.vec_id, row_number() OVER (PARTITION BY p.qid
+         |     ORDER BY ${cos("af.qv", "qs.qqv")} DESC, af.vec_id) rank
+         |   FROM af JOIN probe p USING (cell) JOIN qs ON qs.qid = p.qid) WHERE rank <= 10),
+         | ex AS (SELECT qid, vec_id FROM (
+         |   SELECT qs.qid, v2.vec_id, row_number() OVER (PARTITION BY qs.qid
+         |     ORDER BY ${cos("v2.qv", "qs.qqv")} DESC, v2.vec_id) rank
+         |   FROM v v2, qs) WHERE rank <= 10),
+         | ov AS (SELECT qid, count(*)::BIGINT n_overlap FROM ivf JOIN ex USING (qid, vec_id) GROUP BY qid),
+         | exn AS (SELECT qid, count(*)::BIGINT n FROM ex GROUP BY qid)
+         |SELECT exn.qid query_id, coalesce(ov.n_overlap, 0)::BIGINT n_overlap,
+         | round(coalesce(ov.n_overlap, 0)::DOUBLE / exn.n * 1e6)::BIGINT recall_micro
+         |FROM exn LEFT JOIN ov USING (qid) ORDER BY query_id""".stripMargin
     },
 
     "ann_knn1" ->

@@ -211,6 +211,52 @@ object Similarity {
       .limit(kTop)
   }
 
+  /** ANN retrieval-quality evaluation: recall@k of the IVF index against
+    * the exact brute-force top-k, per probe query — the measurement every
+    * ANN deployment runs before trusting its kCells/nprobe settings, and a
+    * first-class pipeline op (an index with unmeasured recall is not
+    * shippable). Trains ONCE and caches the cell assignment; each probe
+    * query then costs one cell-pruned scan (the IVF answer) and one full
+    * scan (the exact baseline) over the cached assignment. The eval sample
+    * (`queryIds`) is small by definition, so the driver-side loop is a
+    * bounded number of TakeOrdered jobs, each collecting <= kTop ids.
+    * Returns (query_id, n_overlap, recall_micro); ids absent from the
+    * table are skipped. */
+  def ivfRecallAtK(df: DataFrame, vecCol: String, idCol: String,
+                   queryIds: Seq[Long], kTop: Int, kCells: Int, iters: Int,
+                   nprobe: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = kmeansCentroids(df, vecCol, idCol, kCells, iters)
+    val vecs = df.select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+    val assigned = assignCells(vecs, cents).cache()
+    val queries: Map[Long, Array[Long]] = assigned
+      .filter(col("id").isin(queryIds: _*))
+      .select("id", "qv").as[(Long, Seq[Long])].collect()
+      .map { case (i, v) => i -> v.toArray }.toMap
+    def topIds(base: DataFrame, qLit: Column): Set[Long] = base
+      .select(col("id"), cosineMicro(col("qv"), qLit).as("cos_micro"))
+      .orderBy(desc("cos_micro"), asc("id")).limit(kTop)
+      .select("id").as[Long].collect().toSet
+    val rows = queryIds.sorted.flatMap { qid =>
+      queries.get(qid).map { q =>
+        val qLit = array(q.map(lit).toIndexedSeq: _*)
+        // same probe rule as ivfTopK: nprobe nearest centroids, ties to
+        // the lower cell
+        val probed: Seq[Int] = cents.zipWithIndex.map { case (c, i) =>
+          (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+        }.sortBy(identity).take(nprobe).map(_._2).toSeq
+        val ivf = topIds(assigned.filter(col("cell").isin(probed: _*)), qLit)
+        val exact = topIds(assigned, qLit)
+        val overlap = (ivf & exact).size
+        (qid, overlap.toLong,
+          math.round(overlap.toDouble / math.max(1, exact.size) * 1e6))
+      }
+    }
+    assigned.unpersist(false)
+    rows.toDF("query_id", "n_overlap", "recall_micro")
+  }
+
   /** Exact all-pairs cosine above a threshold (oracle-comparable embedding
     * near-dup for modest n; the LSH path above is the scale path). */
   def exactNearDup(df: DataFrame, vecCol: String, idCol: String,

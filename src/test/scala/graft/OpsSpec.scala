@@ -392,6 +392,21 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"ivf=${ivf.toSeq} brute=${brute.toSeq}")
     // all results from ONE cell (nprobe=1) — the partition-pruning claim
     assert(ivf.map(_._2).distinct.length == 1)
+    // recall@k: probing ALL cells makes IVF == exact by construction
+    // (recall 1.0); probing only the query's cluster cell still finds its
+    // whole top-5 on this separated data
+    val recAll = Similarity.ivfRecallAtK(vecs, "embedding", "vec_id",
+        queryIds = Seq(0L, 1L, 2L), kTop = 5, kCells = 2, iters = 3, nprobe = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(recAll.map(_._1) == Seq(0L, 1L, 2L))
+    assert(recAll.forall(r => r._2 == 5L && r._3 == 1000000L), recAll.toString)
+    val rec1 = Similarity.ivfRecallAtK(vecs, "embedding", "vec_id",
+        queryIds = Seq(0L), kTop = 5, kCells = 2, iters = 3, nprobe = 1)
+      .as[(Long, Long, Long)].collect().head
+    assert(rec1._3 == 1000000L, s"cluster-local top-5 should be exact: $rec1")
+    // absent query ids are skipped, not failed
+    assert(Similarity.ivfRecallAtK(vecs, "embedding", "vec_id",
+      queryIds = Seq(999L), kTop = 5, kCells = 2, iters = 3, nprobe = 1).count() == 0L)
   }
 
   test("language id picks the marker-dominant language") {
