@@ -35,7 +35,8 @@ object Searcher {
   final case class Hit(docId: Int, score: Double, rank: Int)
 
   final case class LoadedIndex(spark: SparkSession, indexDir: String, nDocs: Long,
-                               avgLen: Double, lossyCache: Array[Double]) {
+                               avgLen: Double, lossyCache: Array[Double],
+                               asOfSeg: Option[Long] = None) {
     private def hasSegments: Boolean = {
       val d = java.nio.file.Paths.get(indexDir, "termstats")
       java.nio.file.Files.exists(d) && {
@@ -46,6 +47,18 @@ object Searcher {
         } finally s.close()
       }
     }
+    /** Manifest-committed LIVE segments, optionally restricted to the
+      * [[asOfSeg]] snapshot (segments with id <= asOfSeg): the Iceberg
+      * time-travel analog over the segment commit log. Compaction retires
+      * its source segments, so snapshots older than the last compaction
+      * are no longer readable — the snapshot-expiry semantics Iceberg has
+      * when old snapshots are cleaned up. Delete tombstones are Lucene
+      * live-docs: they apply to whatever segments are visible, they are
+      * not part of the segment snapshot. */
+    private def liveSegments: Seq[Long] = {
+      val live = graft.index.Manifest.committedSegments(indexDir)
+      asOfSeg.fold(live)(n => live.filter(_ <= n))
+    }
     /** For a segmented (streaming) index, restrict partition discovery to
       * the manifest-committed LIVE segments — an in-flight append or a
       * compaction between publish and cleanup leaves seg= directories on
@@ -54,10 +67,7 @@ object Searcher {
     private def segRead(stage: String): DataFrame = {
       val df = spark.read.parquet(s"$indexDir/$stage")
       if (!hasSegments) df
-      else {
-        val live = graft.index.Manifest.committedSegments(indexDir)
-        df.filter(col("seg").isin(live: _*))
-      }
+      else df.filter(col("seg").isin(liveSegments: _*))
     }
     def postings: DataFrame = segRead("postings")
     /** Whether the postings carry the inline per-posting norm stream
@@ -99,22 +109,32 @@ object Searcher {
       if (!java.nio.file.Files.exists(p)) None
       else if (!hasSegments) Some(spark.read.parquet(s"$indexDir/bloom"))
       else {
-        val live = graft.index.Manifest.committedSegments(indexDir)
+        val live = liveSegments
         if (!live.forall(s => java.nio.file.Files.exists(p.resolve(s"seg=$s")))) None
         else Some(spark.read.parquet(s"$indexDir/bloom").filter(col("seg").isin(live: _*)))
       }
     }
   }
 
-  def load(spark: SparkSession, indexDir: String): LoadedIndex = {
+  /** Load an index for querying. `asOfSeg` opens a SNAPSHOT read of a
+    * segmented index — only segments committed with id <= asOfSeg are
+    * visible, and the corpus stats (N, avgdl, hence every BM25 score) are
+    * recomputed over exactly that snapshot, so an as-of query is
+    * bit-identical to querying the index as it stood at that commit
+    * (asserted in StreamingSpec). The segment manifests are the snapshot
+    * log — the Iceberg-checkpoint resumability story read back as time
+    * travel. */
+  def load(spark: SparkSession, indexDir: String,
+           asOfSeg: Option[Long] = None): LoadedIndex = {
     import spark.implicits._
     // nDocs and exact avg: integer sum / count — deterministic at any
     // parallelism (no FP accumulation-order dependence).
-    val probe = LoadedIndex(spark, indexDir, 0L, 0.0, Array.empty)
+    val probe = LoadedIndex(spark, indexDir, 0L, 0.0, Array.empty, asOfSeg)
     val (n, sumLen) = probe.doclen
-      .agg(count(lit(1)), sum($"len").cast("long")).as[(Long, Long)].head()
+      .agg(count(lit(1)), coalesce(sum($"len"), lit(0L)).cast("long"))
+      .as[(Long, Long)].head()
     val avg = if (n == 0) 0.0 else sumLen.toDouble / n
-    LoadedIndex(spark, indexDir, n, avg, Bm25.lossyCache(avg))
+    LoadedIndex(spark, indexDir, n, avg, Bm25.lossyCache(avg), asOfSeg)
   }
 
   /** `bloom_enable_factor` sentinel: never consult the bloom store

@@ -66,6 +66,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("as-of snapshot read: segment-watermark time travel, stats re-baselined") {
+    import spark.implicits._
+    val ixDir = s"$root/ix_asof"
+    val all = (0L until 450L).map(id => CorpusGen.row(42L, id))
+    def df(range: Seq[(String, String, String, String, String)]) =
+      range.toDF("repo", "path", "commit", "lang", "content")
+        .withColumn("sha256", org.apache.spark.sql.functions.sha2(
+          org.apache.spark.sql.functions.col("content"), 256))
+    StreamingIndexer.appendSegment(spark, df(all.take(150)), ixDir, segId = 0, partitions = 4)
+    StreamingIndexer.appendSegment(spark, df(all.slice(150, 300)), ixDir, segId = 1, partitions = 4)
+    // capture query results as the index stands AT segment 1
+    val atSeg1 = Searcher.load(spark, ixDir)
+    val queries = Seq(Seq("if"), Seq("if", "return"), Seq("hash", "seed"))
+    val want = queries.map(t => Searcher.search(atSeg1, t, 10).collect().sortBy(_.rank).toSeq)
+    val wantStats = (atSeg1.nDocs, atSeg1.avgLen)
+    // a later append changes the live index...
+    StreamingIndexer.appendSegment(spark, df(all.drop(300)), ixDir, segId = 2, partitions = 4)
+    val now = Searcher.load(spark, ixDir)
+    assert(now.nDocs == 450)
+    // ...but the as-of snapshot reproduces the segment-1 state exactly:
+    // same docs, same corpus stats, bit-identical scores
+    val asOf = Searcher.load(spark, ixDir, asOfSeg = Some(1L))
+    assert((asOf.nDocs, asOf.avgLen) == wantStats)
+    queries.zip(want).foreach { case (t, w) =>
+      val got = Searcher.search(asOf, t, 10).collect().sortBy(_.rank).toSeq
+      assert(got.map(_.docId) == w.map(_.docId), s"as-of docs mismatch for $t")
+      got.zip(w).foreach { case (g, x) => assert(g.score == x.score, s"as-of score for $t") }
+    }
+    // the current read is genuinely different (the snapshot isn't a no-op)
+    assert(now.nDocs != asOf.nDocs)
+    // an as-of id older than every committed segment reads an empty corpus
+    assert(Searcher.load(spark, ixDir, asOfSeg = Some(-1L)).nDocs == 0L)
+  }
+
   test("re-running a committed segment is a no-op (idempotent)") {
     import spark.implicits._
     val ixDir = s"$root/ix"
