@@ -1367,6 +1367,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("bucket"), col("rn").cast("long").as("rn"))
         .orderBy("doc_id")),
 
+    // data-mixture sampling: 200 docs at a 50/20/15/10/5 language mixture —
+    // exact integer Hamilton apportionment, quota-lowest rows per source by
+    // the salted hash order (capping/redistribution path unit-tested in
+    // OpsSpec; uncapped here so the oracle stays loop-free)
+    "sample_mixture" -> ((s, dir) =>
+      TextOps.mixtureSample(docs(s, dir), "doc_id", "lang",
+          Map("en" -> 50L, "de" -> 20L, "es" -> 15L, "fr" -> 10L, "zh" -> 5L),
+          total = 200L)
+        .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+        .orderBy("doc_id")),
+
     // multimodal plumbing: binary payload + typed metadata (decode stubbed)
     "mm_meta" -> { (s, dir) =>
       import s.implicits._
@@ -2513,6 +2524,25 @@ object SparkEntry {
          |   ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 1000000 bucket
          |  FROM documents))
          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    // mixture sampling: exact integer Hamilton apportionment mirrored CTE
+    // for CTE — quota = floor(total*parts/psum) + largest-remainder bumps
+    // (ties to the smaller lang), then the same hash-rank selection as
+    // sample_quota
+    "sample_mixture" ->
+      s"""WITH w(lang, parts) AS (VALUES ('de', 20), ('en', 50), ('es', 15), ('fr', 10), ('zh', 5)),
+         | ps AS (SELECT sum(parts)::BIGINT psum FROM w),
+         | base AS (SELECT lang, (200 * parts) // psum q, (200 * parts) % psum rem FROM w, ps),
+         | lft AS (SELECT (200 - sum(q))::BIGINT l FROM base),
+         | rk AS (SELECT lang, q, row_number() OVER (ORDER BY rem DESC, lang) r FROM base),
+         | quota AS (SELECT lang, q + CASE WHEN r <= (SELECT l FROM lft) THEN 1 ELSE 0 END quota FROM rk),
+         | hashed AS (SELECT doc_id, lang,
+         |   ('0x' || substr(md5(doc_id::VARCHAR || ':graft'), 1, 15))::BIGINT % 1000000 bucket
+         |  FROM documents),
+         | ranked AS (SELECT doc_id, lang, bucket,
+         |   row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) rn FROM hashed)
+         |SELECT doc_id, lang, rn::BIGINT rn FROM ranked JOIN quota USING (lang)
+         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
     "mm_meta" ->
       s"""SELECT doc_id media_id,

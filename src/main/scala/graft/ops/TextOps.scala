@@ -433,6 +433,74 @@ object TextOps {
       .filter(col("rn") <= quota)
   }
 
+  /** Data-mixture sampling: a deterministic sample of `total` rows whose
+    * source composition matches the target weights — the mixture-
+    * rebalancing step of training-data assembly (50% wiki / 30% web /
+    * 20% code regardless of raw availability). Weights are integer PARTS
+    * (e.g. 50/30/20), so quota apportionment is exact Hamilton
+    * (largest-remainder) arithmetic: quota = ⌊total·parts/Σparts⌋ plus one
+    * for the largest integer remainders (ties to the lexicographically
+    * smaller source) — no floating point anywhere, bit-identical in any
+    * engine. A source with fewer rows than its quota contributes all of
+    * them and the deficit is re-apportioned over the remaining sources by
+    * the same rule, so the sample stays `total`-sized while capacity
+    * remains. Within a source the quota-lowest rows by the salted hash
+    * order are taken ([[quotaSample]]'s rank rule) — membership is stable
+    * under corpus growth. Cost: one k-row count aggregation to the driver
+    * (k = #sources) + one rank filter; scales like [[quotaSample]]. */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    parts: Map[String, Long], total: Long,
+                    salt: String = "graft"): DataFrame = {
+    require(parts.nonEmpty && parts.valuesIterator.forall(_ > 0) && total >= 0,
+      "parts must be positive and total non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val inMix = df.filter(col(sourceCol).isin(parts.keys.toSeq: _*))
+    val avail: Map[String, Long] =
+      inMix.groupBy(sourceCol).count().as[(String, Long)].collect().toMap
+    // exact Hamilton apportionment of `target` over `ws` (integer parts)
+    def apportion(target: Long, ws: Seq[(String, Long)]): Map[String, Long] = {
+      val psum = ws.map(_._2).sum
+      val base = ws.map { case (s, p) =>
+        (s, target * p / psum, target * p % psum)
+      }
+      val leftover = target - base.map(_._2).sum
+      val bump = base.sortBy { case (s, _, r) => (-r, s) }
+        .take(leftover.toInt).map(_._1).toSet
+      base.map { case (s, q, _) => s -> (q + (if (bump(s)) 1L else 0L)) }.toMap
+    }
+    // cap at availability, re-apportion the deficit over uncapped sources;
+    // each round retires >= 1 source, so the loop is bounded by #sources
+    var quotas = Map.empty[String, Long]
+    var live = parts.toSeq.sortBy(_._1)
+    var remaining = total
+    while (remaining > 0 && live.nonEmpty) {
+      val q = apportion(remaining, live)
+      val capped = live.collect { case (s, _) if q(s) > avail.getOrElse(s, 0L) => s }
+      if (capped.isEmpty) {
+        quotas ++= q
+        remaining = 0
+      } else {
+        capped.foreach { s =>
+          val a = avail.getOrElse(s, 0L)
+          quotas += s -> a
+          remaining -= a
+        }
+        live = live.filterNot { case (s, _) => capped.contains(s) }
+      }
+    }
+    val qDf = broadcast(quotas.toSeq.toDF(sourceCol, "_quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col("bucket"), col(idCol))
+    inMix
+      .withColumn("bucket", hashBucket(col(idCol), salt))
+      .withColumn("rn", row_number().over(w))
+      .join(qDf, sourceCol)
+      .filter(col("rn") <= col("_quota"))
+      .drop("_quota")
+  }
+
   private val WinnowM = (1L << 61) - 1 // Mersenne prime 2^61-1
 
   /** `(a * b) mod (2^61-1)` without overflow for small `b` (< ~2^20):

@@ -545,4 +545,35 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q2 = TextOps.quotaSample(d, "doc_id", "lang", quota = 7).collect()
     assert(q1.map(_.getLong(0)).sorted.toSeq == q2.map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("mixture sampling: exact apportionment, caps redistribute, prefix-stable") {
+    import spark.implicits._
+    // availability: a=10, b=4, c=6
+    val d = ((0 until 10).map(i => (i.toLong, "a")) ++
+      (10 until 14).map(i => (i.toLong, "b")) ++
+      (14 until 20).map(i => (i.toLong, "c"))).toDF("id", "src")
+    def comp(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy("src").count().as[(String, Long)].collect().toMap
+    // uncapped: 10 rows at 50/30/20 parts -> exactly 5/3/2
+    val m10 = TextOps.mixtureSample(d, "id", "src",
+      Map("a" -> 50L, "b" -> 30L, "c" -> 20L), total = 10L)
+    assert(comp(m10) == Map("a" -> 5L, "b" -> 3L, "c" -> 2L))
+    // capped: 16 at equal parts -> raw 6/5/5; b holds only 4, its deficit
+    // re-apportions over a and c -> 6/4/6
+    val m16 = TextOps.mixtureSample(d, "id", "src",
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L), total = 16L)
+    assert(comp(m16) == Map("a" -> 6L, "b" -> 4L, "c" -> 6L))
+    // demand beyond total capacity: everything available is taken
+    assert(TextOps.mixtureSample(d, "id", "src",
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L), total = 100L).count() == 20L)
+    // hash-rank selection makes per-source membership a PREFIX: growing the
+    // budget never evicts a previously selected row of the same source
+    val ids10 = m10.filter(col("src") === "a").select("id").as[Long].collect().toSet
+    val ids16 = m16.filter(col("src") === "a").select("id").as[Long].collect().toSet
+    assert(ids10.subsetOf(ids16))
+    // unknown sources are ignored, not sampled
+    assert(TextOps.mixtureSample(d, "id", "src",
+      Map("a" -> 1L, "zz" -> 1L), total = 8L)
+      .filter(col("src") =!= "a").count() == 0L)
+  }
 }
