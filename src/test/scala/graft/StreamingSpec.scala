@@ -3,7 +3,7 @@ package graft
 import graft.core.Oracle
 import graft.corpus.CorpusGen
 import graft.query.Searcher
-import graft.streaming.StreamingIndexer
+import graft.streaming.{StreamingDedup, StreamingIndexer}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -403,6 +403,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want2 = Oracle.search(liveOracle, Seq("if", "return"), 10)
     assert(got2.map(_.docId) == want2.map(_.docId))
     got2.zip(want2).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+  }
+
+  test("streaming exact dedup: first arrival wins across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (0L, "alpha beta"), (1L, "alpha  beta"), (2L, "gamma ray"), // 1 dups 0 (normalized)
+      (3L, "gamma ray"), (4L, "delta"), (5L, "alpha beta"))       // cross-batch dups of 2 and 0
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingDedup.dedupStream(in.toDF().toDF("id", "text"), "text")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out").select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L, 2L, 4L), s"streamed dedup kept $got")
+    // equivalence with the batch keep rule (arrival order == id order):
+    // the streamed survivors ARE the batch representatives
+    val batchKeep = graft.ops.Dedup.exactGroups(rows.toDF("id", "text"), "text", "id")
+      .select("keep_id").as[Long].collect().sorted.toSeq
+    assert(got == batchKeep)
   }
 
   test("delete-by-query resolves ids from the docstore predicate") {
