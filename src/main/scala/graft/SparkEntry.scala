@@ -217,7 +217,8 @@ object SparkEntry {
                        conjunctive: Boolean = true,
                        eligible: Option[DataFrame] = None,
                        excludeTerms: Seq[String] = Nil,
-                       boosts: Map[String, Double] = Map.empty): DataFrame = {
+                       boosts: Map[String, Double] = Map.empty,
+                       minShouldMatch: Int = 0): DataFrame = {
     val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
     val pivoted0 = tfq.groupBy("doc_id")
       .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
@@ -226,10 +227,17 @@ object SparkEntry {
         }: _*)
     // OR keeps docs matching ANY term (each slot contributes 0.0 when its
     // term is absent from the doc — the reference declares SearchOperator::OR
-    // at types.h:70 but never implements it; these are the natural semantics)
+    // at types.h:70 but never implements it; these are the natural
+    // semantics). minimum_should_match (Lucene's msm knob, the dial between
+    // OR and AND) keeps docs matching at least `minShouldMatch` distinct
+    // terms — only meaningful with conjunctive = false.
     val pivoted1 =
       if (conjunctive)
         pivoted0.filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
+      else if (minShouldMatch > 1)
+        pivoted0.filter(
+          terms.indices.map(i => when(col(s"tf$i").isNotNull, 1).otherwise(0))
+            .reduce(_ + _) >= minShouldMatch)
       else pivoted0
     // metadata filter (e.g. lang = 'de'): restricts the CANDIDATE set only —
     // df/avg-length stats stay corpus-global, so a doc's score is identical
@@ -789,6 +797,11 @@ object SparkEntry {
     // SearchOperator::OR) but never implemented there; completed here
     "a5_bm25_or_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10,
       conjunctive = false)),
+    // minimum_should_match (Lucene's msm knob, the dial between OR and
+    // AND): docs matching at least 2 of the 3 terms, matching slots score,
+    // absent slots contribute exactly 0.0
+    "a5_bm25_msm_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query", "join"), 10,
+      conjunctive = false, minShouldMatch = 2)),
     // filtered search: BM25 top-k restricted to a metadata predicate
     // (candidate filter; corpus-global stats — scores identical to the
     // unfiltered query, standard filter-query semantics)
@@ -1619,8 +1632,10 @@ object SparkEntry {
 
   /** Disjunctive (OR) BM25 top-k oracle: same pivot/df/score structure as
     * the Spark side — absent slots contribute exactly 0.0, docs matching no
-    * term never enter. */
-  private def bm25OrSql(terms: Seq[String], k: Int): String = {
+    * term never enter. `minShouldMatch` > 1 adds the msm candidate rule
+    * (at least that many distinct terms present). */
+  private def bm25OrSql(terms: Seq[String], k: Int,
+                        minShouldMatch: Int = 0): String = {
     val termList = terms.map(t => s"'$t'").mkString(",")
     val pvCols = terms.zipWithIndex.map { case (t, i) =>
       s"max(CASE WHEN term = '$t' THEN tf END) tf$i"
@@ -1633,7 +1648,8 @@ object SparkEntry {
     }.mkString(" + ")
     s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
        | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
-       | pv AS (SELECT doc_id, $pvCols FROM tf WHERE term IN ($termList) GROUP BY doc_id),
+       | pv AS (SELECT doc_id, $pvCols FROM tf WHERE term IN ($termList) GROUP BY doc_id${
+        if (minShouldMatch > 1) s" HAVING count(DISTINCT term) >= $minShouldMatch" else ""}),
        | dfs AS (SELECT $dfCols FROM tf WHERE term IN ($termList)),
        | base AS (SELECT * FROM lens JOIN pv USING (doc_id) CROSS JOIN stats CROSS JOIN dfs),
        | scored AS (SELECT doc_id, ($score) AS score FROM base)
@@ -1951,6 +1967,7 @@ object SparkEntry {
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     },
     "a5_bm25_or_topk" -> bm25OrSql(Seq("spark", "query"), 10),
+    "a5_bm25_msm_topk" -> bm25OrSql(Seq("spark", "query", "join"), 10, minShouldMatch = 2),
     "a5_bm25_filtered_topk" -> bm25Sql(Seq("spark", "query"), 10,
       filterWhere = Some("lang = 'de'")),
     "a5_bm25_not_topk" -> bm25Sql(Seq("spark", "query"), 10,
