@@ -616,6 +616,47 @@ object SparkEntry {
         .orderBy("bucket")
     },
 
+    // A7: top-hits per facet bucket (the ES `top_hits` sub-aggregation):
+    // the 2 best-scoring docs of the conjunctive query WITHIN each lang
+    // bucket — facet panel rows with example hits. Window partitioned by
+    // the bucket (per-bucket rank, no global sort); same BM25 doubles as
+    // a5_bm25_topk, micro-rounded per hit.
+    "a7_top_hits" -> { (s, dir) =>
+      val terms = Seq("spark", "query")
+      val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
+      val pivoted = tfq.groupBy("doc_id")
+        .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
+          terms.tail.zipWithIndex.map { case (t, i) =>
+            max(when(col("term") === t, col("tf"))).as(s"tf${i + 1}")
+          }: _*)
+        .filter(terms.indices.map(i => col(s"tf$i").isNotNull).reduce(_ && _))
+      val dfsC = tfq.agg(
+        count(when(col("term") === terms.head, lit(1))).cast("long").as("df0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          count(when(col("term") === t, lit(1))).cast("long").as(s"df${i + 1}")
+        }: _*)
+      val len = lenTable(s, dir)
+      val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("len").cast("long").as("sum_len"))
+      val base = len.join(pivoted, "doc_id").crossJoin(dfsC).crossJoin(stats)
+      val avg = col("sum_len").cast("double") / col("n_docs").cast("double")
+      val lossy = lossyLen(col("len")).cast("double")
+      val score = terms.indices.map { i =>
+        val idf = log(lit(1.0) + (col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+        val tfn = col(s"tf$i") * lit(2.2) /
+          (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * lossy / avg))
+        idf * tfn
+      }.reduceLeft(_ + _)
+      base.withColumn("score", score)
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .withColumn("hit_rank", row_number().over(
+          Window.partitionBy("lang").orderBy(desc("score"), asc("doc_id"))))
+        .filter(col("hit_rank") <= 2)
+        .select(col("lang"), col("hit_rank").cast("long").as("hit_rank"),
+          col("doc_id"), round(col("score") * 1e6).cast("long").as("score_micro"))
+        .orderBy("lang", "hit_rank")
+    },
+
     // significant terms (the ES significant_terms aggregation): terms
     // over-represented in the docs matching "spark" vs the corpus
     // background — lift = (fg_df/fg_n)/(bg_df/n_docs), micro-quantized from
@@ -1999,6 +2040,27 @@ object SparkEntry {
          |WHERE doc_id IN (SELECT doc_id FROM $TF WHERE term IN ('spark','query')
          |                 GROUP BY doc_id HAVING count(DISTINCT term) = 2)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a7_top_hits" -> {
+      val terms = Seq("spark", "query")
+      val joins = terms.zipWithIndex.map { case (t, i) =>
+        s"JOIN (SELECT doc_id, tf AS tf$i FROM tf WHERE term = '$t') t$i USING (doc_id) " +
+          s"CROSS JOIN (SELECT count(*)::BIGINT df$i FROM tf WHERE term = '$t') d$i"
+      }.mkString(" ")
+      val score = terms.indices.map { i =>
+        s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
+      }.mkString(" + ")
+      s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
+         | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
+         | base AS (SELECT * FROM lens CROSS JOIN stats $joins),
+         | scored AS (SELECT doc_id, ($score) AS score FROM base),
+         | ranked AS (SELECT d.lang, s.doc_id, s.score,
+         |   row_number() OVER (PARTITION BY d.lang ORDER BY s.score DESC, s.doc_id) hit_rank
+         |  FROM scored s JOIN documents d USING (doc_id))
+         |SELECT lang, hit_rank::BIGINT hit_rank, doc_id,
+         | round(score * 1e6)::BIGINT score_micro
+         |FROM ranked WHERE hit_rank <= 2 ORDER BY lang, hit_rank""".stripMargin
+    },
 
     "a7_significant_terms" ->
       s"""WITH tf AS (SELECT * FROM $TF),
