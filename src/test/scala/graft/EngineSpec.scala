@@ -883,6 +883,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(warmMs < 200.0, s"warm serve took ${warmMs}ms — not a resident path")
   }
 
+  test("Integrity.check: clean index passes every invariant; corruption is flagged") {
+    import spark.implicits._
+    built
+    val res = graft.index.Integrity.check(spark, tmp)
+      .as[graft.index.Integrity.CheckResult].collect()
+    assert(res.length == 5, res.mkString(", "))
+    res.foreach(r => assert(r.ok && r.violations == 0L, s"fsck: $r"))
+    // corrupt a COPY's termstats (df off by one for one term) — fsck must flag it
+    val bad = java.nio.file.Files.createTempDirectory("graft_fsck").toString
+    try {
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(tmp), new java.io.File(bad))
+      import org.apache.spark.sql.functions.{col, when}
+      val ts = spark.read.parquet(s"$bad/termstats")
+        .withColumn("df", when(col("term") === "if", col("df") + 1).otherwise(col("df")))
+        .collect()
+      val schema = spark.read.parquet(s"$bad/termstats").schema
+      spark.createDataFrame(spark.sparkContext.parallelize(ts.toSeq), schema)
+        .write.mode("overwrite").parquet(s"$bad/termstats")
+      val flagged = graft.index.Integrity.check(spark, bad)
+        .as[graft.index.Integrity.CheckResult].collect()
+        .find(_.check == "termstats").get
+      assert(!flagged.ok && flagged.violations == 1L, s"fsck missed corruption: $flagged")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bad))
+  }
+
   test("LocalService: explain decomposes the served score exactly") {
     built
     val svc = new graft.query.LocalService(ix)
