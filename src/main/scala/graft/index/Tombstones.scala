@@ -99,9 +99,12 @@ object Tombstones {
   /** Delete every doc whose DOCSTORE row satisfies `pred` (e.g.
     * `col("repo") === "retired/corp"` or `col("lang") === "php"`) — the
     * delete-by-query analog. One distributed docstore scan resolves the
-    * ids; nothing is collected to the driver. */
+    * ids; nothing is collected to the driver. The scan goes through the
+    * manifest-visibility reader ([[graft.query.Searcher.load]]), so ids
+    * resolve only from LIVE segments — never from an in-flight append or a
+    * retired compaction source. */
   def deleteWhere(spark: SparkSession, indexDir: String, pred: Column): Long = {
-    val store = spark.read.parquet(s"$indexDir/docstore")
+    val store = graft.query.Searcher.load(spark, indexDir).docstore
     commitGen(spark, indexDir, store.filter(pred).select("docId"))
   }
 

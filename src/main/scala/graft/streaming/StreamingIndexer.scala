@@ -260,6 +260,53 @@ object StreamingIndexer {
   def committedSegments(indexDir: String): Seq[Long] =
     Manifest.committedSegments(indexDir)
 
+  /** Upsert (update-by-replace): commit `batch` as a NEW segment, then
+    * tombstone every previously-live doc sharing a (repo, path) key with an
+    * incoming row — Lucene `updateDocument` (delete-by-term + add) over the
+    * segment log. Commit order is add-then-delete: a reader between the two
+    * steps sees both versions momentarily (the standard refresh-boundary
+    * semantics); tombstone-first would show NEITHER. Old docIds stay stable
+    * (and excluded from every search) until [[compact]] physically reclaims
+    * them. Rows must carry distinct (repo, path) keys within the batch —
+    * two incoming versions of the same key both become live.
+    *
+    * Returns the number of old doc versions tombstoned. Scale: key
+    * resolution is one left-semi join against the live docstore (never
+    * collected); the old-version id set is cached only for the
+    * count + tombstone write. */
+  def upsertSegment(spark: SparkSession, batch: DataFrame, indexDir: String,
+                    segId: Long, partitions: Int = 8): Long = {
+    val hadSegments = committedSegments(indexDir).nonEmpty
+    // resolve old versions against the docstore AS OF before the append:
+    // the live-segment list is baked into the plan at construction, so the
+    // new segment's own rows can never match
+    val oldIds: Option[DataFrame] =
+      if (!hadSegments) None
+      else {
+        val live = graft.query.Searcher.load(spark, indexDir).docstore
+        val keys = batch.select(col("repo"), col("path")).distinct()
+        val matched = live.join(keys, Seq("repo", "path"), "left_semi")
+          .select("docId")
+        // docstore rows persist until compaction, so versions tombstoned by
+        // an EARLIER upsert still sit there — exclude them or the returned
+        // count double-reports (re-tombstoning would be a harmless no-op,
+        // but the count is the caller's contract)
+        val ids = graft.index.Tombstones.read(spark, indexDir)
+          .fold(matched)(t => matched.join(t, Seq("docId"), "left_anti"))
+          .cache()
+        ids.count() // materialize BEFORE the append commits the new segment
+        Some(ids)
+      }
+    appendSegment(spark, batch, indexDir, segId, partitions)
+    val n = oldIds.fold(0L) { ids =>
+      val k = ids.count()
+      if (k > 0) graft.index.Tombstones.commitGen(spark, indexDir, ids)
+      ids.unpersist(false)
+      k
+    }
+    n
+  }
+
   /** Per-segment (docs, docsAfter) from the segment manifests. */
   def segmentInfo(indexDir: String): Map[Long, (Long, Long)] = {
     val dir = java.nio.file.Paths.get(indexDir)

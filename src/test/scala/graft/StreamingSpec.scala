@@ -405,6 +405,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     got2.zip(want2).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
   }
 
+  test("upsert: new version searchable, old tombstoned, compaction reclaims") {
+    import spark.implicits._
+    val ixDir = s"$root/ix_upsert"
+    def df(rows: Seq[(String, String, String, String, String)]) =
+      rows.toDF("repo", "path", "commit", "lang", "content")
+    StreamingIndexer.appendSegment(spark, df(Seq(
+      ("r", "p0", "c0", "scala", "alpha beta"),
+      ("r", "p1", "c0", "scala", "gamma gamma ray"),
+      ("r", "p2", "c0", "scala", "delta"))), ixDir, segId = 0, partitions = 2)
+    // replace p1's content, add a new p3
+    val tombstoned = StreamingIndexer.upsertSegment(spark, df(Seq(
+      ("r", "p1", "c1", "scala", "omega ray"),
+      ("r", "p3", "c1", "scala", "kappa"))), ixDir, segId = 1, partitions = 2)
+    assert(tombstoned == 1L, s"expected 1 old version tombstoned, got $tombstoned")
+    val ix = Searcher.load(spark, ixDir)
+    def ids(term: String): Seq[Int] =
+      Searcher.search(ix, Seq(term), 10).collect().map(_.docId).toSeq
+    assert(ids("gamma").isEmpty, "old version still searchable after upsert")
+    assert(ids("omega").nonEmpty, "new version not searchable")
+    assert(ids("alpha").nonEmpty && ids("kappa").nonEmpty, "unrelated docs disturbed")
+    // 'ray' appears in both versions: only the NEW docId may match
+    assert(ids("ray") == ids("omega"), "term shared across versions matched the old doc")
+    // re-upserting the same key again replaces the replacement
+    assert(StreamingIndexer.upsertSegment(spark, df(Seq(
+      ("r", "p1", "c2", "scala", "sigma"))), ixDir, segId = 2, partitions = 2) == 1L)
+    val ix2 = Searcher.load(spark, ixDir)
+    assert(Searcher.search(ix2, Seq("omega"), 10).collect().isEmpty)
+    assert(Searcher.search(ix2, Seq("sigma"), 10).collect().nonEmpty)
+    // compaction physically reclaims the dead versions and retires tombstones
+    StreamingIndexer.compact(spark, ixDir, partitions = 2)
+    val ix3 = Searcher.load(spark, ixDir)
+    assert(ix3.nDocs == 4L, s"live docs after compact: ${ix3.nDocs}") // p0 p1 p2 p3
+    assert(ix3.tombstones.isEmpty, "tombstones must retire once applied")
+    assert(Searcher.search(ix3, Seq("sigma"), 10).collect().nonEmpty)
+    assert(Searcher.search(ix3, Seq("gamma"), 10).collect().isEmpty)
+  }
+
   test("streaming exact dedup: first arrival wins across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
