@@ -81,6 +81,20 @@ object SparkEntry {
     lenCache.getOrElseUpdate((s, dir),
       docs(s, dir).select(col("doc_id"), size(toks).cast("long").as("len")).cache())
 
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Array[Array[Long]], DataFrame)]
+
+  /** Memoized trained IVF model (16 cells, 2 Lloyd iterations) over the
+    * embeddings table — `ann_ivf_topk` and `ann_recall_at10` probe the
+    * SAME index, as a real deployment would, instead of each paying the
+    * k-means training. */
+  private def ivfModel(s: SparkSession, dir: String): (Array[Array[Long]], DataFrame) =
+    ivfCache.getOrElseUpdate((s, dir), {
+      val (c, a) = Similarity.ivfModel(embs(s, dir), "embedding", "vec_id",
+        kCells = 16, iters = 2)
+      (c, a.cache())
+    })
+
   private val tffCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
@@ -1261,8 +1275,8 @@ object SparkEntry {
       val e = embs(s, dir)
       val q: Array[Long] = e.filter(col("vec_id") === 0)
         .select(Similarity.quantize(col("embedding"))).as[Seq[Long]].head().toArray
-      val top = Similarity.ivfTopK(e, "embedding", "vec_id", q,
-        kTop = 10, kCells = 16, iters = 2, nprobe = 4)
+      val (cents, assigned) = ivfModel(s, dir)
+      val top = Similarity.ivfTopKWith(cents, assigned, q, kTop = 10, nprobe = 4)
       rankTopK(top, (b, a) =>
           col("b.cos_micro") > col("a.cos_micro") ||
             (col("b.cos_micro") === col("a.cos_micro") && col("b.vec_id") < col("a.vec_id")))
@@ -1274,10 +1288,12 @@ object SparkEntry {
     // ANN quality eval: recall@10 of the IVF index vs the exact brute-force
     // top-10 for 3 probe queries — training and assignment shared across
     // queries; the number a pipeline checks before trusting kCells/nprobe.
-    "ann_recall_at10" -> ((s, dir) =>
-      Similarity.ivfRecallAtK(embs(s, dir), "embedding", "vec_id",
-          queryIds = Seq(0L, 1L, 2L), kTop = 10, kCells = 16, iters = 2, nprobe = 4)
-        .orderBy("query_id")),
+    "ann_recall_at10" -> { (s, dir) =>
+      val (cents, assigned) = ivfModel(s, dir)
+      Similarity.ivfRecallAtKWith(cents, assigned,
+          queryIds = Seq(0L, 1L, 2L), kTop = 10, nprobe = 4)
+        .orderBy("query_id")
+    },
 
     // k-NN join: nearest neighbor for each of the first 200 vectors
     "ann_knn1" -> { (s, dir) =>

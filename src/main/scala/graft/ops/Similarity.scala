@@ -191,19 +191,43 @@ object Similarity {
     cents
   }
 
+  /** Train the IVF coarse quantizer and assign every vector to its cell —
+    * the shared, reusable index state ((trained centroids, (id, qv, cell))
+    * assignment). Callers that run several probes (top-k queries, recall
+    * evaluation) train ONCE and pass the model to the `*With` variants;
+    * cache the returned assignment when reusing it. */
+  def ivfModel(df: DataFrame, vecCol: String, idCol: String,
+               kCells: Int, iters: Int): (Array[Array[Long]], DataFrame) = {
+    val cents = kmeansCentroids(df, vecCol, idCol, kCells, iters)
+    val vecs = df.select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+    (cents, assignCells(vecs, cents))
+  }
+
+  /** The `nprobe` cells whose trained centroids are nearest `query`
+    * (exact integer L2, ties to the lower cell) — the probe rule shared by
+    * every IVF entry point. */
+  private def probeCells(cents: Array[Array[Long]], query: Array[Long],
+                         nprobe: Int): Seq[Int] =
+    cents.zipWithIndex.map { case (c, i) =>
+      (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sortBy(identity).take(nprobe).map(_._2).toSeq
+
   /** IVF top-k: probe the `nprobe` cells whose trained centroids are
     * nearest the query, exact cosine top-k within the probed cells — the
     * partition-pruning ANN scale path (scan cost ≈ nprobe/k of the
     * corpus). Returns (vec_id, cell, cos_micro). */
   def ivfTopK(df: DataFrame, vecCol: String, idCol: String, query: Array[Long],
               kTop: Int, kCells: Int, iters: Int, nprobe: Int): DataFrame = {
-    val cents = kmeansCentroids(df, vecCol, idCol, kCells, iters)
-    val probed: Seq[Int] = cents.zipWithIndex.map { case (c, i) =>
-      (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-    }.sortBy(identity).take(nprobe).map(_._2).toSeq
-    val vecs = df.select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
+    val (cents, assigned) = ivfModel(df, vecCol, idCol, kCells, iters)
+    ivfTopKWith(cents, assigned, query, kTop, nprobe)
+  }
+
+  /** [[ivfTopK]] over a precomputed [[ivfModel]]. */
+  def ivfTopKWith(cents: Array[Array[Long]], assigned: DataFrame,
+                  query: Array[Long], kTop: Int, nprobe: Int): DataFrame = {
+    val probed = probeCells(cents, query, nprobe)
     val qLit = array(query.map(lit).toIndexedSeq: _*)
-    assignCells(vecs, cents)
+    assigned
       .filter(col("cell").isin(probed: _*))
       .select(col("id").as("vec_id"), col("cell"),
         cosineMicro(col("qv"), qLit).as("cos_micro"))
@@ -225,11 +249,18 @@ object Similarity {
   def ivfRecallAtK(df: DataFrame, vecCol: String, idCol: String,
                    queryIds: Seq[Long], kTop: Int, kCells: Int, iters: Int,
                    nprobe: Int): DataFrame = {
-    val spark = df.sparkSession
+    val (cents, assigned0) = ivfModel(df, vecCol, idCol, kCells, iters)
+    val assigned = assigned0.cache()
+    try ivfRecallAtKWith(cents, assigned, queryIds, kTop, nprobe)
+    finally assigned.unpersist(false)
+  }
+
+  /** [[ivfRecallAtK]] over a precomputed (cached) [[ivfModel]] — callers
+    * sharing the model across several evaluations own its caching. */
+  def ivfRecallAtKWith(cents: Array[Array[Long]], assigned: DataFrame,
+                       queryIds: Seq[Long], kTop: Int, nprobe: Int): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
-    val cents = kmeansCentroids(df, vecCol, idCol, kCells, iters)
-    val vecs = df.select(col(idCol).cast("long").as("id"), quantize(col(vecCol)).as("qv"))
-    val assigned = assignCells(vecs, cents).cache()
     val queries: Map[Long, Array[Long]] = assigned
       .filter(col("id").isin(queryIds: _*))
       .select("id", "qv").as[(Long, Seq[Long])].collect()
@@ -241,19 +272,13 @@ object Similarity {
     val rows = queryIds.sorted.flatMap { qid =>
       queries.get(qid).map { q =>
         val qLit = array(q.map(lit).toIndexedSeq: _*)
-        // same probe rule as ivfTopK: nprobe nearest centroids, ties to
-        // the lower cell
-        val probed: Seq[Int] = cents.zipWithIndex.map { case (c, i) =>
-          (c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, i)
-        }.sortBy(identity).take(nprobe).map(_._2).toSeq
-        val ivf = topIds(assigned.filter(col("cell").isin(probed: _*)), qLit)
+        val ivf = topIds(assigned.filter(col("cell").isin(probeCells(cents, q, nprobe): _*)), qLit)
         val exact = topIds(assigned, qLit)
         val overlap = (ivf & exact).size
         (qid, overlap.toLong,
           math.round(overlap.toDouble / math.max(1, exact.size) * 1e6))
       }
     }
-    assigned.unpersist(false)
     rows.toDF("query_id", "n_overlap", "recall_micro")
   }
 
