@@ -53,4 +53,24 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(unpartitioned.isEmpty, s"$n plans an unpartitioned Window:\n$lp")
     }
   }
+
+  test("EVERY graded plan: no unpartitioned Window, no interpreted HOF dot kernel") {
+    assume(new java.io.File(sfDir).exists(), s"$sfDir not present")
+    // full sweep so a future graded query cannot reintroduce either trap;
+    // building each DataFrame may run the query's eager setup (memo fills,
+    // k-means training) at sf0.001 — cheap, and exactly what the bench does
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
+      try {
+        val lp = fn(spark, sfDir).queryExecution.optimizedPlan
+        if (lp.collect { case w: Window if w.partitionSpec.isEmpty => w }.nonEmpty)
+          failures += s"$n: unpartitioned Window"
+        if (lp.toString.contains("aggregate(zip_with"))
+          failures += s"$n: interpreted aggregate(zip_with(...)) kernel"
+      } catch {
+        case e: Throwable => failures += s"$n: plan build failed: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
