@@ -1367,6 +1367,97 @@ object SparkEntry {
           TextOps.microRatio(col("sum_len"), col("n_docs")).as("avg_len_micro"))
     },
 
+    // term-df histogram — the reference's `tools/gen_term_hist.py` analog
+    // (df distribution over the dictionary, the input to its popularity /
+    // zipf analyses): per-term df from the tf truth, bucketed by
+    // floor(log2(df)) computed integer-exactly as bitlength(df)-1 (conv to
+    // base 2 — no floating log that could mis-bucket at exact powers)
+    "idx_term_hist" -> { (s, dir) =>
+      tfTable(s, dir).groupBy("term")
+        .agg(count(lit(1)).cast("long").as("df"))
+        .select((length(conv(col("df"), 10, 2)) - 1).cast("long")
+          .as("df_log2_bucket"), col("df"))
+        .groupBy("df_log2_bucket")
+        .agg(count(lit(1)).cast("long").as("n_terms"),
+          sum("df").cast("long").as("sum_df"),
+          min("df").cast("long").as("min_df"),
+          max("df").cast("long").as("max_df"))
+        .orderBy("df_log2_bucket")
+    },
+
+    // synthetic query-log generation — the reference's
+    // `tools/gen_synthetic_log.py` analog: Q=100 queries drawn
+    // popularity-proportionally (systematic cf sampling, pure integer
+    // arithmetic) from the corpus dictionary; see QueryLog.synthesize
+    "qlog_synth" -> ((s, dir) =>
+      graft.query.QueryLog.synthesize(tfTable(s, dir), nQueries = 100)
+        .select(col("q_id").cast("long").as("q_id"), col("term"),
+          col("cf").cast("long").as("cf"))
+        .orderBy("q_id")),
+
+    // query-log repeat/locality analysis — the reference's
+    // `tools/analyze-repeat.py` / `query_locality.py` analog (its FAST'20
+    // cache analyses hinge on how often and how closely queries repeat):
+    // over the synthesized log, each query is marked repeat-or-first and
+    // carries the distance to its previous occurrence (−1 for firsts).
+    // The per-term window is PARTITIONED (scale-safe; never a global sort).
+    "qlog_repeat" -> { (s, dir) =>
+      val log = graft.query.QueryLog.synthesize(tfTable(s, dir), nQueries = 100)
+      val w = Window.partitionBy("term").orderBy("q_id")
+      log.withColumn("prev_q", lag(col("q_id"), 1).over(w))
+        .select(col("q_id").cast("long").as("q_id"), col("term"),
+          col("prev_q").isNotNull.cast("long").as("is_repeat"),
+          coalesce(col("q_id") - col("prev_q"), lit(-1L)).cast("long").as("gap"))
+        .orderBy("q_id")
+    },
+
+    // bloom store statistics — the reference's `show_bloom_store_stats.cc`
+    // analog: build the two-way phrase-pruning store over the corpus and
+    // report its shape (row count, filter bytes, hash count) next to the
+    // corpus-truth neighbor-set sizes the filters were filled from. The
+    // oracle recomputes the neighbor sets positionally and pins the sizing
+    // constants (m=73 bits → 10 bytes, k=10 at n=5, p=9e-4) as goldens —
+    // a store whose row set, blob size, or hash count drifts fails here.
+    "idx_bloom_stats" -> { (s, dir) =>
+      import s.implicits._
+      val docRows = docs(s, dir)
+        .select(col("doc_id").cast("int").as("docId"), col("text")).as[(Int, String)]
+        .map { case (id, text) =>
+          IndexBuilder.DocRow(id, "d", id.toString, "", "", "", text)
+        }
+      val store = graft.index.Bloom.buildStore(docRows)
+        .toDF("term", "docId", "beginBits", "endBits", "k")
+      val storeStats = store.agg(
+        count(lit(1)).cast("long").as("n_filters"),
+        min(least(length(col("beginBits")), length(col("endBits"))))
+          .cast("long").as("filter_bytes_min"),
+        max(greatest(length(col("beginBits")), length(col("endBits"))))
+          .cast("long").as("filter_bytes_max"),
+        max(col("k")).cast("long").as("k_hashes"))
+      // corpus-truth neighbor sets: for each (doc, term), the distinct
+      // immediately-preceding / following terms (what buildStore inserted)
+      val base = docs(s, dir).select(col("doc_id"), toks.as("t"))
+      val nb = base
+        .select(col("doc_id"), col("t"), posexplode(col("t")).as(Seq("p", "term")))
+        .select(col("doc_id"), col("term"),
+          when(col("p") > 0, element_at(col("t"), col("p"))).as("prev"),
+          when(col("p") < size(col("t")) - 1, element_at(col("t"), col("p") + 2)).as("next"))
+        .groupBy("doc_id", "term")
+        .agg(size(collect_set(col("prev"))).cast("long").as("n_begin"),
+          size(collect_set(col("next"))).cast("long").as("n_end"))
+        .filter(col("n_begin") + col("n_end") > 0)
+      val nbStats = nb.agg(
+        count(lit(1)).cast("long").as("n_neighbor_rows"),
+        sum("n_begin").cast("long").as("sum_begin_entries"),
+        sum("n_end").cast("long").as("sum_end_entries"),
+        sum((col("n_begin") > 5 || col("n_end") > 5).cast("long"))
+          .cast("long").as("n_overfull"))
+      storeStats.crossJoin(nbStats)
+        .select(col("n_filters"), col("n_neighbor_rows"),
+          col("filter_bytes_min"), col("filter_bytes_max"), col("k_hashes"),
+          col("sum_begin_entries"), col("sum_end_entries"), col("n_overfull"))
+    },
+
     // the composite curation decision — the end-to-end quality-filter
     // pipeline (length gate ∧ no repeated lines ∧ bounded trigram
     // repetition ∧ bounded LM surprisal), assembled from the memoized
@@ -2571,6 +2662,61 @@ object SparkEntry {
          | (SELECT count(*) FROM tf)::BIGINT n_postings,
          | (SELECT sum(tf) FROM tf)::BIGINT n_tokens,
          | round((SELECT sum(len) FROM lens)::DOUBLE / (SELECT count(*) FROM lens)::DOUBLE * 1e6)::BIGINT avg_len_micro""".stripMargin,
+
+    "idx_term_hist" ->
+      s"""WITH tf AS (SELECT * FROM $TF),
+         | d AS (SELECT term, count(*)::BIGINT df FROM tf GROUP BY term)
+         |SELECT (length(format('{:b}', df)) - 1)::BIGINT df_log2_bucket,
+         | count(*)::BIGINT n_terms, sum(df)::BIGINT sum_df,
+         | min(df)::BIGINT min_df, max(df)::BIGINT max_df
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "qlog_synth" ->
+      s"""WITH tf AS (SELECT * FROM $TF),
+         | d AS (SELECT term, sum(tf)::BIGINT cf FROM tf GROUP BY term),
+         | c AS (SELECT term, cf, coalesce(sum(cf) OVER (ORDER BY cf DESC, term
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT cum FROM d),
+         | tot AS (SELECT sum(cf)::BIGINT total FROM d),
+         | q AS (SELECT i::BIGINT q_id,
+         |   ((2*i + 1) * (SELECT total FROM tot)) // 200 target FROM range(100) t(i))
+         |SELECT q_id, term, cf
+         |FROM q JOIN c ON target >= cum AND target < cum + cf
+         |ORDER BY q_id""".stripMargin,
+
+    "qlog_repeat" ->
+      s"""WITH tf AS (SELECT * FROM $TF),
+         | d AS (SELECT term, sum(tf)::BIGINT cf FROM tf GROUP BY term),
+         | c AS (SELECT term, cf, coalesce(sum(cf) OVER (ORDER BY cf DESC, term
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT cum FROM d),
+         | tot AS (SELECT sum(cf)::BIGINT total FROM d),
+         | q AS (SELECT i::BIGINT q_id,
+         |   ((2*i + 1) * (SELECT total FROM tot)) // 200 target FROM range(100) t(i)),
+         | log AS (SELECT q_id, term FROM q JOIN c
+         |   ON target >= cum AND target < cum + cf),
+         | r AS (SELECT q_id, term,
+         |   lag(q_id) OVER (PARTITION BY term ORDER BY q_id) prev_q FROM log)
+         |SELECT q_id, term, (prev_q IS NOT NULL)::BIGINT is_repeat,
+         | coalesce(q_id - prev_q, -1)::BIGINT gap
+         |FROM r ORDER BY q_id""".stripMargin,
+
+    "idx_bloom_stats" ->
+      s"""WITH base AS (SELECT doc_id, $T tk FROM documents),
+         | pos AS (SELECT doc_id, unnest(list_transform(range(len(tk)),
+         |   i -> {'term': tk[i+1],
+         |         'prev': CASE WHEN i > 0 THEN tk[i] ELSE NULL END,
+         |         'nxt': CASE WHEN i < len(tk)-1 THEN tk[i+2] ELSE NULL END}),
+         |   recursive := true) FROM base),
+         | nb AS (SELECT doc_id, term,
+         |   count(DISTINCT prev)::BIGINT n_begin, count(DISTINCT nxt)::BIGINT n_end
+         |   FROM pos GROUP BY doc_id, term
+         |   HAVING count(prev) > 0 OR count(nxt) > 0)
+         |SELECT count(*)::BIGINT n_filters, count(*)::BIGINT n_neighbor_rows,
+         | 10::BIGINT filter_bytes_min, 10::BIGINT filter_bytes_max,
+         | 10::BIGINT k_hashes,
+         | sum(n_begin)::BIGINT sum_begin_entries,
+         | sum(n_end)::BIGINT sum_end_entries,
+         | coalesce(sum(CASE WHEN n_begin > 5 OR n_end > 5 THEN 1 ELSE 0 END), 0)::BIGINT n_overfull
+         |FROM nb""".stripMargin,
 
     "text_repetition" ->
       s"""WITH aug AS ($LineAugSql),

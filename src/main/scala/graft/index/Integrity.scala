@@ -109,6 +109,23 @@ object Integrity {
     add("doclen_lenbyte",
       ix.doclen.filter(lbEnc(col("len")) =!= col("lenByte")).count())
 
+    // bloom coverage (only when a bloom store exists): phrase pruning is
+    // lossy-SAFE only if probes are served for every doc the store claims
+    // to cover — an orphan row (no matching posting) signals a stale store;
+    // a multi-token doc with no bloom rows at all signals a segment that
+    // was indexed without its bloom stage (the silent-pruning-loss case the
+    // streaming build guards against).
+    ix.bloom.foreach { bl =>
+      val bloomKeys = bl.select(col("term"), col("docId")).distinct()
+      val postKeys = decoded.select("term", "docId").distinct()
+      val orphans = bloomKeys.join(postKeys, Seq("term", "docId"), "left_anti").count()
+      add("bloom_orphans", orphans)
+      val coveredDocs = bl.select("docId").distinct()
+      val multiTokenDocs = ix.doclen.filter(col("len") >= 2).select("docId")
+      val uncovered = multiTokenDocs.join(coveredDocs, Seq("docId"), "left_anti").count()
+      add("bloom_doc_coverage", uncovered)
+    }
+
     results.toSeq.toDF()
   }
 }

@@ -190,4 +190,65 @@ object QueryLog {
       case head :: tail => tail.foldLeft(head)(_ unionByName _)
     }
   }
+
+  /** Deterministic synthetic query-log generation — the reference's
+    * `tools/gen_synthetic_log.py` analog (it samples query terms from the
+    * AOL log's term-popularity distribution; `query_pool.h` replays them).
+    * Here the popularity law comes from the corpus itself: terms ordered by
+    * (cf desc, term asc) and sampled SYSTEMATICALLY proportional to cf —
+    * query q (of Q) probes the term whose cumulative-cf interval contains
+    * the midpoint target `(2q+1)·totalCf / 2Q` (integer floor). Hot terms
+    * receive queries in proportion to their collection frequency, exactly
+    * the zipf-following workload the reference generates, and the draw is
+    * reproducible across engines, runs, and partitionings (pure integer
+    * arithmetic, no RNG).
+    *
+    * Scale shape: the cumulative sum is the two-pass range-partition scan
+    * (range repartition on the order key, per-partition totals to the
+    * driver — P rows, window partitioned by partition id), never an
+    * unpartitioned window; the Q targets broadcast into a single
+    * interval-membership pass over the dictionary.
+    *
+    * `tf` is the (doc, term, tf) truth table; returns
+    * (q_id, term, cf) with one row per generated query. */
+  def synthesize(tf: DataFrame, nQueries: Int, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = tf.sparkSession
+    require(nQueries > 0)
+    val dict = tf.groupBy("term").agg(sum("tf").cast("long").as("cf"))
+      .repartitionByRange(partitions, col("cf").desc, col("term"))
+      .withColumn("pid", spark_partition_id())
+    val partTotals: Map[Int, Long] = {
+      import spark.implicits._
+      dict.groupBy("pid").agg(sum("cf").as("t")).as[(Int, Long)].collect().toMap
+    }
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      partTotals.keys.toSeq.sorted.map { pid =>
+        val o = pid -> acc; acc += partTotals(pid); o
+      }.toMap
+    }
+    val totalCf = partTotals.values.sum
+    val offsetDf = {
+      import spark.implicits._
+      broadcast(offsets.toSeq.toDF("pid", "part_offset"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("cf").desc, col("term"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val withCum = dict
+      .withColumn("local", coalesce(sum(col("cf")).over(w), lit(0L)))
+      .join(offsetDf, "pid")
+      .withColumn("cum", col("part_offset") + col("local"))
+    // integer `div`, not `/` (Divide on longs is a DOUBLE in Spark — loses
+    // exactness past 2^53 and would diverge from the oracle's BIGINT `//`)
+    val targets = broadcast(spark.range(nQueries.toLong)
+      .select(col("id").as("q_id"),
+        expr(s"(id * 2 + 1) * ${totalCf}L div ${2L * nQueries}L").as("target")))
+    withCum
+      .join(targets, col("target") >= col("cum") &&
+        col("target") < col("cum") + col("cf"))
+      .select(col("q_id"), col("term"), col("cf"))
+      .orderBy("q_id")
+  }
 }

@@ -888,7 +888,8 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     built
     val res = graft.index.Integrity.check(spark, tmp)
       .as[graft.index.Integrity.CheckResult].collect()
-    assert(res.length == 5, res.mkString(", "))
+    // 5 core invariants + 2 bloom-store checks (the batch build bloomed)
+    assert(res.length == 7, res.mkString(", "))
     res.foreach(r => assert(r.ok && r.violations == 0L, s"fsck: $r"))
     // corrupt a COPY's termstats (df off by one for one term) — fsck must flag it
     val bad = java.nio.file.Files.createTempDirectory("graft_fsck").toString
@@ -902,10 +903,24 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       val schema = spark.read.parquet(s"$bad/termstats").schema
       spark.createDataFrame(spark.sparkContext.parallelize(ts.toSeq), schema)
         .write.mode("overwrite").parquet(s"$bad/termstats")
-      val flagged = graft.index.Integrity.check(spark, bad)
+      // inject a stale bloom row (a term with no posting anywhere) — the
+      // coverage check must flag exactly one orphan
+      val bloomSchema = spark.read.parquet(s"$bad/bloom").schema
+      val orphanRows = spark.read.parquet(s"$bad/bloom").limit(1).collect()
+        .map(r => org.apache.spark.sql.Row.fromSeq(
+          bloomSchema.fieldNames.toSeq.map {
+            case "term" => "zzz_bloom_orphan"
+            case f => r.getAs[Any](f)
+          }))
+      spark.createDataFrame(spark.sparkContext.parallelize(orphanRows.toSeq), bloomSchema)
+        .write.mode("append").parquet(s"$bad/bloom")
+      val flaggedAll = graft.index.Integrity.check(spark, bad)
         .as[graft.index.Integrity.CheckResult].collect()
-        .find(_.check == "termstats").get
+      val flagged = flaggedAll.find(_.check == "termstats").get
       assert(!flagged.ok && flagged.violations == 1L, s"fsck missed corruption: $flagged")
+      val bloomFlagged = flaggedAll.find(_.check == "bloom_orphans").get
+      assert(!bloomFlagged.ok && bloomFlagged.violations == 1L,
+        s"fsck missed the stale bloom row: $bloomFlagged")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bad))
   }
 

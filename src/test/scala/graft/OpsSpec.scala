@@ -12,6 +12,11 @@ class BloomSpec extends AnyFunSuite {
   test("sizing matches standard formulas") {
     val (m, k) = Bloom.sizing(5, 0.0009)
     assert(m > 5 && k >= 1 && k <= 16)
+    // exact goldens at the reference config (n=5, p=9e-4): 73 bits → 10
+    // bytes, 10 hashes — pinned because the idx_bloom_stats oracle carries
+    // them as literals
+    assert((m, k) == (73, 10))
+    assert(Bloom.newFilter().bits.length == 10)
   }
 
   test("no false negatives; fp rate sane") {
@@ -189,6 +194,25 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
       (4L, "unrelated short text")
     ).toDF("doc_id", "text")
+  }
+
+  test("synthesize draws popularity-proportional deterministic queries") {
+    import spark.implicits._
+    // cf: a=50, b=30, c=20 (total 100); Q=10 ⇒ targets (2q+1)·5 = 5,15,…,95
+    // ⇒ exactly 5 a-queries (cum [0,50)), 3 b ([50,80)), 2 c ([80,100))
+    val tf = Seq((0L, "a", 50L), (1L, "b", 30L), (2L, "c", 20L))
+      .toDF("doc_id", "term", "tf")
+    val out = graft.query.QueryLog.synthesize(tf, nQueries = 10, partitions = 3)
+      .as[(Long, String, Long)].collect()
+    assert(out.length == 10)
+    assert(out.map(_._1).toSeq == (0L until 10L))
+    val byTerm = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byTerm == Map("a" -> 5, "b" -> 3, "c" -> 2))
+    // deterministic under a different parallelism (the two-pass scan is
+    // partition-boundary independent)
+    val out2 = graft.query.QueryLog.synthesize(tf, nQueries = 10, partitions = 1)
+      .as[(Long, String, Long)].collect()
+    assert(out.toSeq == out2.toSeq)
   }
 
   test("exact dedup groups duplicates") {
