@@ -1110,6 +1110,46 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     },
 
+    // A6-phrase: offsets for highlighting a PHRASE match — the reference's
+    // `FilterOffsetByPosition` (`query_processing.h:446-492`, pinned by its
+    // `tests_6.cc:214`): a phrase result highlights ONLY the offset pairs at
+    // the matching appearances — slot i of a match starting at p contributes
+    // the offset of its term's appearance at position p+i, never the term's
+    // other occurrences (ExpandOffsets is the non-phrase path, = f10 shape).
+    // Index-driven end to end: positions AND offsets decode from the real
+    // posting blocks (offsets stream read only here — P3 read-as-needed).
+    "a6_phrase_offsets" -> { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("table", "scan")
+      val perTerm = docBlocks(s, dir)
+        .filter(col("term").isin(terms: _*))
+        .select("term", "prevDocId", "n", "docIds", "tfs", "positions", "offsets")
+        .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs, pos, offs) =>
+          val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+          val ps = PostingCodec.decodePositions(n, pos)
+          val os = PostingCodec.decodeOffsets(n, offs)
+          dt.iterator.zipWithIndex.map { case ((d, _), i) => (t, d, ps(i), os(i)) }
+        }
+      perTerm.groupByKey(_._2)
+        .flatMapGroups { (docId, rows) =>
+          val byTerm = rows.map(r => r._1 -> (r._3, r._4)).toMap
+          if (!terms.forall(byTerm.contains)) Iterator.empty
+          else {
+            val starts = graft.core.Oracle.phraseMatchStarts(terms.map(t => byTerm(t)._1))
+            starts.iterator.flatMap { p =>
+              terms.iterator.zipWithIndex.map { case (t, slot) =>
+                val (ps0, os0) = byTerm(t)
+                val (st, en) = os0(java.util.Arrays.binarySearch(ps0, p + slot))
+                (docId.toLong, (p + slot).toLong, slot.toLong, t, st.toLong, en.toLong)
+              }
+            }
+          }
+        }
+        .toDF("doc_id", "pos", "slot", "term", "strt", "endo")
+        .orderBy("doc_id", "pos")
+    },
+
     // ---------- training-data pipeline operators ----------
 
     // exact dedup groups (normalized content digest)
@@ -2319,6 +2359,29 @@ object SparkEntry {
          |SELECT doc_id, rank::BIGINT rank, strt, endo,
          |  round(score * 1e6)::BIGINT score_micro
          |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "a6_phrase_offsets" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') toks,
+         |    regexp_extract_all(lower(text), '[^a-z0-9_]+') seps,
+         |    (lower(text) SIMILAR TO '[^a-z0-9_]%') lead_sep
+         |  FROM documents),
+         | hit AS (
+         |  SELECT doc_id, (i + s.slot)::BIGINT pos, s.slot::BIGINT slot,
+         |    (CASE s.slot WHEN 0 THEN 'table' ELSE 'scan' END) term
+         |  FROM base, unnest(list_filter(range(len(toks)-1),
+         |      i -> toks[i+1] = 'table' AND toks[i+2] = 'scan')) u(i),
+         |    (VALUES (0),(1)) s(slot))
+         |SELECT h.doc_id, h.pos, h.slot, h.term,
+         |  (CASE WHEN b.lead_sep THEN length(b.seps[1]) ELSE 0 END
+         |   + coalesce(list_sum(list_transform(range(1, h.pos+1), j ->
+         |       length(b.toks[j]) + coalesce(length(b.seps[j + (CASE WHEN b.lead_sep THEN 1 ELSE 0 END)]), 0))), 0))::BIGINT strt,
+         |  (CASE WHEN b.lead_sep THEN length(b.seps[1]) ELSE 0 END
+         |   + coalesce(list_sum(list_transform(range(1, h.pos+1), j ->
+         |       length(b.toks[j]) + coalesce(length(b.seps[j + (CASE WHEN b.lead_sep THEN 1 ELSE 0 END)]), 0))), 0)
+         |   + length(b.toks[h.pos+1]))::BIGINT endo
+         |FROM hit h JOIN base b USING (doc_id)
+         |ORDER BY doc_id, pos""".stripMargin,
 
     "dedup_exact" ->
       s"""SELECT md5(array_to_string($T, ' ')) digest, count(*)::BIGINT n_dups,

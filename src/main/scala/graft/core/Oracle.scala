@@ -148,8 +148,16 @@ object Oracle {
   /** Adjusted-position leapfrog: term i's positions shifted by -i must
     * intersect (`query_processing.h:335-362`). Returns true if the phrase
     * occurs at least once. */
-  def phraseMatch(positionLists: Seq[Array[Int]]): Boolean = {
-    if (positionLists.size <= 1) return positionLists.nonEmpty && positionLists.head.nonEmpty
+  def phraseMatch(positionLists: Seq[Array[Int]]): Boolean =
+    phraseMatchStarts(positionLists).nonEmpty
+
+  /** Every start position where the phrase occurs, ascending — slot i's
+    * matching appearance sits at `start + i`. This is the position table
+    * the reference keeps per result for phrase highlighting
+    * (`query_processing.h:365-392` AppendPositionCol). */
+  def phraseMatchStarts(positionLists: Seq[Array[Int]]): Array[Int] = {
+    if (positionLists.isEmpty) return Array.empty
+    if (positionLists.size == 1) return positionLists.head.clone().sorted
     var candidates: Set[Int] = positionLists.head.toSet
     var i = 1
     while (i < positionLists.size && candidates.nonEmpty) {
@@ -157,7 +165,7 @@ object Oracle {
       candidates = candidates.intersect(shifted)
       i += 1
     }
-    candidates.nonEmpty
+    candidates.toArray.sorted
   }
 
   /** Ordered proximity (Lucene span-near / `"a b"~N` slop analog; absent in

@@ -143,6 +143,19 @@ class OracleSpec extends AnyFunSuite {
     assert(!Oracle.phraseMatch(Seq(Array(2, 8, 20), Array(0, 5, 10))))
   }
 
+  test("phrase match starts = reference position table (tests_6.cc:214)") {
+    // the two adjacency sites, ascending — each start's slot-i appearance
+    // is start+i, which is what FilterOffsetByPosition highlights
+    assert(Oracle.phraseMatchStarts(Seq(Array(1, 5, 11, 19), Array(2, 8, 20)))
+      .toSeq == Seq(1, 19))
+    assert(Oracle.phraseMatchStarts(Seq(Array(2, 8, 20), Array(0, 5, 10))).isEmpty)
+    // 3-term chain: a=[0,7], b=[1,4,8], c=[2,9] => starts 0 and 7
+    assert(Oracle.phraseMatchStarts(Seq(Array(0, 7), Array(1, 4, 8), Array(2, 9)))
+      .toSeq == Seq(0, 7))
+    // single term: every appearance is a "match"
+    assert(Oracle.phraseMatchStarts(Seq(Array(9, 3))).toSeq == Seq(3, 9))
+  }
+
   test("missing term => empty (conjunctive guard)") {
     val ix = new Oracle.Index(Seq(Oracle.Doc(0, "a b c")))
     assert(Oracle.search(ix, Seq("a", "zzz"), 5).isEmpty)
