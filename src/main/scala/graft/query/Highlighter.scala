@@ -112,6 +112,40 @@ object Highlighter {
     scored.sortBy(p => (-p.score, p.start)).take(maxPassages).sortBy(_.start)
   }
 
+  /** Phrase-filtered highlight offsets — the reference's
+    * `FilterOffsetByPosition` (`query_processing.h:446-492`): per query
+    * slot, ONLY the offset pairs at appearances that participate in a
+    * phrase match (slot i of a match starting at p ⇒ the appearance at
+    * position p+i). A term's other occurrences are never highlighted.
+    * Slots sharing a term merge (ascending, deduped). Empty map when the
+    * phrase never occurs. */
+  def phraseOffsets(text: String,
+                    terms: Seq[String]): Map[String, Array[(Int, Int)]] = {
+    val qset = terms.toSet
+    val pos = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    val off = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[(Int, Int)]]
+    Tokenizer.tokenize(text).foreach { t =>
+      if (qset.contains(t.term)) {
+        pos.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty) += t.position
+        off.getOrElseUpdate(t.term, scala.collection.mutable.ArrayBuffer.empty) += (t.start -> t.end)
+      }
+    }
+    if (!terms.forall(pos.contains)) return Map.empty
+    val posArrs = terms.map(t => pos(t).toArray)
+    val starts = graft.core.Oracle.phraseMatchStarts(posArrs)
+    if (starts.isEmpty) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, scala.collection.mutable.TreeSet[(Int, Int)]]
+    starts.foreach { p =>
+      terms.iterator.zipWithIndex.foreach { case (t, slot) =>
+        // positions per term ascend (tokenize order), so the appearance
+        // index is a binary search; its offset pair shares that index
+        val j = java.util.Arrays.binarySearch(posArrs(terms.indexOf(t)), p + slot)
+        out.getOrElseUpdate(t, scala.collection.mutable.TreeSet.empty) += off(t)(j)
+      }
+    }
+    out.view.mapValues(_.toArray).toMap
+  }
+
   /** Snippet from stored offsets: passages via [[topPassagesFromOffsets]],
     * matched terms bolded at their stored [start, end) spans — the doc body
     * is never re-tokenized. */

@@ -946,9 +946,15 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * scores, then `SimpleHighlighter` reads each hit's body from the doc
     * store, `vacuum_engine.h:243-255`). Hits are [[search]]'s exact result;
     * each hit's snippet is [[Highlighter.snippet]] over its stored body
-    * (identical passages to the batch A6 path). Bodies come from one
-    * k-row pushed-filter probe on a cold path, the LRU body cache when
-    * warm. */
+    * (identical passages to the batch A6 path). PHRASE hits highlight only
+    * the offsets at matching appearances — the reference's
+    * `OffsetsForHighliting` routes phrases through `FilterOffsetByPosition`
+    * (`qq_mem_engine.h:358-362`, `query_processing.h:446-492`) — via
+    * [[Highlighter.phraseOffsets]] over the fetched body (the body is
+    * already in hand for the snippet, so re-deriving the k hits' offsets
+    * from it costs one tokenize of k docs, not an offsets stream in the
+    * serving cache). Bodies come from one k-row pushed-filter probe on a
+    * cold path, the LRU body cache when warm. */
   def searchWithSnippets(queryTerms: Seq[String], k: Int, phrase: Boolean = false,
                          maxPassages: Int = 3): Seq[(Oracle.Hit, String)] = {
     val hits = search(queryTerms, k, phrase)
@@ -956,7 +962,12 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val bodies = bodiesOf(hits.map(_.docId))
     val qset = queryTerms.toSet
     hits.map { h =>
-      h -> bodies.get(h.docId).map(Highlighter.snippet(_, qset, maxPassages)).getOrElse("")
+      h -> bodies.get(h.docId).map { body =>
+        if (phrase)
+          Highlighter.snippetFromOffsets(body,
+            Highlighter.phraseOffsets(body, queryTerms), maxPassages)
+        else Highlighter.snippet(body, qset, maxPassages)
+      }.getOrElse("")
     }
   }
 

@@ -1105,11 +1105,26 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       // hits are exactly the plain search result
       assert(served.map(_._1) == svc.search(q, 5, p), s"$q phrase=$p hit drift")
       served.foreach { case (h, snip) =>
-        val want = graft.query.Highlighter.snippet(byId(h.docId), q.toSet)
+        // phrase hits highlight ONLY matching appearances
+        // (FilterOffsetByPosition, qq_mem_engine.h:358-362); term hits
+        // highlight every appearance (ExpandOffsets)
+        val body = byId(h.docId)
+        val want =
+          if (p) graft.query.Highlighter.snippetFromOffsets(body,
+            graft.query.Highlighter.phraseOffsets(body, q))
+          else graft.query.Highlighter.snippet(body, q.toSet)
         assert(snip == want, s"$q phrase=$p doc ${h.docId}")
         assert(snip.contains("<b>"), s"$q phrase=$p doc ${h.docId}: no highlight")
       }
     }
+    // phrase-filter semantics on a controlled body: the isolated "if" is
+    // never bolded, the adjacent pair is — per slot, at its slot position
+    val body = "if alone here then if return tail"
+    val po = graft.query.Highlighter.phraseOffsets(body, Seq("if", "return"))
+    assert(po("if").toSeq == Seq((19, 21)), s"phrase slot-0 offsets: $po")
+    assert(po("return").toSeq == Seq((22, 28)), s"phrase slot-1 offsets: $po")
+    assert(graft.query.Highlighter.phraseOffsets(body, Seq("if", "alone", "missing")).isEmpty)
+    assert(graft.query.Highlighter.phraseOffsets(body, Seq("return", "if")).isEmpty)
     // warm path serves from the body cache — identical reply
     val again = svc.searchWithSnippets(Seq("if", "return"), 5)
     assert(again.map(_._1) == svc.search(Seq("if", "return"), 5))
