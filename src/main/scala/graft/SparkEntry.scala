@@ -1451,6 +1451,42 @@ object SparkEntry {
         .orderBy("q_id")
     },
 
+    // query-term popularity decades — the reference's `tools/pop_stats.py`
+    // analog (its FAST'20 workload analysis buckets query terms by
+    // floor(log10(popularity))): over the synthesized log, how many queries
+    // and distinct terms land in each cf decade. The decade is digits−1 —
+    // integer-exact, no floating log at exact powers of ten.
+    "qlog_term_pop" -> { (s, dir) =>
+      graft.query.QueryLog.synthesize(tfTable(s, dir), nQueries = 100)
+        .select(col("term"), (length(col("cf").cast("string")) - 1)
+          .cast("long").as("pop_decade"))
+        .groupBy("pop_decade")
+        .agg(count(lit(1)).cast("long").as("n_queries"),
+          size(collect_set(col("term"))).cast("long").as("n_unique_terms"))
+        .orderBy("pop_decade")
+    },
+
+    // synthetic PHRASE-query generation — the reference's
+    // `gen_phrase_queries` + `find_all_unique_phrases` analog
+    // (`tools/gen_synthetic_log.py`: two-term phrases sampled from a corpus
+    // phrase list, repeated-term phrases excluded, quoted in the log
+    // syntax): candidates are the corpus's adjacent bigrams with distinct
+    // members, sampled popularity-proportionally by the same deterministic
+    // systematic-cf rule as `qlog_synth` — hot collocations get phrase
+    // queries in proportion to how often they occur.
+    "qlog_synth_phrase" -> { (s, dir) =>
+      val bigrams = docs(s, dir)
+        .select(explode(TextOps.shingles(toks, 2)).as("term"))
+        .filter(split(col("term"), " ").getItem(0) =!=
+          split(col("term"), " ").getItem(1))
+        .groupBy("term").agg(count(lit(1)).cast("long").as("tf"))
+      graft.query.QueryLog.synthesize(bigrams, nQueries = 50)
+        .select(col("q_id").cast("long").as("q_id"),
+          concat(lit("\""), col("term"), lit("\"")).as("phrase"),
+          col("cf").cast("long").as("cf"))
+        .orderBy("q_id")
+    },
+
     // bloom store statistics — the reference's `show_bloom_store_stats.cc`
     // analog: build the two-way phrase-pruning store over the corpus and
     // report its shape (row count, filter bytes, hash count) next to the
@@ -2761,6 +2797,36 @@ object SparkEntry {
          |SELECT q_id, term, (prev_q IS NOT NULL)::BIGINT is_repeat,
          | coalesce(q_id - prev_q, -1)::BIGINT gap
          |FROM r ORDER BY q_id""".stripMargin,
+
+    "qlog_term_pop" ->
+      s"""WITH tf AS (SELECT * FROM $TF),
+         | d AS (SELECT term, sum(tf)::BIGINT cf FROM tf GROUP BY term),
+         | c AS (SELECT term, cf, coalesce(sum(cf) OVER (ORDER BY cf DESC, term
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT cum FROM d),
+         | tot AS (SELECT sum(cf)::BIGINT total FROM d),
+         | q AS (SELECT i::BIGINT q_id,
+         |   ((2*i + 1) * (SELECT total FROM tot)) // 200 target FROM range(100) t(i)),
+         | log AS (SELECT q_id, term, cf FROM q JOIN c
+         |   ON target >= cum AND target < cum + cf)
+         |SELECT (length(cf::VARCHAR) - 1)::BIGINT pop_decade,
+         | count(*)::BIGINT n_queries,
+         | count(DISTINCT term)::BIGINT n_unique_terms
+         |FROM log GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "qlog_synth_phrase" ->
+      s"""WITH toks AS (SELECT $T t FROM documents),
+         | bi AS (SELECT unnest(list_transform(range(1, len(t)),
+         |          i -> array_to_string(t[i:i+1], ' '))) g FROM toks),
+         | d AS (SELECT g term, count(*)::BIGINT cf FROM bi
+         |   WHERE string_split(g, ' ')[1] <> string_split(g, ' ')[2] GROUP BY g),
+         | c AS (SELECT term, cf, coalesce(sum(cf) OVER (ORDER BY cf DESC, term
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT cum FROM d),
+         | tot AS (SELECT sum(cf)::BIGINT total FROM d),
+         | q AS (SELECT i::BIGINT q_id,
+         |   ((2*i + 1) * (SELECT total FROM tot)) // 100 target FROM range(50) t(i))
+         |SELECT q_id, '"' || term || '"' phrase, cf
+         |FROM q JOIN c ON target >= cum AND target < cum + cf
+         |ORDER BY q_id""".stripMargin,
 
     "idx_bloom_stats" ->
       s"""WITH base AS (SELECT doc_id, $T tk FROM documents),
