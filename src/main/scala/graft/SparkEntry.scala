@@ -738,6 +738,34 @@ object SparkEntry {
         .toDF("doc_id").orderBy("doc_id")
     },
 
+    // J4 at k=3: the k-way adjusted-position leapfrog
+    // (`query_processing.h:335-362` iterates ALL slots, not a pair) on a
+    // trigram whose members are individually hot — the 3-list intersection
+    // and two adjacency constraints both prune, which a 2-term phrase
+    // cannot distinguish from pairwise logic.
+    "j4_phrase3" -> { (s, dir) =>
+      import s.implicits._
+      val terms = Seq("part", "filter", "scan")
+      val perTerm = docBlocks(s, dir)
+        .filter(col("term").isin(terms: _*))
+        .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
+        .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+        .flatMap { case (t, prev, n, ids, tfs, pos) =>
+          val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+          val ps = PostingCodec.decodePositions(n, pos)
+          dt.iterator.zipWithIndex.map { case ((d, _), i) => (t, d, ps(i)) }
+        }
+      perTerm.groupByKey(_._2)
+        .flatMapGroups { (docId, rows) =>
+          val byTerm = rows.map(r => r._1 -> r._3).toMap
+          if (terms.forall(byTerm.contains) &&
+              graft.core.Oracle.phraseMatch(terms.map(byTerm)))
+            Iterator.single(docId.toLong)
+          else Iterator.empty
+        }
+        .toDF("doc_id").orderBy("doc_id")
+    },
+
     // J7: ordered proximity (Lucene span-near / `"a b"~N`; absent in the
     // reference) — docs where 'table' precedes 'scan' within slop 3,
     // evaluated on decoded index positions like j4 but with the
@@ -2070,6 +2098,12 @@ object SparkEntry {
     "j4_phrase" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $T t FROM documents)
          |WHERE len(list_filter(range(len(t)-1), i -> t[i+1] = 'table' AND t[i+2] = 'scan')) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "j4_phrase3" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $T t FROM documents)
+         |WHERE len(list_filter(range(len(t)-2),
+         |  i -> t[i+1] = 'part' AND t[i+2] = 'filter' AND t[i+3] = 'scan')) > 0
          |ORDER BY doc_id""".stripMargin,
 
     // ordered proximity: 'table' at 0-based pos i, 'scan' at j with
