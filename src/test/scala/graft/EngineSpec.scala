@@ -1205,6 +1205,46 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.deleteIfExists(log)
   }
 
+  test("synthesized workload replays end-to-end rank-identical to the oracle") {
+    built
+    import spark.implicits._
+    // corpus truth tables the generator samples from (same docs as `ix`)
+    val tf = spark.createDataset(oracle.docs.flatMap { d =>
+      graft.core.Tokenizer.terms(d.content).groupBy(identity)
+        .map { case (t, g) => (d.docId.toLong, t, g.size.toLong) }
+    }).toDF("doc_id", "term", "tf")
+    val bigrams = spark.createDataset(oracle.docs.flatMap { d =>
+      graft.core.Tokenizer.terms(d.content).sliding(2)
+        .filter(p => p.size == 2 && p(0) != p(1))
+        .map(p => (p.mkString(" "), 1L)).toSeq
+    }).toDF("term", "tf")
+    // generator → reference log syntax (term lines + quoted phrase lines)
+    val termQ = graft.query.QueryLog.synthesize(tf, nQueries = 12)
+      .select("term").as[String].collect()
+    val phraseQ = graft.query.QueryLog.synthesize(bigrams, nQueries = 6)
+      .select("term").as[String].collect()
+    assert(termQ.length == 12 && phraseQ.length == 6)
+    val log = java.nio.file.Files.createTempFile("graft_synth", ".log")
+    java.nio.file.Files.writeString(log,
+      (termQ ++ phraseQ.map("\"" + _ + "\"")).mkString("\n") + "\n")
+    val qs = graft.query.QueryLog.load(log.toString)
+    assert(qs.length == 18 && qs.count(_.phrase) == 6)
+    // popularity-proportional sampling must surface hot terms: every
+    // sampled single term matches ≥ 1 doc, every phrase's terms co-occur
+    val res = graft.query.QueryLog.run(ix, qs, 10)
+      .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
+    qs.foreach { q =>
+      val want = Oracle.search(oracle, q.terms, 10, phrase = q.phrase)
+      val got = res.getOrElse(q.id, Array.empty).sortBy(_._2)
+      assert(got.map(_._3).toSeq == want.map(_.docId).toSeq, s"synth query $q")
+      got.map(_._4).zip(want.map(_.score)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 1e-9, s"synth query $q score")
+      }
+      if (!q.phrase) assert(want.nonEmpty, s"sampled term ${q.terms} matches nothing")
+    }
+    java.nio.file.Files.deleteIfExists(log)
+  }
+
   test("randomized query log: batched run rank-identical vs oracle (50 queries)") {
     built
     import spark.implicits._
