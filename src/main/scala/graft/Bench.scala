@@ -354,7 +354,7 @@ object Bench {
     // (-1 / {} = phase not reached)
     var queriesJson = "{}"
     var queriesTotal = -1.0
-    var searchJson = """{"n_queries":-1,"sec":-1,"qps":-1,"served_qps":-1,"served_qps_16":-1,"served_p50_ms":-1,"served_p99_ms":-1}"""
+    var searchJson = """{"n_queries":-1,"sec":-1,"qps":-1,"served_qps":-1,"served_qps_16":-1,"served_p50_ms":-1,"served_p99_ms":-1,"cache_hits":-1,"cache_misses":-1,"cache_evictions":-1,"cache_hit_rate":-1}"""
     var streamingJson = """{"docs":-1,"docs_per_sec":-1,"compact_sec":-1}"""
     var matchRateV = -1.0
     def indexingJson: String = {
@@ -463,7 +463,7 @@ object Bench {
     // resident serving path (LocalService): warm the hot-term cache once,
     // then measure steady-state qps — the reference-engine-parity number
     // (its working set is memory-resident too)
-    val (servedQps, servedQps16, servedP50Ms, servedP99Ms) = try {
+    val (servedQps, servedQps16, servedP50Ms, servedP99Ms, cacheHits, cacheMisses, cacheEvicts) = try {
       val svc = new graft.query.LocalService(ix)
       // prefix queries go through the service's own dictionary-expansion
       // entry point (resident expansion cache), the rest through search
@@ -512,10 +512,17 @@ object Bench {
       def pct(p: Double): Double =
         if (sorted.isEmpty) -1.0
         else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt)) / 1e6
+      val (h, m, e) = svc.cacheStats
       (queryMix.size * reps / sec, nClients.toLong * queryMix.size * reps / sec16,
-        pct(0.50), pct(0.99))
-    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0) }
-    searchJson = s"""{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms}"""
+        pct(0.50), pct(0.99), h, m, e)
+    } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, -1L, -1L, -1L) }
+    // cache_hit_rate: term-granular over the whole replay (warmup + both
+    // measured phases) — the FAST'20 cache-behavior number; the workload's
+    // repeat fraction (qlog_repeat) upper-bounds the cold-start term rate
+    val cacheHitRate =
+      if (cacheHits < 0 || cacheHits + cacheMisses == 0) -1.0
+      else cacheHits.toDouble / (cacheHits + cacheMisses)
+    searchJson = s"""{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms,"cache_hits":$cacheHits,"cache_misses":$cacheMisses,"cache_evictions":$cacheEvicts,"cache_hit_rate":$cacheHitRate}"""
     writeBenchFile("BENCH_partial.json", artifact("search_done"))
 
     // --- streaming ingest: the incremental path's throughput. A corpus

@@ -45,12 +45,29 @@ final class LocalService(val ix: Searcher.LoadedIndex,
   /** Decoded postings currently resident (diagnostic). */
   def residentPostings: Long = synchronized { cachedPostings }
 
+  // Cache-behavior counters (term-granular), the measurement the
+  // reference's FAST'20 analyses revolve around (its tools/ directory
+  // studies workload locality precisely to predict these): a HIT is a
+  // query term served from resident lists with zero Spark jobs, a MISS
+  // triggers (or joins) a fetch, an EVICTION retires a resident list to
+  // fit an incoming one. Monotonic over the service lifetime.
+  private val hitCount = new java.util.concurrent.atomic.AtomicLong()
+  private val missCount = new java.util.concurrent.atomic.AtomicLong()
+  private val evictCount = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (hits, misses, evictions) since construction. hit rate =
+    * hits / (hits + misses); qlog_repeat's repeat fraction upper-bounds it
+    * for a cold start at one query per term. */
+  def cacheStats: (Long, Long, Long) =
+    (hitCount.get(), missCount.get(), evictCount.get())
+
   private def evictUntilFits(incoming: Long): Unit = {
     val it = cache.entrySet().iterator()
     while (cachedPostings + incoming > maxCachedPostings && it.hasNext) {
       val e = it.next()
       cachedPostings -= e.getValue.n
       it.remove()
+      evictCount.incrementAndGet()
     }
   }
 
@@ -149,6 +166,8 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val cached: Map[String, TermList] =
       synchronized { uniq.map(t => t -> cache.get(t)) }.toMap
     val missing = uniq.filterNot(t => ok(cached(t)))
+    hitCount.addAndGet(uniq.size - missing.size)
+    missCount.addAndGet(missing.size)
     if (missing.isEmpty) return uniq.map(cached)
     // claim: terms we own (we created the in-flight entry) vs terms another
     // client is already fetching (we wait on its future)

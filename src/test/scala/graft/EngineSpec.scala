@@ -1205,6 +1205,25 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     java.nio.file.Files.deleteIfExists(log)
   }
 
+  test("LocalService cache stats: warm hits, cold misses, budget evictions") {
+    built
+    val svc = new graft.query.LocalService(ix)
+    svc.search(Seq("if", "return"), 5)
+    val (h1, m1, _) = svc.cacheStats
+    assert(m1 >= 2, s"cold query should miss both terms: $m1")
+    svc.search(Seq("if", "return"), 5)
+    val (h2, m2, _) = svc.cacheStats
+    assert(h2 - h1 == 2 && m2 == m1, s"warm repeat must be all hits: ${svc.cacheStats}")
+    // 1-posting budget: the second distinct term's insert evicts the first
+    val tiny = new graft.query.LocalService(ix, maxCachedPostings = 1L)
+    tiny.search(Seq("epsilon"), 5)
+    tiny.search(Seq("posting"), 5)
+    val (_, _, e) = tiny.cacheStats
+    assert(e >= 1, s"over-budget insert must evict: ${tiny.cacheStats}")
+    // results unaffected by the churn
+    assert(tiny.search(Seq("epsilon"), 5) == svc.search(Seq("epsilon"), 5))
+  }
+
   test("synthesized workload replays end-to-end rank-identical to the oracle") {
     built
     import spark.implicits._
