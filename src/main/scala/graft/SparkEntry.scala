@@ -1503,8 +1503,11 @@ object SparkEntry {
     // systematic-cf rule as `qlog_synth` — hot collocations get phrase
     // queries in proportion to how often they occur.
     "qlog_synth_phrase" -> { (s, dir) =>
-      val bigrams = docs(s, dir)
-        .select(explode(TextOps.shingles(toks, 2)).as("term"))
+      // tokens staged into a column FIRST: an expression inlined into the
+      // shingle HOF lambda re-evaluates the tokenizer regexp per element
+      // (measured 4× on this query; same trap text_collocations avoids)
+      val bigrams = docs(s, dir).select(toks.as("t"))
+        .select(explode(TextOps.shingles(col("t"), 2)).as("term"))
         .filter(split(col("term"), " ").getItem(0) =!=
           split(col("term"), " ").getItem(1))
         .groupBy("term").agg(count(lit(1)).cast("long").as("tf"))
