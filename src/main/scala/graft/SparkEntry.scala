@@ -3,6 +3,7 @@ package graft
 import graft.core.{LenByte, Tokenizer, Varint}
 import graft.index.{IndexBuilder, PostingCodec}
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.plans.{IndexCatalog, IndexRewrite}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -583,6 +584,25 @@ object SparkEntry {
     "p1_term_lookup" -> ((s, dir) => decodedPostings(s, dir)
       .filter(col("term").isin("spark", "dup"))
       .orderBy("term", "doc_id")),
+
+    // X1: index-aware acceleration (graft.plans.IndexSemiJoinRule) — the
+    // naive corpus-scan shape `docs.filter(tokens contains term)` is
+    // rewritten by the installed optimizer rule into a broadcast LEFT SEMI
+    // join against the decoded posting list for the term, with the
+    // non-indexable conjunct (`doc_id % 3 = 0`) kept as a residual filter.
+    // The graded rows are the rewritten plan's output; PlansSpec asserts
+    // the plan shape (LeftSemi + residual, no graft_match residue) and
+    // rule-off parity.
+    "x1_match_rewrite" -> { (s, dir) =>
+      IndexRewrite.install(s)
+      val key = s"docs:$dir"
+      IndexCatalog.register(key, "doc_id", term =>
+        decodedPostings(s, dir).filter(col("term") === term).select("doc_id"))
+      docs(s, dir)
+        .filter(IndexRewrite.graftMatch(key, col("text"), "window") &&
+          col("doc_id") % 3 === 0)
+        .select("doc_id").orderBy("doc_id")
+    },
 
     // P2: conjunctive guard — missing term detection per query
     "p2_guard" -> { (s, dir) =>
@@ -2079,6 +2099,10 @@ object SparkEntry {
 
     "p1_term_lookup" ->
       s"SELECT term, doc_id, tf FROM $TF WHERE term IN ('spark','dup') ORDER BY term, doc_id",
+
+    "x1_match_rewrite" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE list_contains($T, 'window') AND doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
 
     "p2_guard" ->
       s"""WITH qt AS (SELECT * FROM (VALUES ('q_ok','spark'),('q_ok','query'),

@@ -354,6 +354,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_slot_sum"),
         new ExpressionInfo(classOf[SlotOrderedSum].getName, "graft_slot_sum"),
         (args: Seq[Expression]) => SlotOrderedSum(args.head)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_match"),
+        new ExpressionInfo(classOf[graft.plans.GraftMatch].getName, "graft_match"),
+        (args: Seq[Expression]) => graft.plans.GraftMatch(args(0), args(1), args(2))))
+    // index-aware acceleration: rewrite graft_match filters into posting-list
+    // semi-joins when an IndexCatalog entry covers them (graft.plans)
+    ext.injectOptimizerRule(s => graft.plans.IndexSemiJoinRule(s))
   }
 }
 

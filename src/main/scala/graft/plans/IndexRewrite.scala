@@ -1,0 +1,154 @@
+package graft.plans
+
+import graft.core.Tokenizer
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, HintInfo, LogicalPlan, BROADCAST}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Index-aware query acceleration: the Catalyst analog of what the
+  * reference engine does implicitly — answer a term predicate from the
+  * inverted index instead of scanning and re-tokenizing the corpus
+  * (reference: every query route goes through posting lists,
+  * `qq_mem_engine.h:329-358`; there is no "scan the documents" fallback at
+  * all). On Spark the corpus-scan shape is expressible — and is exactly
+  * what a naive user writes: `docs.filter(tokens contains t)` — so the
+  * engine ships an optimizer [[Rule]] that rewrites that filter into a
+  * broadcast LEFT SEMI join against the decoded posting list for `t`,
+  * keyed by docId. At 100 TB that is the difference between a full-corpus
+  * tokenize (read every byte of `content`) and one pushed-down term lookup
+  * over the block index (read a few KB of postings) followed by a
+  * broadcast semi-join that prunes the scan output — the same plan shape
+  * Hyperspace-style index subsystems produce, built here from public
+  * Catalyst surface only.
+  *
+  * Pieces:
+  *  - [[GraftMatch]] — the user-facing predicate `graft_match(key, text,
+  *    term)`. Self-contained semantics: when NOT rewritten (no index
+  *    registered for `key`) it evaluates by tokenizing `text` with the
+  *    engine [[Tokenizer]] and testing membership — the rewrite is an
+  *    optimization, never a semantic change.
+  *  - [[IndexCatalog]] — session-global registry `key -> (keyCol, term =>
+  *    docIds DataFrame)`. The lookup DataFrame contract: one BIGINT column
+  *    of docIds whose rows are exactly the docs whose tokenized `text`
+  *    contains `term` (which an inverted index built with the same
+  *    tokenizer satisfies by construction).
+  *  - [[IndexSemiJoinRule]] — splits the filter condition into conjuncts,
+  *    turns every rewritable [[GraftMatch]] conjunct into a LEFT SEMI join
+  *    (broadcast-hinted: a single term's docId list is small relative to
+  *    the corpus by Zipf — and if it isn't, AQE demotes the hint), and
+  *    keeps the remaining conjuncts as a residual Filter so mixed
+  *    predicates (`graft_match(...) AND doc_id % 3 = 0`) stay exact.
+  */
+object IndexCatalog {
+  final case class Entry(keyCol: String, lookup: String => DataFrame)
+  private val entries = scala.collection.concurrent.TrieMap.empty[String, Entry]
+  def register(key: String, keyCol: String, lookup: String => DataFrame): Unit =
+    entries.put(key, Entry(keyCol, lookup))
+  def get(key: String): Option[Entry] = entries.get(key)
+  def clear(): Unit = entries.clear()
+}
+
+/** `graft_match(key, text, term)` — true iff the engine tokenizer's terms
+  * of `text` contain `term`. `key` names an [[IndexCatalog]] entry that MAY
+  * accelerate it; evaluation never consults the index (rewrite-only), so
+  * the predicate is correct with or without the rule installed. */
+case class GraftMatch(key: Expression, text: Expression, term: Expression)
+    extends TernaryExpression with Predicate with CodegenFallback {
+  override def first: Expression = key
+  override def second: Expression = text
+  override def third: Expression = term
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(key, text, term).forall(_.dataType == StringType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_match requires (STRING key, STRING text, STRING term)")
+  override def nullSafeEval(k: Any, t: Any, q: Any): Any = {
+    val needle = q.asInstanceOf[UTF8String].toString
+    // scan-side fallback semantics: tokenize and test membership
+    Tokenizer.terms(t.asInstanceOf[UTF8String].toString).contains(needle)
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): GraftMatch =
+    copy(key = newFirst, text = newSecond, term = newThird)
+}
+
+/** The rewrite rule. Installed per session ([[IndexRewrite.install]]) or via
+  * `GraftExtensions` (`withExtensions`). Runs in the user-provided optimizer
+  * batch — i.e. AFTER cache substitution, so the embedded lookup plan is
+  * taken from the lookup DataFrame's own `optimizedPlan` (which resolves
+  * against cached posting blocks; fresh exprIds per call, so the same index
+  * can accelerate several conjuncts of one query). */
+case class IndexSemiJoinRule(spark: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def rewritable(e: Expression): Boolean = e match {
+    case GraftMatch(k, _, t) => k.foldable && t.foldable && k.eval() != null && t.eval() != null
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (matches, rest) = conjuncts.partition(rewritable)
+      val applicable = matches.collect {
+        case gm @ GraftMatch(k, textExpr, t) =>
+          val key = k.eval().toString
+          (gm, IndexCatalog.get(key), textExpr, t.eval().toString)
+      }
+      // every match conjunct must resolve: its key registered, the join
+      // key column present in the child's output, and the predicate's text
+      // argument a direct reference to a child column (a derived text —
+      // e.g. substring(text) — has no index built over it, so scan-eval it)
+      val (accel, fallback) = applicable.partition { case (_, entry, textExpr, _) =>
+        entry.exists { e =>
+          child.output.exists(a => a.name == e.keyCol) &&
+            (textExpr match {
+              case a: Attribute => child.output.exists(_.exprId == a.exprId)
+              case _ => false
+            })
+      }
+      }
+      if (accel.isEmpty) f
+      else {
+        val joined = accel.foldLeft(child) { case (acc, (_, entryOpt, _, term)) =>
+          val entry = entryOpt.get
+          val docId = acc.output.find(_.name == entry.keyCol).get
+          val right = entry.lookup(term).queryExecution.optimizedPlan
+          val rightKey = right.output.head
+          val rightCast: Expression =
+            if (rightKey.dataType == docId.dataType) rightKey
+            else Cast(rightKey, docId.dataType)
+          Join(acc, right, LeftSemi,
+            Some(EqualTo(docId, rightCast)),
+            JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+        }
+        val residual = rest ++ fallback.map(_._1)
+        if (residual.isEmpty) joined
+        else Filter(residual.reduce(And), joined)
+      }
+  }
+}
+
+object IndexRewrite {
+  /** Column builder for the marker predicate. */
+  def graftMatch(key: String, text: Column, term: String): Column =
+    ColumnBridge.column(GraftMatch(
+      Literal(UTF8String.fromString(key), StringType),
+      ColumnBridge.expression(text),
+      Literal(UTF8String.fromString(term), StringType)))
+
+  /** Idempotently install the rule into a session built without
+    * `withExtensions` (e.g. the driver's Verify/Bench sessions). */
+  def install(spark: SparkSession): Unit = spark.experimental.synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[IndexSemiJoinRule]))
+      spark.experimental.extraOptimizations = cur :+ IndexSemiJoinRule(spark)
+  }
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.plans.{GraftMatch, IndexCatalog, IndexRewrite}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The index-aware optimizer rewrite (graft.plans.IndexSemiJoinRule): a
+  * `graft_match` filter over the corpus becomes a broadcast LEFT SEMI join
+  * against the posting list when (and only when) an IndexCatalog entry
+  * covers it; semantics are identical either way. */
+class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // parquet-backed (a LocalRelation fixture would be pre-evaluated by
+  // ConvertToLocalRelation before the user-provided batch ever runs — the
+  // rewrite exists for real scans)
+  private lazy val fixturePath: String = {
+    val s = spark
+    import s.implicits._
+    val p = java.nio.file.Files.createTempDirectory("graft_ixr").toString + "/docs"
+    Seq(
+      (0L, "the quick fox jumps"),
+      (1L, "a window over the table"),
+      (2L, "window Window WINDOW"),
+      (3L, "no match here"),
+      (4L, "window again, fox too")
+    ).toDF("doc_id", "text").write.mode("overwrite").parquet(p)
+    p
+  }
+  private def fixture = spark.read.parquet(fixturePath)
+
+  /** Registers an index whose lookup is computed from the same fixture by
+    * tokenizing — i.e. exactly what a posting list built with the engine
+    * tokenizer contains for the term. */
+  private def registerFixtureIndex(key: String): Unit =
+    IndexCatalog.register(key, "doc_id", term =>
+      fixture.filter(array_contains(ops.TextOps.tokens(col("text")), term))
+        .select("doc_id"))
+
+  test("rewrite fires: LeftSemi join, no graft_match residue, identical rows") {
+    IndexRewrite.install(spark)
+    val key = "spec:basic"
+    registerFixtureIndex(key)
+    val q = fixture.filter(IndexRewrite.graftMatch(key, col("text"), "window"))
+      .select("doc_id").orderBy("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    val semis = lp.collect { case j: Join if j.joinType == LeftSemi => j }
+    assert(semis.nonEmpty, s"expected LeftSemi join in:\n$lp")
+    val residue = lp.collect { case f: Filter
+      if f.condition.exists(_.isInstanceOf[GraftMatch]) => f }
+    assert(residue.isEmpty, s"graft_match survived the rewrite:\n$lp")
+    assert(q.as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+      == Seq(1L, 2L, 4L))
+  }
+
+  test("mixed condition keeps the non-indexable conjunct as residual filter") {
+    IndexRewrite.install(spark)
+    val key = "spec:residual"
+    registerFixtureIndex(key)
+    val q = fixture.filter(IndexRewrite.graftMatch(key, col("text"), "window")
+        && col("doc_id") % 2 === 0)
+      .select("doc_id").orderBy("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty)
+    // the modulo conjunct must still constrain the output
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
+  }
+
+  test("two indexed conjuncts stack two semi-joins (AND of two terms)") {
+    IndexRewrite.install(spark)
+    val key = "spec:two"
+    registerFixtureIndex(key)
+    val q = fixture.filter(IndexRewrite.graftMatch(key, col("text"), "window")
+        && IndexRewrite.graftMatch(key, col("text"), "fox"))
+      .select("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.size == 2,
+      s"expected two stacked semi-joins in:\n$lp")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("unregistered key falls back to scan-side eval with correct semantics") {
+    IndexRewrite.install(spark)
+    val q = fixture.filter(IndexRewrite.graftMatch("spec:absent", col("text"), "window"))
+      .select("doc_id").orderBy("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.isEmpty,
+      "no index registered — must not rewrite")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L),
+      "fallback eval must tokenize (case-insensitive, punctuation-split)")
+  }
+
+  test("derived text argument is not rewritten (no index over substring(text))") {
+    IndexRewrite.install(spark)
+    val key = "spec:derived"
+    registerFixtureIndex(key)
+    val q = fixture.filter(
+      IndexRewrite.graftMatch(key, substring(col("text"), 1, 9), "window"))
+      .select("doc_id").orderBy("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.isEmpty,
+      "index covers the raw column, not a derived expression — must scan-eval")
+    // docs whose FIRST 9 chars contain 'window' (1: "a window ",
+    // 2: "window Wi", 4: "window ag") — doc 0's fox-only prefix drops out
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+  }
+
+  test("graded x1 query matches the naive scan on sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).exists(), s"$sfDir not present")
+    val got = SparkEntry.queries("x1_match_rewrite")(spark, sfDir)
+    val lp = got.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+      s"x1 must run through the index rewrite:\n$lp")
+    val naive = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(array_contains(ops.TextOps.tokens(col("text")), "window")
+        && col("doc_id") % 3 === 0)
+      .select("doc_id").orderBy("doc_id")
+    assert(got.collect().map(_.getLong(0)).toSeq
+      == naive.collect().map(_.getLong(0)).toSeq)
+    assert(got.count() > 0, "probe term must occur in the corpus")
+  }
+}
