@@ -2,7 +2,7 @@ package graft
 
 import graft.core.{LenByte, Tokenizer, Varint}
 import graft.index.{IndexBuilder, PostingCodec}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, Sketch, TextOps}
 import graft.plans.{IndexCatalog, IndexRewrite}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1473,6 +1473,24 @@ object SparkEntry {
         .orderBy("df_log2_bucket")
     },
 
+    // SK1: KMV distinct-cardinality sketch over the term dictionary —
+    // integer-exact estimator ((k-1)·2^32 div u_k over 32-bit md5 prefixes)
+    // so the DuckDB oracle reproduces the ESTIMATE itself bit-for-bit, not
+    // just the exact count it approximates; see ops.Sketch for the scale
+    // rationale (k-row TakeOrdered instead of a full-cardinality shuffle)
+    // two value spaces: the (tiny) term dictionary exercises the
+    // fewer-than-k exact path; the 3-token shingle space exercises the
+    // real estimator path ((k-1)·2^32 div u_k)
+    "sk_kmv_distinct" -> { (s, dir) =>
+      val terms = Sketch.kmvDistinct(
+        docs(s, dir).select(explode(toks).as("v")), "v", k = 64)
+        .select(lit("term").as("space"), col("*"))
+      val shingles = Sketch.kmvDistinct(
+        docs(s, dir).select(explode(TextOps.shingles(toks, 3)).as("v")), "v", k = 64)
+        .select(lit("shingle3").as("space"), col("*"))
+      terms.unionAll(shingles).orderBy("space")
+    },
+
     // synthetic query-log generation — the reference's
     // `tools/gen_synthetic_log.py` analog: Q=100 queries drawn
     // popularity-proportionally (systematic cf sampling, pure integer
@@ -2830,6 +2848,23 @@ object SparkEntry {
          | count(*)::BIGINT n_terms, sum(df)::BIGINT sum_df,
          | min(df)::BIGINT min_df, max(df)::BIGINT max_df
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sk_kmv_distinct" -> {
+      def kmvSql(space: String, unnested: String) =
+        s"""SELECT '$space' space, 64::BIGINT k, u_k::BIGINT u_k,
+           | (CASE WHEN n_min < 64 THEN n_min ELSE 63 * 4294967296 // u_k END)::BIGINT est_distinct,
+           | exact_distinct
+           |FROM (SELECT max(u) u_k, count(*) n_min FROM
+           |        (SELECT u FROM (SELECT DISTINCT ('0x' || substr(md5(v), 1, 8))::BIGINT u
+           |                        FROM (SELECT DISTINCT $unnested v FROM documents))
+           |         ORDER BY u LIMIT 64)),
+           |     (SELECT count(*)::BIGINT exact_distinct
+           |      FROM (SELECT DISTINCT $unnested v FROM documents))""".stripMargin
+      s"""${kmvSql("term", s"unnest($T)")}
+         |UNION ALL
+         |${kmvSql("shingle3", s"unnest($SHING)")}
+         |ORDER BY space""".stripMargin
+    },
 
     "qlog_synth" ->
       s"""WITH tf AS (SELECT * FROM $TF),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.index.Bloom
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Similarity, Sketch, TextOps}
 import graft.query.Highlighter
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -599,5 +599,25 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TextOps.mixtureSample(d, "id", "src",
       Map("a" -> 1L, "zz" -> 1L), total = 8L)
       .filter(col("src") =!= "a").count() == 0L)
+  }
+
+  test("KMV distinct sketch: exact below k, sane estimate above, duplicate-invariant") {
+    val s = spark
+    import s.implicits._
+    // 10 distinct values, k=64 → exact path
+    val small = (1 to 10).map(i => s"v$i").toDF("v")
+    val r1 = Sketch.kmvDistinct(small, "v", 64).collect().head
+    assert(r1.getAs[Long]("est_distinct") == 10L)
+    assert(r1.getAs[Long]("exact_distinct") == 10L)
+    // 5000 distinct values, k=64 → estimator path, within 35% (k=64 gives
+    // ~12.5% stdev; this is a determinism check, not a statistics test)
+    val big = (1 to 5000).map(i => s"value_$i").toDF("v")
+    val r2 = Sketch.kmvDistinct(big, "v", 64).collect().head
+    val est = r2.getAs[Long]("est_distinct")
+    assert(est > 3250 && est < 6750, s"estimate $est implausible for 5000")
+    // duplicates never change a distinct sketch
+    val dup = big.unionAll(big).unionAll(big)
+    assert(Sketch.kmvDistinct(dup, "v", 64).collect().head
+      .getAs[Long]("est_distinct") == est)
   }
 }
