@@ -549,6 +549,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // F15: front-coded term-dictionary blocks (index.TermDict — the
+    // columnar analog of the reference's prefix-compressed term trie,
+    // term_index.h:101-141). Built over the 3-token shingle space (the
+    // 31-term sf vocabulary would never exercise front coding); the graded
+    // rows are decoded back from the REAL packed byte stream, so positions
+    // and per-entry front-code lengths pin the layout itself.
+    "f15_dict_frontcode" -> ((s, dir) => graft.index.TermDict.decode(
+      graft.index.TermDict.build(
+        docs(s, dir).select(explode(TextOps.shingles(toks, 3)).as("term")), "term"))
+      .orderBy("bucket", "blk", "pos")),
+
     // A2: posting-list build (term -> ascending doc ids; string-joined so
     // the cross-engine hash never depends on array-type canonicalization)
     "a2_postings" -> ((s, dir) => tfTable(s, dir)
@@ -2073,6 +2084,18 @@ object SparkEntry {
          | ((octet_length(encode(text)) + 16383) // 16384)::BIGINT n_chunks,
          | sha256(text) roundtrip_sha
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f15_dict_frontcode" ->
+      s"""WITH v AS (SELECT DISTINCT unnest($SHING) term FROM documents),
+         | r AS (SELECT term, substr(term, 1, 2) bucket,
+         |         row_number() OVER (PARTITION BY substr(term, 1, 2) ORDER BY term) - 1 rn
+         |       FROM v),
+         | p AS (SELECT *, lag(term) OVER (PARTITION BY bucket ORDER BY term) prev FROM r)
+         |SELECT bucket, (rn // 16)::BIGINT blk, (rn % 16)::BIGINT pos, term,
+         | (CASE WHEN rn % 16 = 0 THEN 0 ELSE
+         |    len(list_filter(range(1, least(len(term), len(prev)) + 1),
+         |        i -> substr(term, 1, i) = substr(prev, 1, i))) END)::BIGINT lcp_len
+         |FROM p ORDER BY bucket, blk, pos""".stripMargin,
 
     "a2_postings" ->
       s"""SELECT term, array_to_string(array_agg(doc_id ORDER BY doc_id), ',') doc_ids,

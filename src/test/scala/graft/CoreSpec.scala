@@ -233,3 +233,45 @@ class BoolCompileSpec extends AnyFunSuite {
     assert(evaluated > 5000, s"sweep too small: $evaluated")
   }
 }
+
+class TermDictSpec extends AnyFunSuite {
+  import graft.index.TermDict
+
+  test("front-coded block roundtrips with true per-entry lcp") {
+    val terms = Array("scan", "scan_filter", "scan_limit", "scanner", "scans", "schema")
+    val packed = TermDict.encodeBlock(terms)
+    val back = TermDict.decodeBlock(terms.head, terms.length, packed)
+    assert(back.map(_._1).toSeq == terms.toSeq)
+    // stored lcp must equal the true lcp vs the PREVIOUS term (front
+    // coding), not vs the block head
+    assert(back.map(_._2).toSeq == Seq(0, 4, 5, 4, 4, 2))
+    // packed must be smaller than the raw suffix-less encoding
+    assert(packed.length < terms.tail.map(_.length + 2).sum)
+  }
+
+  test("singleton block has empty packed stream") {
+    assert(TermDict.encodeBlock(Array("only")).isEmpty)
+    assert(TermDict.decodeBlock("only", 1, Array.emptyByteArray).toSeq == Seq(("only", 0)))
+  }
+
+  test("unsorted or duplicate block is rejected") {
+    intercept[IllegalArgumentException](TermDict.encodeBlock(Array("b", "a")))
+    intercept[IllegalArgumentException](TermDict.encodeBlock(Array("a", "a")))
+  }
+
+  test("randomized roundtrip over sorted unique token-like strings") {
+    val r = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val n = 1 + r.nextInt(16)
+      val terms = (1 to n * 3).map(_ =>
+        (1 to 1 + r.nextInt(8)).map(_ => "ab_09".charAt(r.nextInt(5))).mkString)
+        .distinct.sorted.take(n).toArray
+      val back = TermDict.decodeBlock(terms.head, terms.length, TermDict.encodeBlock(terms))
+      assert(back.map(_._1).toSeq == terms.toSeq)
+      back.toSeq.sliding(2).foreach {
+        case Seq((p, _), (t, l)) => assert(l == TermDict.lcp(p, t))
+        case _ =>
+      }
+    }
+  }
+}
