@@ -1452,6 +1452,21 @@ object SparkEntry {
     "text_unigram_nll" -> ((s, dir) =>
       TextOps.unigramNll(tfTable(s, dir), "doc_id").orderBy("doc_id")),
 
+    // BPE merge learning (ops.BpeTrainer) — 6 rounds of distributed
+    // tokenizer training over the corpus word-frequency table; the oracle
+    // replays the full loop (pair argmax + greedy left-to-right merge as a
+    // list_reduce fold), so every learned merge and its count is graded
+    "bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      val words = docs(s, dir).select(explode(toks).as("word"))
+        .groupBy("word").agg(count(lit(1)).cast("long").as("cnt"))
+      graft.ops.BpeTrainer.learn(words, "word", "cnt", n = 6)
+        .toDF("step", "left", "right", "merged", "cnt")
+        .select(col("step").cast("long"), col("left"), col("right"),
+          col("merged"), col("cnt"))
+        .orderBy("step")
+    },
+
     // index statistics summary (the engine's /stats introspection shape)
     "idx_stats" -> { (s, dir) =>
       val tf = tfTable(s, dir)
@@ -2845,6 +2860,29 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, tok_offset,
          | (tok_offset // 2048)::BIGINT bin_id, (tok_offset % 2048)::BIGINT bin_offset
          |FROM o ORDER BY doc_id""".stripMargin,
+
+    "bpe_merges" -> {
+      val sep = "chr(31)"
+      def stage(k: Int) = {
+        val prev = s"w${k - 1}"
+        s""" p$k AS (SELECT unnest(list_transform(range(1, len(sym)),
+           |          i -> {'l': sym[i], 'r': sym[i + 1]})) pr, cnt FROM $prev),
+           | g$k AS (SELECT pr.l l, pr.r r, sum(cnt)::BIGINT c FROM p$k GROUP BY 1, 2),
+           | b$k AS (SELECT l, r, c FROM g$k ORDER BY c DESC, l, r LIMIT 1),
+           | w$k AS (SELECT string_split(list_reduce(sym, (acc, x) ->
+           |   CASE WHEN x = b.r AND (acc = b.l OR ends_with(acc, $sep || b.l))
+           |   THEN acc || x ELSE acc || $sep || x END), $sep) sym, cnt
+           |   FROM $prev, b$k b)""".stripMargin
+      }
+      s"""WITH w0 AS (SELECT list_filter(string_split_regex(word, ''), x -> x <> '') sym, cnt
+         |            FROM (SELECT term word, count(*)::BIGINT cnt
+         |                  FROM (SELECT unnest($T) term FROM documents) GROUP BY 1)),
+         |${(1 to 6).map(stage).mkString(",\n")}
+         |${(1 to 6).map(k =>
+        s"SELECT $k::BIGINT step, l \"left\", r \"right\", l || r merged, c cnt FROM b$k")
+        .mkString("\nUNION ALL\n")}
+         |ORDER BY step""".stripMargin
+    },
 
     "text_unigram_nll" ->
       s"""WITH tf AS (SELECT * FROM $TF),

@@ -547,3 +547,79 @@ object TextOps {
     else hashes.sliding(window).map(_.min).toArray.distinct
   }
 }
+
+/** Byte-pair-encoding merge learning — distributed tokenizer training, the
+  * step a real training-data pipeline runs over the corpus before any
+  * token counting is meaningful. Standard BPE (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"): start
+  * from characters, repeatedly merge the globally most frequent adjacent
+  * symbol pair, weighted by word frequency.
+  *
+  * Deterministic semantics, engine-portable by construction:
+  *  - pair choice: max total count, ties by (left, right) ascending;
+  *  - per-round merge application is the GREEDY LEFT-TO-RIGHT fold — walk
+  *    the symbol list once, merging (a, b) whenever the last emitted
+  *    symbol is exactly `a` (never a symbol just created this round: the
+  *    created symbol is a||b ≠ a) and the next is `b`. This is expressible
+  *    as a `list_reduce` fold in SQL, so the DuckDB oracle replays the
+  *    whole training loop.
+  *
+  * Scale shape: the word-frequency table (distinct words, not the corpus)
+  * is the working set; each round is one map-side-combinable pair count, a
+  * 1-row TakeOrdered argmax to the driver, and a map to apply the merge —
+  * N rounds = N scans of the (cached) word table, the textbook
+  * distributed-BPE layout.
+  */
+object BpeTrainer {
+  import org.apache.spark.sql.DataFrame
+
+  /** Greedy left-to-right single-pair merge (one BPE round). */
+  def mergeGreedy(syms: IndexedSeq[String], a: String, b: String): IndexedSeq[String] = {
+    if (syms.length < 2) return syms
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == a && syms(i) == b) {
+        out(out.length - 1) = a + b
+      } else out += syms(i)
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Learn `n` merges over a (word, cnt) frequency table; returns one row
+    * per round: (step, left, right, merged, cnt). Stops early if no
+    * adjacent pair remains. */
+  def learn(words: DataFrame, wordCol: String, cntCol: String, n: Int): Seq[(Int, String, String, String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var cur = words
+      .select(filter(split(col(wordCol), ""), x => x =!= lit("")).as("sym"),
+        col(cntCol).cast("long").as("cnt"))
+      .as[(Seq[String], Long)].cache()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    while (step <= n) {
+      val best = cur.toDF("sym", "cnt")
+        .select(posexplode(col("sym")).as(Seq("i", "left")), col("sym"), col("cnt"))
+        .filter(col("i") < size(col("sym")) - 1)
+        .select(col("left"), element_at(col("sym"), col("i") + 2).as("right"), col("cnt"))
+        .groupBy("left", "right").agg(sum("cnt").as("c"))
+        .orderBy(desc("c"), asc("left"), asc("right"))
+        .limit(1).collect()
+      if (best.isEmpty) step = n + 1
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += ((step, a, b, a + b, c))
+        val next = cur.map { case (syms, cnt) =>
+          (mergeGreedy(syms.toIndexedSeq, a, b): Seq[String], cnt) }.cache()
+        next.count()
+        cur.unpersist(false)
+        cur = next
+        step += 1
+      }
+    }
+    cur.unpersist(false)
+    out.toSeq
+  }
+}

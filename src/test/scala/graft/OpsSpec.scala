@@ -621,3 +621,50 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       .getAs[Long]("est_distinct") == est)
   }
 }
+
+class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
+  import graft.ops.BpeTrainer
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("greedy left-to-right merge: overlap, repeats, created-symbol guard") {
+    def m(s: String, a: String, b: String) =
+      BpeTrainer.mergeGreedy(s.split(" ").toIndexedSeq, a, b).mkString(" ")
+    assert(m("a b c", "a", "b") == "ab c")
+    // overlapping run merges leftmost-first, never chains
+    assert(m("a a a", "a", "a") == "aa a")
+    assert(m("a a a a", "a", "a") == "aa aa")
+    // a symbol created this round (ab) cannot immediately re-merge as left
+    assert(m("a b b", "a", "b") == "ab b")
+    // but a PRE-EXISTING symbol equal to the merge result can
+    assert(m("ab c", "ab", "c") == "abc")
+    assert(m("x y", "a", "b") == "x y")
+  }
+
+  test("learn() replays classic BPE on a toy corpus") {
+    val s = spark
+    import s.implicits._
+    // "lower" x2, "low" x5: first merge must be (l,o) cnt 7, then (lo,w) 7
+    val words = Seq(("low", 5L), ("lower", 2L)).toDF("word", "cnt")
+    val merges = BpeTrainer.learn(words, "word", "cnt", 3)
+    assert(merges.map(t => (t._2, t._3, t._5)) ==
+      Seq(("l", "o", 7L), ("lo", "w", 7L), ("e", "r", 2L)))
+    // merged symbol strings compose
+    assert(merges(1)._4 == "low")
+  }
+
+  test("learn() stops early when no pairs remain") {
+    val s = spark
+    import s.implicits._
+    val words = Seq(("ab", 1L)).toDF("word", "cnt")
+    // 1 word of 2 chars: one merge possible, then single symbols remain
+    val merges = BpeTrainer.learn(words, "word", "cnt", 5)
+    assert(merges.map(_._4) == Seq("ab"))
+  }
+}
