@@ -355,6 +355,7 @@ object Bench {
     var queriesJson = "{}"
     var queriesTotal = -1.0
     var searchJson = """{"n_queries":-1,"sec":-1,"qps":-1,"served_qps":-1,"served_qps_16":-1,"served_p50_ms":-1,"served_p99_ms":-1,"cache_hits":-1,"cache_misses":-1,"cache_evictions":-1,"cache_hit_rate":-1}"""
+    var httpJson = """{"n_wire_queries":-1,"http_qps_16":-1,"http_p50_ms":-1,"http_p99_ms":-1}"""
     var streamingJson = """{"docs":-1,"docs_per_sec":-1,"compact_sec":-1}"""
     var matchRateV = -1.0
     def indexingJson: String = {
@@ -513,6 +514,62 @@ object Bench {
         if (sorted.isEmpty) -1.0
         else sorted(math.min(sorted.length - 1, (p * sorted.length).toInt)) / 1e6
       val (h, m, e) = svc.cacheStats
+      // HTTP-socket serving (query.HttpService): same warm service behind
+      // real sockets — the closest analog of the reference's client/server
+      // bench (gRPC framing unavailable in this env). Only the /search-
+      // expressible subset of the mix (term/phrase/NOT/slop) goes over the
+      // wire; fewer reps since each request pays TCP+HTTP framing.
+      httpJson = try {
+        val httpSrv = new graft.query.HttpService(svc, port = 0, nThreads = nClients)
+        try {
+          val wire = queryMix.filter(q =>
+            q.prefix.isEmpty && q.fuzzy.isEmpty && q.wildcard.isEmpty && q.bool.isEmpty)
+          def url(q: graft.query.QueryLog.LogQuery): java.net.URL = {
+            val base = s"http://127.0.0.1:${httpSrv.boundPort}/search?q=" +
+              q.terms.mkString("+") + "&k=10" +
+              (if (q.phrase) "&phrase=1" else "") +
+              (if (q.exclude.nonEmpty) "&not=" + q.exclude.mkString("+") else "") +
+              (if (q.slop != 0) s"&slop=${q.slop}" else "")
+            java.net.URI.create(base).toURL
+          }
+          def hit(u: java.net.URL): Unit = {
+            val c = u.openConnection().asInstanceOf[java.net.HttpURLConnection]
+            c.setReadTimeout(30000)
+            val in = c.getInputStream
+            try { val buf = new Array[Byte](8192); while (in.read(buf) >= 0) () }
+            finally in.close()
+          }
+          val urls = wire.map(url)
+          urls.foreach(hit) // connection/JIT warm
+          val httpReps = 10
+          val hlats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+          val hpool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
+          val (_, hsec) = try timed {
+            val futs = (0 until nClients).map { _ =>
+              hpool.submit(new Runnable {
+                def run(): Unit = {
+                  var r = 0
+                  while (r < httpReps) {
+                    urls.foreach { u =>
+                      val t0 = System.nanoTime()
+                      hit(u)
+                      hlats.add(System.nanoTime() - t0)
+                    }
+                    r += 1
+                  }
+                }
+              })
+            }
+            futs.foreach(_.get())
+          } finally hpool.shutdown()
+          val hs = { import scala.jdk.CollectionConverters._; hlats.asScala.toArray.sorted }
+          def hpct(p: Double): Double =
+            if (hs.isEmpty) -1.0
+            else hs(math.min(hs.length - 1, (p * hs.length).toInt)) / 1e6
+          s"""{"n_wire_queries":${wire.size},"http_qps_16":${nClients.toLong * wire.size * httpReps / hsec},"http_p50_ms":${hpct(0.50)},"http_p99_ms":${hpct(0.99)}}"""
+        } finally httpSrv.stop()
+      } catch { case _: Throwable =>
+        """{"n_wire_queries":-1,"http_qps_16":-1,"http_p50_ms":-1,"http_p99_ms":-1}""" }
       (queryMix.size * reps / sec, nClients.toLong * queryMix.size * reps / sec16,
         pct(0.50), pct(0.99), h, m, e)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, -1L, -1L, -1L) }
@@ -522,7 +579,7 @@ object Bench {
     val cacheHitRate =
       if (cacheHits < 0 || cacheHits + cacheMisses == 0) -1.0
       else cacheHits.toDouble / (cacheHits + cacheMisses)
-    searchJson = s"""{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms,"cache_hits":$cacheHits,"cache_misses":$cacheMisses,"cache_evictions":$cacheEvicts,"cache_hit_rate":$cacheHitRate}"""
+    searchJson = s"""{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms,"cache_hits":$cacheHits,"cache_misses":$cacheMisses,"cache_evictions":$cacheEvicts,"cache_hit_rate":$cacheHitRate,"http":$httpJson}"""
     writeBenchFile("BENCH_partial.json", artifact("search_done"))
 
     // --- streaming ingest: the incremental path's throughput. A corpus

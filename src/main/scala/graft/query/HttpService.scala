@@ -1,0 +1,148 @@
+package graft.query
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.core.Oracle
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+/** Socket-level serving endpoint over [[LocalService]] — the reference's
+  * query server reimagined on pure-JDK HTTP (the reference serves over
+  * async gRPC with N completion-queue threads and 16 sync bench clients,
+  * `grpc_server_impl.h:209-331`, `qq_server.cc`; no RPC jars exist in this
+  * environment, so the framing is JDK `com.sun.net.httpserver` — real
+  * sockets, real concurrent clients, same thread-pool shape).
+  *
+  * Endpoints (all GET, JSON out):
+  *  - `/search?q=a+b&k=10[&phrase=1][&not=c+d][&slop=2]` — BM25 top-k;
+  *    `phrase=1` requires the terms adjacent in order; `not` excludes;
+  *    `slop` relaxes phrase adjacency.
+  *  - `/explain?q=a+b&doc=7` — per-term score decomposition for one doc.
+  *  - `/suggest?t=trm` — dictionary spell suggestions.
+  *  - `/stats` — cache hit/miss/eviction counters and resident postings.
+  *
+  * Concurrency: requests dispatch on a fixed pool; [[LocalService]] is
+  * safe under concurrent `search` (striped/snapshot cache — the 16-client
+  * parity test and `served_qps_16` bench exercise it), so the endpoint
+  * adds no locking of its own. Scale story: one such server per index
+  * replica behind any HTTP balancer; the index itself stays columnar in
+  * the cluster and the service df-gates what it makes resident.
+  */
+final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
+
+  private val pool = Executors.newFixedThreadPool(nThreads)
+  private val server: HttpServer = {
+    // without TCP_NODELAY the JDK server's small responses hit the Nagle +
+    // delayed-ACK interaction: ~40 ms floor per request (measured 44 ms
+    // p50 on loopback, sub-ms after)
+    System.setProperty("sun.net.httpserver.nodelay", "true")
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    s.setExecutor(pool)
+    s.createContext("/search", (ex: HttpExchange) => handle(ex)(doSearch))
+    s.createContext("/explain", (ex: HttpExchange) => handle(ex)(doExplain))
+    s.createContext("/suggest", (ex: HttpExchange) => handle(ex)(doSuggest))
+    s.createContext("/stats", (ex: HttpExchange) => handle(ex)(_ => doStats()))
+    s.start()
+    s
+  }
+
+  /** Bound port (useful when constructed with port 0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = {
+    server.stop(0)
+    pool.shutdownNow()
+  }
+
+  // ---- request handling ----
+
+  private def handle(ex: HttpExchange)(f: Map[String, String] => String): Unit = {
+    val (code, body) =
+      try (200, f(params(ex)))
+      catch {
+        case e: IllegalArgumentException => (400, jsonErr(e.getMessage))
+        case e: Exception                => (500, jsonErr(e.toString))
+      }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val raw = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    raw.split('&').iterator.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      if (i < 0) kv -> ""
+      else java.net.URLDecoder.decode(kv.substring(0, i), "UTF-8") ->
+        java.net.URLDecoder.decode(kv.substring(i + 1), "UTF-8")
+    }.toMap
+  }
+
+  private def terms(p: Map[String, String], key: String): Seq[String] =
+    p.getOrElse(key, "").split("[ +]+").iterator.filter(_.nonEmpty).toSeq
+
+  private def intOf(p: Map[String, String], key: String, dflt: Int): Int =
+    p.get(key).map { v =>
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$key must be an integer, got '$v'") }
+    }.getOrElse(dflt)
+
+  // ---- endpoints ----
+
+  private def doSearch(p: Map[String, String]): String = {
+    val q = terms(p, "q")
+    if (q.isEmpty) throw new IllegalArgumentException("missing query ?q=")
+    val hits = svc.search(q,
+      k = intOf(p, "k", 10),
+      phrase = p.get("phrase").contains("1"),
+      excludeTerms = terms(p, "not"),
+      slop = intOf(p, "slop", 0))
+    hitsJson(hits)
+  }
+
+  private def doExplain(p: Map[String, String]): String = {
+    val q = terms(p, "q")
+    if (q.isEmpty) throw new IllegalArgumentException("missing query ?q=")
+    val doc = p.getOrElse("doc",
+      throw new IllegalArgumentException("missing ?doc=")).toInt
+    val rows = svc.explain(q, doc)
+    rows.map { e =>
+      s"""{"term":${jsonStr(e.term)},"tf":${e.tf},"df":${e.df},""" +
+        s""""idf":${e.idf},"tfNorm":${e.tfNorm},"contribution":${e.contribution}}"""
+    }.mkString("""{"doc":""" + doc + ""","terms":[""", ",", "]}")
+  }
+
+  private def doSuggest(p: Map[String, String]): String = {
+    val t = p.getOrElse("t",
+      throw new IllegalArgumentException("missing ?t="))
+    svc.suggest(t).map { case (w, dist, df) =>
+      s"""{"term":${jsonStr(w)},"dist":$dist,"df":$df}"""
+    }.mkString("""{"suggestions":[""", ",", "]}")
+  }
+
+  private def doStats(): String = {
+    val (hits, misses, evictions) = svc.cacheStats
+    s"""{"cache_hits":$hits,"cache_misses":$misses,"cache_evictions":$evictions,""" +
+      s""""resident_postings":${svc.residentPostings}}"""
+  }
+
+  // ---- JSON ----
+
+  private def hitsJson(hits: Seq[Oracle.Hit]): String =
+    hits.map(h => s"""{"doc":${h.docId},"score":${h.score}}""")
+      .mkString("""{"hits":[""", ",", "]}")
+
+  private def jsonErr(msg: String): String =
+    s"""{"error":${jsonStr(if (msg == null) "request failed" else msg)}}"""
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+}
