@@ -1754,6 +1754,51 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    // REAL image decode: complete 24-bit BMP files (bottom-up rows, 4-byte
+    // padding) synthesized per id, decoded by Multimodal.decodeBmp, then
+    // channel means + a 4x4 nearest-neighbor grayscale thumbnail in exact
+    // integer arithmetic. The oracle recomputes every value from the
+    // generator's pixel formulas — a row-order, padding, or BGR/RGB bug in
+    // the decoder is a hash mismatch, not a stub detail.
+    "mm_decode_bmp" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val img = Multimodal.decodeBmp(Multimodal.syntheticBmp(id)).get
+          var sr = 0L; var sg = 0L; var sb = 0L
+          img.pixels.foreach { p =>
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          }
+          val n = img.width.toLong * img.height
+          (id, img.width.toLong, img.height.toLong,
+            sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n,
+            Multimodal.thumbnailGray(img, 4, 4).mkString(","))
+        }
+        .toDF("media_id", "width", "height", "mean_r_micro", "mean_g_micro",
+          "mean_b_micro", "thumb_gray4")
+        .orderBy("media_id")
+    },
+
+    // REAL audio decode: 16-bit PCM WAV files decoded to samples
+    // (RIFF chunk walk + sign-extended little-endian s16), graded on
+    // sample count, energy (exact integer sum of squares) and peak
+    "mm_decode_wav" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val pcm = Multimodal.decodeWavPcm(Multimodal.syntheticWav(id)).get
+          var ss = 0L; var peak = 0L
+          pcm.samples.foreach { v =>
+            ss += v.toLong * v; if (math.abs(v) > peak) peak = math.abs(v)
+          }
+          (id, pcm.sampleRate.toLong, pcm.channels.toLong,
+            pcm.samples.length.toLong, ss, peak)
+        }
+        .toDF("media_id", "sample_rate", "channels", "n_samples",
+          "sum_sq", "peak_abs")
+        .orderBy("media_id")
+    },
+
     // multimodal REAL feature extraction: byte histogram / mean / entropy
     // over the binary payload column (batched mapPartitions, no stub)
     "mm_bytestats" -> { (s, dir) =>
@@ -3102,6 +3147,40 @@ object SparkEntry {
          |   WHEN 1 THEN ((1 + doc_id % 1000) * 60 * 1000) // (600 * (1 + doc_id % 4))
          |   ELSE 0 END)::BIGINT duration_ms
          |FROM documents ORDER BY media_id""".stripMargin,
+
+    // decoded-BMP oracle: every value restated from the generator's pixel
+    // formulas (R=(id+7x+13y)%256, G=(3id+5x+y)%256, B=(xy+id)%256 over
+    // w=1+id%16, h=1+7id%16); sx=(tx*w)//4, sy=(ty*h)//4 nearest-neighbor
+    "mm_decode_bmp" -> {
+      def sum2(expr: String) =
+        s"list_sum(flatten(list_transform(range(0, w), x -> list_transform(range(0, h), y -> $expr))))"
+      def at(expr: String) = expr
+        .replace("x", "((i % 4) * w // 4)").replace("y", "((i // 4) * h // 4)")
+      val r = "(doc_id + 7 * x + 13 * y) % 256"
+      val g = "(3 * doc_id + 5 * x + y) % 256"
+      val b = "(x * y + doc_id) % 256"
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 16 w, 1 + (doc_id * 7) % 16 h FROM documents)
+         |SELECT doc_id media_id, w::BIGINT width, h::BIGINT height,
+         | (${sum2(r)} * 1000000 // (w * h))::BIGINT mean_r_micro,
+         | (${sum2(g)} * 1000000 // (w * h))::BIGINT mean_g_micro,
+         | (${sum2(b)} * 1000000 // (w * h))::BIGINT mean_b_micro,
+         | array_to_string(list_transform(range(0, 16), i ->
+         |   (299 * (${at(r)}) + 587 * (${at(g)}) + 114 * (${at(b)})) // 1000), ',') thumb_gray4
+         |FROM d ORDER BY media_id""".stripMargin
+    },
+
+    // decoded-WAV oracle: sample i = (id*31 + i*17) % 4001 - 2000 over
+    // n = 64 + id % 64 samples at rate 8000*(1+id%4), ch = 1+id%2
+    "mm_decode_wav" -> {
+      val smp = "((doc_id * 31 + i * 17) % 4001 - 2000)"
+      s"""WITH d AS (SELECT doc_id, 8000 * (1 + doc_id % 4) rate,
+         |             1 + doc_id % 2 ch, 64 + doc_id % 64 n FROM documents)
+         |SELECT doc_id media_id, rate::BIGINT sample_rate, ch::BIGINT channels,
+         | n::BIGINT n_samples,
+         | list_sum(list_transform(range(0, n), i -> $smp * $smp))::BIGINT sum_sq,
+         | list_max(list_transform(range(0, n), i -> abs($smp)))::BIGINT peak_abs
+         |FROM d ORDER BY media_id""".stripMargin
+    },
 
     "mm_bytestats" -> {
       // payloads are UTF-8 text bytes; the corpus is ASCII (verified: max

@@ -668,3 +668,87 @@ class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merges.map(_._4) == Seq("ab"))
   }
 }
+
+class MediaDecodeSpec extends AnyFunSuite {
+  import graft.ops.Multimodal._
+
+  test("BMP roundtrip: every synthetic file decodes to the formula pixels") {
+    (0L until 128L).foreach { id =>
+      val img = decodeBmp(syntheticBmp(id)).get
+      assert(img.width == 1 + (id % 16).toInt && img.height == 1 + ((id * 7) % 16).toInt)
+      (0 until img.height).foreach { y =>
+        (0 until img.width).foreach { x =>
+          val p = img.pixels(y * img.width + x)
+          assert(((p >> 16) & 0xff) == ((id + 7 * x + 13 * y) % 256).toInt, s"R id=$id ($x,$y)")
+          assert(((p >> 8) & 0xff) == ((3 * id + 5 * x + y) % 256).toInt, s"G id=$id ($x,$y)")
+          assert((p & 0xff) == ((x.toLong * y + id) % 256).toInt, s"B id=$id ($x,$y)")
+        }
+      }
+    }
+  }
+
+  test("BMP top-down (negative height) decodes to the same image") {
+    val up = syntheticBmp(5L)
+    val img = decodeBmp(up).get
+    // rewrite height as negative and reverse the stored row order
+    val w = img.width; val h = img.height
+    val rowBytes = (w * 3 + 3) & ~3
+    val down = up.clone()
+    val bb = java.nio.ByteBuffer.wrap(down).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -h)
+    (0 until h).foreach { r =>
+      System.arraycopy(up, 54 + (h - 1 - r) * rowBytes, down, 54 + r * rowBytes, rowBytes)
+    }
+    val img2 = decodeBmp(down).get
+    assert(img2.width == w && img2.height == h)
+    assert(img2.pixels.toSeq == img.pixels.toSeq)
+  }
+
+  test("BMP rejects unsupported flavors and truncation instead of guessing") {
+    val ok = syntheticBmp(3L)
+    (0 until 54).foreach(cut => assert(decodeBmp(java.util.Arrays.copyOf(ok, cut)).isEmpty))
+    // truncated pixel data
+    assert(decodeBmp(java.util.Arrays.copyOf(ok, ok.length - 1)).isEmpty)
+    // 32bpp flag
+    val bad = ok.clone(); bad(28) = 32.toByte
+    assert(decodeBmp(bad).isEmpty)
+    // RLE compression flag
+    val rle = ok.clone(); rle(30) = 1.toByte
+    assert(decodeBmp(rle).isEmpty)
+    assert(decodeBmp("BMnotreally".getBytes).isEmpty)
+  }
+
+  test("WAV roundtrip: rate/channels/samples match the formulas") {
+    (0L until 128L).foreach { id =>
+      val pcm = decodeWavPcm(syntheticWav(id)).get
+      assert(pcm.sampleRate == 8000 * (1 + id % 4).toInt && pcm.channels == (1 + id % 2).toInt)
+      val n = (64 + id % 64).toInt
+      assert(pcm.samples.length == n)
+      (0 until n).foreach { i =>
+        assert(pcm.samples(i) == ((id * 31 + i * 17) % 4001 - 2000).toInt, s"id=$id i=$i")
+      }
+    }
+  }
+
+  test("WAV rejects float/8-bit/compressed and survives hostile chunk sizes") {
+    val ok = syntheticWav(2L)
+    val float = ok.clone(); float(20) = 3.toByte // fmt code 3 = IEEE float
+    assert(decodeWavPcm(float).isEmpty)
+    val eight = ok.clone(); eight(34) = 8.toByte
+    assert(decodeWavPcm(eight).isEmpty)
+    (0 until 44).foreach(cut => assert(decodeWavPcm(java.util.Arrays.copyOf(ok, cut)).isEmpty))
+    // declared data size beyond the file: decoder clamps to actual bytes
+    val liar = ok.clone()
+    java.nio.ByteBuffer.wrap(liar).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue)
+    val clamped = decodeWavPcm(liar)
+    assert(clamped.exists(_.samples.length == (ok.length - 44) / 2))
+  }
+
+  test("thumbnail: 1x1 image broadcasts; identity grid samples exactly") {
+    val one = Image(1, 1, Array(0xff0000))
+    assert(thumbnailGray(one, 4, 4).toSeq == Seq.fill(16)(299 * 255 / 1000))
+    val four = Image(4, 4, Array.tabulate(16)(i => i << 16)) // R = index
+    assert(thumbnailGray(four, 4, 4).toSeq == (0 until 16).map(i => 299 * i / 1000))
+  }
+}
