@@ -615,6 +615,20 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // X2: disjunctive index rewrite — OR over two graft_match conjuncts
+    // becomes ONE semi-join against the UNIONED posting lists (duplicates
+    // are harmless under LEFT SEMI, so the union never pays a distinct)
+    "x2_match_or_rewrite" -> { (s, dir) =>
+      IndexRewrite.install(s)
+      val key = s"docs:$dir"
+      IndexCatalog.register(key, "doc_id", term =>
+        decodedPostings(s, dir).filter(col("term") === term).select("doc_id"))
+      docs(s, dir)
+        .filter(IndexRewrite.graftMatch(key, col("text"), "window") ||
+          IndexRewrite.graftMatch(key, col("text"), "dup"))
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // P2: conjunctive guard — missing term detection per query
     "p2_guard" -> { (s, dir) =>
       import s.implicits._
@@ -2204,6 +2218,10 @@ object SparkEntry {
     "x1_match_rewrite" ->
       s"""SELECT doc_id FROM documents
          |WHERE list_contains($T, 'window') AND doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
+
+    "x2_match_or_rewrite" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE list_contains($T, 'window') OR list_contains($T, 'dup') ORDER BY doc_id""".stripMargin,
 
     "p2_guard" ->
       s"""WITH qt AS (SELECT * FROM (VALUES ('q_ok','spark'),('q_ok','query'),

@@ -88,39 +88,46 @@ case class GraftMatch(key: Expression, text: Expression, term: Expression)
 case class IndexSemiJoinRule(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
 
-  private def rewritable(e: Expression): Boolean = e match {
-    case GraftMatch(k, _, t) => k.foldable && t.foldable && k.eval() != null && t.eval() != null
-    case _ => false
+  /** A conjunct the index can answer: one registered entry plus the set of
+    * terms whose posting lists, UNIONED, are exactly its matching docs —
+    * a single GraftMatch, or an OR whose disjuncts are all GraftMatch over
+    * the same index and text column (duplicates across the unioned lists
+    * are harmless under LEFT SEMI, so no distinct is needed). */
+  private def indexable(e: Expression, child: LogicalPlan): Option[(IndexCatalog.Entry, Seq[String])] = {
+    def one(x: Expression): Option[(String, IndexCatalog.Entry, String)] = x match {
+      case GraftMatch(k, textExpr, t)
+          if k.foldable && t.foldable && k.eval() != null && t.eval() != null =>
+        val key = k.eval().toString
+        IndexCatalog.get(key).filter { entry =>
+          // join key present in the child's output, and the text argument a
+          // direct reference to a child column — a derived text (e.g.
+          // substring(text)) has no index built over it, so scan-eval it
+          child.output.exists(a => a.name == entry.keyCol) &&
+            (textExpr match {
+              case a: Attribute => child.output.exists(_.exprId == a.exprId)
+              case _ => false
+            })
+        }.map(entry => (key, entry, t.eval().toString))
+      case _ => None
+    }
+    val leaves = splitDisjunctivePredicates(e).map(one)
+    if (leaves.nonEmpty && leaves.forall(_.isDefined)
+        && leaves.flatMap(_.map(_._1)).distinct.size == 1)
+      Some((leaves.head.get._2, leaves.flatMap(_.map(_._3))))
+    else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val (matches, rest) = conjuncts.partition(rewritable)
-      val applicable = matches.collect {
-        case gm @ GraftMatch(k, textExpr, t) =>
-          val key = k.eval().toString
-          (gm, IndexCatalog.get(key), textExpr, t.eval().toString)
-      }
-      // every match conjunct must resolve: its key registered, the join
-      // key column present in the child's output, and the predicate's text
-      // argument a direct reference to a child column (a derived text —
-      // e.g. substring(text) — has no index built over it, so scan-eval it)
-      val (accel, fallback) = applicable.partition { case (_, entry, textExpr, _) =>
-        entry.exists { e =>
-          child.output.exists(a => a.name == e.keyCol) &&
-            (textExpr match {
-              case a: Attribute => child.output.exists(_.exprId == a.exprId)
-              case _ => false
-            })
-      }
-      }
+      val units = conjuncts.map(c => c -> indexable(c, child))
+      val accel = units.collect { case (_, Some(u)) => u }
       if (accel.isEmpty) f
       else {
-        val joined = accel.foldLeft(child) { case (acc, (_, entryOpt, _, term)) =>
-          val entry = entryOpt.get
+        val joined = accel.foldLeft(child) { case (acc, (entry, terms)) =>
           val docId = acc.output.find(_.name == entry.keyCol).get
-          val right = entry.lookup(term).queryExecution.optimizedPlan
+          val lookupDf = terms.map(entry.lookup).reduce(_ unionAll _)
+          val right = lookupDf.queryExecution.optimizedPlan
           val rightKey = right.output.head
           val rightCast: Expression =
             if (rightKey.dataType == docId.dataType) rightKey
@@ -129,7 +136,7 @@ case class IndexSemiJoinRule(spark: SparkSession)
             Some(EqualTo(docId, rightCast)),
             JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
         }
-        val residual = rest ++ fallback.map(_._1)
+        val residual = units.collect { case (c, None) => c }
         if (residual.isEmpty) joined
         else Filter(residual.reduce(And), joined)
       }

@@ -116,6 +116,33 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
   }
 
+  test("OR of indexed terms rewrites to ONE semi-join over the unioned lists") {
+    IndexRewrite.install(spark)
+    val key = "spec:or"
+    registerFixtureIndex(key)
+    val q = fixture.filter(IndexRewrite.graftMatch(key, col("text"), "window")
+        || IndexRewrite.graftMatch(key, col("text"), "fox"))
+      .select("doc_id").orderBy("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.size == 1,
+      s"expected a single unioned semi-join in:\n$lp")
+    // union semantics: docs 0,4 have fox; 1,2,4 have window
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("OR with a non-indexable leaf stays a scan filter (no partial rewrite)") {
+    IndexRewrite.install(spark)
+    val key = "spec:ormixed"
+    registerFixtureIndex(key)
+    val q = fixture.filter(IndexRewrite.graftMatch(key, col("text"), "window")
+        || col("doc_id") === 0)
+      .select("doc_id").orderBy("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.isEmpty,
+      "a disjunction is only index-answerable if EVERY leaf is")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
   test("graded x1 query matches the naive scan on sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).exists(), s"$sfDir not present")
