@@ -1283,6 +1283,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // asymmetric shingle containment (near-superset detection: the
+    // direction Jaccard is blind to) over the same bounded pair probe
+    "dedup_containment" -> { (s, dir) =>
+      val d = docs(s, dir).filter(col("doc_id") < 20)
+      val pairs = d.select(col("doc_id").as("id_a"))
+        .crossJoin(d.select(col("doc_id").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.containment(pairs, docs(s, dir), "text", "doc_id")
+        .orderBy("id_a", "id_b")
+    },
+
     // simhash near-dup candidates (md5-derived 60-bit; Scala-side bit ops)
     "dedup_simhash" -> { (s, dir) =>
       val sigUdf = udf { t: String => Dedup.simhash60(Tokenizer.terms(t)) }
@@ -1511,6 +1522,28 @@ object SparkEntry {
           min("df").cast("long").as("min_df"),
           max("df").cast("long").as("max_df"))
         .orderBy("df_log2_bucket")
+    },
+
+    // exact doc-length order statistics (p50/p90/p99) — the thresholds a
+    // length-filter stage is tuned from. Scale shape: lengths have bounded
+    // cardinality, so quantiles come from a tiny value-histogram plus a
+    // broadcast cumulative self-join — no global sort, no unpartitioned
+    // window, no TakeOrdered proportional to n·p. value = min len whose
+    // cumulative count exceeds pos = (n-1)·p div 100 (0-based rank).
+    "stats_len_quantiles" -> { (s, dir) =>
+      val lens = lenTable(s, dir)
+      val hist = lens.groupBy("len").agg(count(lit(1)).as("c"))
+      val cum = hist.as("a").join(hist.as("b"), col("b.len") <= col("a.len"))
+        .groupBy(col("a.len").as("len")).agg(sum(col("b.c")).as("cum"))
+      val n = lens.agg(count(lit(1)).cast("long").as("n"))
+      val base = cum.crossJoin(n)
+      Seq(50, 90, 99).map { p =>
+        base.select(col("len"), col("cum"),
+            expr(s"(n - 1) * $p div 100").as("pos"))
+          .filter(col("cum") > col("pos"))
+          .groupBy("pos").agg(min(col("len")).cast("long").as("len"))
+          .select(lit(p.toLong).as("p"), col("pos").cast("long").as("pos"), col("len"))
+      }.reduce(_ unionAll _).orderBy("p")
     },
 
     // SK1: KMV distinct-cardinality sketch over the term dictionary —
@@ -2679,6 +2712,19 @@ object SparkEntry {
          |      ELSE round(inter::DOUBLE / (tot - inter)::DOUBLE * 1e6)::BIGINT END jaccard_micro
          |FROM m ORDER BY id_a, id_b""".stripMargin,
 
+    "dedup_containment" ->
+      s"""WITH sh AS (SELECT doc_id, list_distinct($SHING) s FROM documents),
+         | small AS (SELECT * FROM sh WHERE doc_id < 20),
+         | pairs AS (SELECT a.doc_id id_a, b.doc_id id_b, a.s sa, b.s sb
+         |   FROM small a, small b WHERE a.doc_id < b.doc_id),
+         | m AS (SELECT id_a, id_b,
+         |   len(list_filter(sa, x -> list_contains(sb, x)))::BIGINT inter,
+         |   len(sa)::BIGINT na, len(sb)::BIGINT nb FROM pairs)
+         |SELECT id_a, id_b,
+         | CASE WHEN na = 0 THEN 0 ELSE round(inter::DOUBLE / na::DOUBLE * 1e6)::BIGINT END cont_ab_micro,
+         | CASE WHEN nb = 0 THEN 0 ELSE round(inter::DOUBLE / nb::DOUBLE * 1e6)::BIGINT END cont_ba_micro
+         |FROM m ORDER BY id_a, id_b""".stripMargin,
+
     "fp_content" ->
       s"SELECT doc_id, md5(array_to_string($T, ' ')) fingerprint FROM documents ORDER BY doc_id",
 
@@ -2972,6 +3018,16 @@ object SparkEntry {
          | count(*)::BIGINT n_terms, sum(df)::BIGINT sum_df,
          | min(df)::BIGINT min_df, max(df)::BIGINT max_df
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stats_len_quantiles" ->
+      s"""WITH l AS (SELECT len($T)::BIGINT len FROM documents),
+         | h AS (SELECT len, count(*)::BIGINT c FROM l GROUP BY len),
+         | cum AS (SELECT a.len, sum(b.c)::BIGINT cum FROM h a, h b
+         |         WHERE b.len <= a.len GROUP BY a.len),
+         | n AS (SELECT count(*)::BIGINT n FROM l)
+         |SELECT p::BIGINT p, ((n - 1) * p // 100)::BIGINT pos,
+         | (SELECT min(len) FROM cum WHERE cum > (n - 1) * p // 100)::BIGINT len
+         |FROM (VALUES (50), (90), (99)) t(p), n ORDER BY p""".stripMargin,
 
     "sk_kmv_distinct" -> {
       def kmvSql(space: String, unnested: String) =

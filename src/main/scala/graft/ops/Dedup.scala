@@ -262,6 +262,30 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard_micro"))
   }
 
+  /** Asymmetric shingle containment per candidate pair: C(A→B) =
+    * |S(A)∩S(B)| / |S(A)| (and the B→A direction) over distinct n-gram
+    * shingles. Jaccard misses near-SUPERSET duplication — a doc quoted
+    * wholesale inside a much larger doc scores low Jaccard but
+    * containment ≈ 1 in the contained direction; training-data dedup
+    * drops the contained copy. Same join shape as [[ngramJaccard]]
+    * (post-LSH verifier over candidate pairs, never all-pairs). */
+  def containment(pairs: DataFrame, docs: DataFrame, textCol: String, idCol: String,
+                  n: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("cid"), TextOps.tokens(col(textCol)).as("t"))
+      .select(col("cid"), array_distinct(TextOps.shingles(col("t"), n)).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed("cid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("cid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        TextOps.microRatio(
+          size(array_intersect(col("sh_a"), col("sh_b"))), size(col("sh_a")))
+          .as("cont_ab_micro"),
+        TextOps.microRatio(
+          size(array_intersect(col("sh_a"), col("sh_b"))), size(col("sh_b")))
+          .as("cont_ba_micro"))
+  }
+
   /** 60-bit simhash from md5-derived token hashes, tf-weighted. Scala-side
     * (bit-twiddling is not worth a 60-aggregate SQL oracle); deterministic
     * and unit-tested against a direct reimplementation. */
