@@ -557,7 +557,8 @@ object SparkEntry {
     // and per-entry front-code lengths pin the layout itself.
     "f15_dict_frontcode" -> ((s, dir) => graft.index.TermDict.decode(
       graft.index.TermDict.build(
-        docs(s, dir).select(explode(TextOps.shingles(toks, 3)).as("term")), "term"))
+        docs(s, dir).select(toks.as("t")) // stage tokens: HOF re-eval trap
+          .select(explode(TextOps.shingles(col("t"), 3)).as("term")), "term"))
       .orderBy("bucket", "blk", "pos")),
 
     // A2: posting-list build (term -> ascending doc ids; string-joined so
@@ -1558,8 +1559,12 @@ object SparkEntry {
       val terms = Sketch.kmvDistinct(
         docs(s, dir).select(explode(toks).as("v")), "v", k = 64)
         .select(lit("term").as("space"), col("*"))
+      // stage tokens BEFORE the shingle HOF — inlining `toks` into the
+      // lambda re-runs the tokenizer per shingle position (the documented
+      // HOF re-evaluation trap; measured 16.6 s -> ~3 s at sf0.1)
       val shingles = Sketch.kmvDistinct(
-        docs(s, dir).select(explode(TextOps.shingles(toks, 3)).as("v")), "v", k = 64)
+        docs(s, dir).select(toks.as("t"))
+          .select(explode(TextOps.shingles(col("t"), 3)).as("v")), "v", k = 64)
         .select(lit("shingle3").as("space"), col("*"))
       terms.unionAll(shingles).orderBy("space")
     },

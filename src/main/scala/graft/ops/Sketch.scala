@@ -40,17 +40,26 @@ object Sketch {
     * driver merge) — the only full-width pass over the data is the scan. */
   def kmvDistinct(values: DataFrame, valueCol: String, k: Int): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
-    val u = values.select(hash32(col(valueCol)).as("u")).distinct()
+    // one distinct shuffle over the raw values serves BOTH consumers (the
+    // sketch and the self-audit exact count); the second distinct — over
+    // the 32-bit hash points, to collapse hash collisions exactly like
+    // the oracle — runs on longs and partial-aggregates to almost nothing
+    val dv = values.select(col(valueCol)).distinct().cache()
+    dv.count()
+    val u = dv.select(hash32(col(valueCol)).as("u")).distinct()
     val mins = u.orderBy("u").limit(k)
     val kth = mins.agg(max("u").as("u_k"), count(lit(1)).as("n_min"))
-    val exact = values.select(col(valueCol)).distinct()
-      .agg(count(lit(1)).cast("long").as("exact_distinct"))
-    kth.crossJoin(exact).select(
+    val exact = dv.agg(count(lit(1)).cast("long").as("exact_distinct"))
+    val out = kth.crossJoin(exact).select(
       lit(k.toLong).as("k"),
       col("u_k").cast("long").as("u_k"),
       when(col("n_min") < k, col("n_min"))
         .otherwise(expr(s"${(k - 1).toLong} * 4294967296 div u_k"))
         .cast("long").as("est_distinct"),
       col("exact_distinct"))
+    val rows = out.collect() // 1 row; materialize, then drop the cache
+    dv.unpersist(false)
+    values.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
   }
 }

@@ -597,9 +597,12 @@ object BpeTrainer {
       .select(filter(split(col(wordCol), ""), x => x =!= lit("")).as("sym"),
         col(cntCol).cast("long").as("cnt"))
       .as[(Seq[String], Long)].cache()
+    var prev: Option[org.apache.spark.sql.Dataset[(Seq[String], Long)]] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var step = 1
     while (step <= n) {
+      // ONE job per round: the argmax collect also materializes cur's
+      // cache, so the previous round's cache can be dropped right after
       val best = cur.toDF("sym", "cnt")
         .select(posexplode(col("sym")).as(Seq("i", "left")), col("sym"), col("cnt"))
         .filter(col("i") < size(col("sym")) - 1)
@@ -607,19 +610,19 @@ object BpeTrainer {
         .groupBy("left", "right").agg(sum("cnt").as("c"))
         .orderBy(desc("c"), asc("left"), asc("right"))
         .limit(1).collect()
+      prev.foreach(_.unpersist(false))
+      prev = Some(cur)
       if (best.isEmpty) step = n + 1
       else {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         out += ((step, a, b, a + b, c))
-        val next = cur.map { case (syms, cnt) =>
+        cur = cur.map { case (syms, cnt) =>
           (mergeGreedy(syms.toIndexedSeq, a, b): Seq[String], cnt) }.cache()
-        next.count()
-        cur.unpersist(false)
-        cur = next
         step += 1
       }
     }
     cur.unpersist(false)
+    prev.foreach(_.unpersist(false))
     out.toSeq
   }
 }
