@@ -1320,6 +1320,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"))
         .orderBy("hour_start", "event_type")),
 
+    // semi-structured extraction: JSON props field pulled with
+    // get_json_object (codegen'd JSON path eval — no UDF, no full parse
+    // materialization) and aggregated per event type; at scale this is a
+    // map + one partial-agg shuffle over whatever JSON the events carry
+    "ev_props_json" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(sum("k").cast("long").as("sum_k"),
+          count(col("k")).cast("long").as("n_with_k"),
+          min("k").cast("long").as("min_k"),
+          max("k").cast("long").as("max_k"))
+        .orderBy("event_type")),
+
     // per-user sessionization (30-min gap rule) — partitioned-window batch
     // path; the flatMapGroupsWithState streaming path emits identical
     // sessions (StreamingSpec)
@@ -2740,6 +2755,13 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |        ('0x' || substr(md5(array_to_string($T, ' ')), 1, 15))::BIGINT % 100 bucket
          |      FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "ev_props_json" ->
+      s"""SELECT event_type, sum(CAST(props->>'$$.k' AS BIGINT))::BIGINT sum_k,
+         | count(CAST(props->>'$$.k' AS BIGINT))::BIGINT n_with_k,
+         | min(CAST(props->>'$$.k' AS BIGINT))::BIGINT min_k,
+         | max(CAST(props->>'$$.k' AS BIGINT))::BIGINT max_k
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // epoch-hour tumbling windows; value summed as integer cents (both
     // engines round the identical double, so the sum is exact)
