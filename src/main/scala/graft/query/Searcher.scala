@@ -104,6 +104,24 @@ object Searcher {
       * no Spark job. */
     def tombstones: Option[DataFrame] =
       graft.index.Tombstones.read(spark, indexDir)
+    /** Reversed-term dictionary (lazy, cached once per loaded index): the
+      * leading-wildcard scale path. A `*suffix` glob has no literal prefix
+      * to push into the sorted dictionary, so the naive rewrite LIKE-scans
+      * every dictionary row — at 10^9 terms that is the whole dictionary
+      * per query. Reversing the terms turns a literal suffix into a
+      * literal PREFIX: this copy is range-partitioned and sorted by the
+      * reversed term and cached, so a StartsWith probe prunes cached
+      * batches by min/max stats — the same descent [[expandPrefix]] gets
+      * from the forward dictionary (Lucene/Solr's ReversedWildcardFilter
+      * plays the same trick with a reversed-token field). */
+    lazy val revTermstats: DataFrame = {
+      import org.apache.spark.sql.functions.reverse
+      termstats
+        .select(reverse(col("term")).as("rev"), col("term"), col("df"))
+        .repartitionByRange(col("rev"))
+        .sortWithinPartitions("rev")
+        .cache()
+    }
     def bloom: Option[DataFrame] = {
       val p = java.nio.file.Paths.get(indexDir, "bloom")
       if (!java.nio.file.Files.exists(p)) None
@@ -624,9 +642,16 @@ object Searcher {
     import spark.implicits._
     if (pattern.isEmpty || maxExpansion <= 0) return Nil
     val litPrefix = pattern.takeWhile(c => c != '*' && c != '?')
+    val litSuffix = pattern.reverse.takeWhile(c => c != '*' && c != '?').reverse
     val base =
       if (litPrefix.nonEmpty) ix.termstats.filter($"term".startsWith(litPrefix))
-      else ix.termstats
+      else if (litSuffix.nonEmpty)
+        // leading wildcard: probe the reversed dictionary so the literal
+        // SUFFIX prunes (a `*turn` query descends on "nrut" instead of
+        // LIKE-scanning the whole dictionary)
+        ix.revTermstats.filter($"rev".startsWith(litSuffix.reverse))
+          .select($"term", $"df")
+      else ix.termstats // `*lit*` middle-literal globs: full dictionary LIKE
     base
       .filter($"term".like(wildcardToLike(pattern)))
       .select($"term", $"df")

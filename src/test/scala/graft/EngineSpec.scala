@@ -376,8 +376,12 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
       oracle.postings.keysIterator.filter(globMatch(_, pattern)).toSeq
         .map(t => (t, oracle.df(t))).sortBy { case (t, d) => (-d, t) }
         .take(cap).map(_._1)
+    // '*turn' / '*?ask' exercise the reversed-dictionary suffix descent
+    // (leading wildcard, literal suffix); '*eight*' stays the full-scan
+    // middle-literal path
     for ((p, cap) <- Seq(("*eight*", 64), ("re?urn", 64), ("f*_1_*", 8),
-                         ("fn_?_?", 64), ("zz*qq", 4))) {
+                         ("fn_?_?", 64), ("zz*qq", 4), ("*turn", 64),
+                         ("*?ask", 16), ("*nosuchsuffix", 8))) {
       val terms = Searcher.expandWildcard(ix, p, cap)
       assert(terms == oracleExpand(p, cap), s"wildcard expansion mismatch for '$p'")
       val got = Searcher.searchWildcard(ix, p, 10, cap).collect().sortBy(_.rank)
