@@ -38,8 +38,15 @@ object SparkEntry {
     * once-per-shingle; the signature intermediate is released once the
     * (small) pair set is materialized. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairsCache.getOrElseUpdate((s, dir), {
-      val base = docs(s, dir)
+    pairsCache.getOrElseUpdate((s, dir),
+      minhashPairsOf(docs(s, dir)))
+
+  /** The same banded pipeline over an arbitrary (doc_id, text) frame —
+    * used by the memoized corpus path above and by the planted-duplicate
+    * LSH recall evaluation (un-memoized: its input is query-local). */
+  private def minhashPairsOf(docsDf: DataFrame): DataFrame = {
+    {
+      val base = docsDf
         .select(col("doc_id"), toks.as("t"))
         .select(col("doc_id"), TextOps.shingles(col("t"), 3).as("sh"))
         .select(col("doc_id"), transform(col("sh"), md5 _).as("hs"))
@@ -57,7 +64,8 @@ object SparkEntry {
       pairs.count() // materialize while the signature cache is resident
       base.unpersist(false)
       pairs
-    })
+    }
+  }
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
@@ -1282,6 +1290,34 @@ object SparkEntry {
         .filter(col("id_a") < col("id_b"))
       Dedup.ngramJaccard(pairs, docs(s, dir), "text", "doc_id")
         .orderBy("id_a", "id_b")
+    },
+
+    // LSH quality evaluation — the dedup analog of ann_recall_at10. The
+    // corpus has no natural duplicates (verified: every content
+    // fingerprint is unique), so the truth set is PLANTED: every doc with
+    // doc_id%5==0 gets an identical copy at id+10^7, and banded MinHash
+    // candidate generation over the augmented corpus must recover every
+    // planted pair (identical content shares every band — recall 1.0; a
+    // banding/signature bug shows up as a hash mismatch here). The
+    // precision lower bound counts how much the bands over-generate
+    // (near-dup band collisions legitimately push it below 1).
+    "dedup_lsh_recall" -> { (s, dir) =>
+      val aug = docs(s, dir).select(col("doc_id"), col("text")).unionAll(
+        docs(s, dir).filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id") + 10000000L, col("text")))
+      val fp = aug
+        .select(col("doc_id"), TextOps.contentFingerprint(col("text")).as("fp"))
+      val truePairs = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val cands = minhashPairsOf(aug)
+      val hits = truePairs.join(cands, Seq("id_a", "id_b"))
+      truePairs.agg(count(lit(1)).cast("long").as("n_true"))
+        .crossJoin(cands.agg(count(lit(1)).cast("long").as("n_cand")))
+        .crossJoin(hits.agg(count(lit(1)).cast("long").as("n_hit")))
+        .select(col("n_true"), col("n_cand"), col("n_hit"),
+          TextOps.microRatio(col("n_hit"), col("n_true")).as("recall_micro"),
+          TextOps.microRatio(col("n_hit"), col("n_cand")).as("precision_lb_micro"))
     },
 
     // asymmetric shingle containment (near-superset detection: the
@@ -2731,6 +2767,37 @@ object SparkEntry {
          | CASE WHEN tot - inter = 0 THEN 0
          |      ELSE round(inter::DOUBLE / (tot - inter)::DOUBLE * 1e6)::BIGINT END jaccard_micro
          |FROM m ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_lsh_recall" -> {
+      val comps = (0 until 8).map { i =>
+        val rot = 4 * i
+        if (rot == 0) s"list_min(hs) mh$i"
+        else s"list_min(list_transform(hs, h -> substr(h, ${rot + 1}) || substr(h, 1, $rot))) mh$i"
+      }.mkString(", ")
+      val bandRows = (0 until 4).map(b =>
+        s"SELECT doc_id, ${b}::BIGINT band, md5(mh${b * 2} || '|' || mh${b * 2 + 1}) bkey FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |   UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 5 = 0),
+         | sig AS (SELECT doc_id, $comps FROM
+         |   (SELECT doc_id, list_transform($SHING, s -> md5(s)) hs FROM aug)),
+         | bands AS ($bandRows),
+         | cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+         |   FROM bands a JOIN bands b USING (band, bkey)
+         |   WHERE a.doc_id < b.doc_id),
+         | fpv AS (SELECT doc_id, md5(array_to_string($T, ' ')) fp FROM aug),
+         | tp AS (SELECT a.doc_id id_a, b.doc_id id_b
+         |   FROM fpv a JOIN fpv b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         | h AS (SELECT count(*)::BIGINT n_hit FROM tp JOIN cand USING (id_a, id_b)),
+         | t AS (SELECT count(*)::BIGINT n_true FROM tp),
+         | c AS (SELECT count(*)::BIGINT n_cand FROM cand)
+         |SELECT n_true, n_cand, n_hit,
+         | (CASE WHEN n_true = 0 THEN 0
+         |       ELSE round(n_hit::DOUBLE / n_true::DOUBLE * 1e6)::BIGINT END) recall_micro,
+         | (CASE WHEN n_cand = 0 THEN 0
+         |       ELSE round(n_hit::DOUBLE / n_cand::DOUBLE * 1e6)::BIGINT END) precision_lb_micro
+         |FROM t, c, h""".stripMargin
+    },
 
     "dedup_containment" ->
       s"""WITH sh AS (SELECT doc_id, list_distinct($SHING) s FROM documents),
