@@ -201,6 +201,33 @@ object SparkEntry {
     IndexBuilder.buildBlocks(s, flat, n, partitions = 8, saltTarget = 256).toDF()
   }
 
+  /** doc_ids whose positions match `terms` as an adjacent in-order phrase,
+    * decoded from the real posting blocks (docIds + positions streams) —
+    * the J4 pipeline, shared by the graded phrase queries and the
+    * IndexCatalog phrase lookup of the x3 rewrite. */
+  private def phraseMatchedDocIds(s: SparkSession, dir: String,
+                                  terms: Seq[String]): DataFrame = {
+    import s.implicits._
+    val perTerm = docBlocks(s, dir)
+      .filter(col("term").isin(terms: _*))
+      .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
+      .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
+      .flatMap { case (t, prev, n, ids, tfs, pos) =>
+        val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
+        val ps = PostingCodec.decodePositions(n, pos)
+        dt.iterator.zipWithIndex.map { case ((d, _), i) => (t, d, ps(i)) }
+      }
+    perTerm.groupByKey(_._2)
+      .flatMapGroups { (docId, rows) =>
+        val byTerm = rows.map(r => r._1 -> r._3).toMap
+        if (terms.forall(byTerm.contains) &&
+            graft.core.Oracle.phraseMatch(terms.map(byTerm)))
+          Iterator.single(docId.toLong)
+        else Iterator.empty
+      }
+      .toDF("doc_id")
+  }
+
   /** Decoded (term, doc_id, tf) from the engine blocks — S6/S7 roundtrip. */
   private def decodedPostings(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -638,6 +665,23 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // X3: PHRASE predicate answered from the positional index — the
+    // graft_phrase filter (scan semantics: adjacent in-order terms)
+    // rewrites to a semi-join against the J4 phrase pipeline over the
+    // real posting blocks (docIds + positions streams); at scale the
+    // corpus text column is never read, let alone re-tokenized
+    "x3_phrase_rewrite" -> { (s, dir) =>
+      IndexRewrite.install(s)
+      val key = s"docs:$dir"
+      IndexCatalog.register(key, "doc_id",
+        term => decodedPostings(s, dir).filter(col("term") === term).select("doc_id"),
+        phraseLookup = Some(terms => phraseMatchedDocIds(s, dir, terms)))
+      docs(s, dir)
+        .filter(IndexRewrite.graftPhrase(key, col("text"), "table scan") &&
+          col("doc_id") % 2 === 1)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // P2: conjunctive guard — missing term detection per query
     "p2_guard" -> { (s, dir) =>
       import s.implicits._
@@ -769,56 +813,17 @@ object SparkEntry {
     // J4: phrase match driven by the positional index — decode positions for
     // the two query terms' blocks only, then adjusted-position intersection
     // per doc (`Oracle.phraseMatch`, reference `query_processing.h:282-362`)
-    "j4_phrase" -> { (s, dir) =>
-      import s.implicits._
-      val terms = Seq("table", "scan")
-      val perTerm = docBlocks(s, dir)
-        .filter(col("term").isin(terms: _*))
-        .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
-        .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
-        .flatMap { case (t, prev, n, ids, tfs, pos) =>
-          val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
-          val ps = PostingCodec.decodePositions(n, pos)
-          dt.iterator.zipWithIndex.map { case ((d, _), i) => (t, d, ps(i)) }
-        }
-      perTerm.groupByKey(_._2)
-        .flatMapGroups { (docId, rows) =>
-          val byTerm = rows.map(r => r._1 -> r._3).toMap
-          if (terms.forall(byTerm.contains) &&
-              graft.core.Oracle.phraseMatch(terms.map(byTerm)))
-            Iterator.single(docId.toLong)
-          else Iterator.empty
-        }
-        .toDF("doc_id").orderBy("doc_id")
-    },
+    "j4_phrase" -> ((s, dir) =>
+      phraseMatchedDocIds(s, dir, Seq("table", "scan")).orderBy("doc_id")),
 
     // J4 at k=3: the k-way adjusted-position leapfrog
     // (`query_processing.h:335-362` iterates ALL slots, not a pair) on a
     // trigram whose members are individually hot — the 3-list intersection
     // and two adjacency constraints both prune, which a 2-term phrase
     // cannot distinguish from pairwise logic.
-    "j4_phrase3" -> { (s, dir) =>
-      import s.implicits._
-      val terms = Seq("part", "filter", "scan")
-      val perTerm = docBlocks(s, dir)
-        .filter(col("term").isin(terms: _*))
-        .select("term", "prevDocId", "n", "docIds", "tfs", "positions")
-        .as[(String, Int, Int, Array[Byte], Array[Byte], Array[Byte])]
-        .flatMap { case (t, prev, n, ids, tfs, pos) =>
-          val dt = PostingCodec.decodeDocIdTf(prev, n, ids, tfs)
-          val ps = PostingCodec.decodePositions(n, pos)
-          dt.iterator.zipWithIndex.map { case ((d, _), i) => (t, d, ps(i)) }
-        }
-      perTerm.groupByKey(_._2)
-        .flatMapGroups { (docId, rows) =>
-          val byTerm = rows.map(r => r._1 -> r._3).toMap
-          if (terms.forall(byTerm.contains) &&
-              graft.core.Oracle.phraseMatch(terms.map(byTerm)))
-            Iterator.single(docId.toLong)
-          else Iterator.empty
-        }
-        .toDF("doc_id").orderBy("doc_id")
-    },
+    "j4_phrase3" -> ((s, dir) =>
+      phraseMatchedDocIds(s, dir, Seq("part", "filter", "scan"))
+        .orderBy("doc_id")),
 
     // J7: ordered proximity (Lucene span-near / `"a b"~N`; absent in the
     // reference) — docs where 'table' precedes 'scan' within slop 3,
@@ -2311,6 +2316,12 @@ object SparkEntry {
     "x2_match_or_rewrite" ->
       s"""SELECT doc_id FROM documents
          |WHERE list_contains($T, 'window') OR list_contains($T, 'dup') ORDER BY doc_id""".stripMargin,
+
+    "x3_phrase_rewrite" ->
+      s"""SELECT doc_id FROM (SELECT doc_id, $T t FROM documents)
+         |WHERE len(list_filter(range(len(t)-1), i -> t[i+1] = 'table' AND t[i+2] = 'scan')) > 0
+         |  AND doc_id % 2 = 1
+         |ORDER BY doc_id""".stripMargin,
 
     "p2_guard" ->
       s"""WITH qt AS (SELECT * FROM (VALUES ('q_ok','spark'),('q_ok','query'),

@@ -358,6 +358,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_match"),
         new ExpressionInfo(classOf[graft.plans.GraftMatch].getName, "graft_match"),
         (args: Seq[Expression]) => graft.plans.GraftMatch(args(0), args(1), args(2))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_phrase"),
+        new ExpressionInfo(classOf[graft.plans.GraftPhrase].getName, "graft_phrase"),
+        (args: Seq[Expression]) => graft.plans.GraftPhrase(args(0), args(1), args(2))))
     // index-aware acceleration: rewrite graft_match filters into posting-list
     // semi-joins when an IndexCatalog entry covers them (graft.plans)
     ext.injectOptimizerRule(s => graft.plans.IndexSemiJoinRule(s))

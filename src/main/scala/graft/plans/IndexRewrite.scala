@@ -46,10 +46,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    predicates (`graft_match(...) AND doc_id % 3 = 0`) stay exact.
   */
 object IndexCatalog {
-  final case class Entry(keyCol: String, lookup: String => DataFrame)
+  /** `lookup(term)` → docIds containing the term; `phraseLookup(terms)` →
+    * docIds containing the terms ADJACENT IN ORDER (positional index
+    * required — absent means phrase predicates stay scan-evaluated). */
+  final case class Entry(keyCol: String, lookup: String => DataFrame,
+                         phraseLookup: Option[Seq[String] => DataFrame] = None)
   private val entries = scala.collection.concurrent.TrieMap.empty[String, Entry]
-  def register(key: String, keyCol: String, lookup: String => DataFrame): Unit =
-    entries.put(key, Entry(keyCol, lookup))
+  def register(key: String, keyCol: String, lookup: String => DataFrame,
+               phraseLookup: Option[Seq[String] => DataFrame] = None): Unit =
+    entries.put(key, Entry(keyCol, lookup, phraseLookup))
   def get(key: String): Option[Entry] = entries.get(key)
   def clear(): Unit = entries.clear()
 }
@@ -79,6 +84,34 @@ case class GraftMatch(key: Expression, text: Expression, term: Expression)
     copy(key = newFirst, text = newSecond, term = newThird)
 }
 
+/** `graft_phrase(key, text, phrase)` — true iff the engine tokenizer's
+  * terms of `text` contain the phrase's terms adjacent and in order (the
+  * J4 phrase predicate as a scan expression). Like [[GraftMatch]],
+  * evaluation never consults the index; when an [[IndexCatalog]] entry
+  * with a `phraseLookup` covers it, [[IndexSemiJoinRule]] answers it from
+  * the positional posting lists instead of re-tokenizing the corpus. */
+case class GraftPhrase(key: Expression, text: Expression, phrase: Expression)
+    extends TernaryExpression with Predicate with CodegenFallback {
+  override def first: Expression = key
+  override def second: Expression = text
+  override def third: Expression = phrase
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(key, text, phrase).forall(_.dataType == StringType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_phrase requires (STRING key, STRING text, STRING phrase)")
+  override def nullSafeEval(k: Any, t: Any, p: Any): Any = {
+    val needle = Tokenizer.terms(p.asInstanceOf[UTF8String].toString)
+    if (needle.isEmpty) false
+    else Tokenizer.terms(t.asInstanceOf[UTF8String].toString)
+      .sliding(needle.length).exists(_.sameElements(needle))
+  }
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): GraftPhrase =
+    copy(key = newFirst, text = newSecond, phrase = newThird)
+}
+
 /** The rewrite rule. Installed per session ([[IndexRewrite.install]]) or via
   * `GraftExtensions` (`withExtensions`). Runs in the user-provided optimizer
   * batch — i.e. AFTER cache substitution, so the embedded lookup plan is
@@ -93,21 +126,34 @@ case class IndexSemiJoinRule(spark: SparkSession)
     * a single GraftMatch, or an OR whose disjuncts are all GraftMatch over
     * the same index and text column (duplicates across the unioned lists
     * are harmless under LEFT SEMI, so no distinct is needed). */
-  private def indexable(e: Expression, child: LogicalPlan): Option[(IndexCatalog.Entry, Seq[String])] = {
-    def one(x: Expression): Option[(String, IndexCatalog.Entry, String)] = x match {
-      case GraftMatch(k, textExpr, t)
-          if k.foldable && t.foldable && k.eval() != null && t.eval() != null =>
-        val key = k.eval().toString
-        IndexCatalog.get(key).filter { entry =>
-          // join key present in the child's output, and the text argument a
-          // direct reference to a child column — a derived text (e.g.
-          // substring(text)) has no index built over it, so scan-eval it
-          child.output.exists(a => a.name == entry.keyCol) &&
-            (textExpr match {
-              case a: Attribute => child.output.exists(_.exprId == a.exprId)
-              case _ => false
-            })
-        }.map(entry => (key, entry, t.eval().toString))
+  private def indexable(e: Expression, child: LogicalPlan):
+      Option[(IndexCatalog.Entry, Seq[() => DataFrame])] = {
+    def entryFor(k: Expression, textExpr: Expression): Option[(String, IndexCatalog.Entry)] = {
+      if (!k.foldable || k.eval() == null) return None
+      val key = k.eval().toString
+      IndexCatalog.get(key).filter { entry =>
+        // join key present in the child's output, and the text argument a
+        // direct reference to a child column — a derived text (e.g.
+        // substring(text)) has no index built over it, so scan-eval it
+        child.output.exists(a => a.name == entry.keyCol) &&
+          (textExpr match {
+            case a: Attribute => child.output.exists(_.exprId == a.exprId)
+            case _ => false
+          })
+      }.map(key -> _)
+    }
+    def one(x: Expression): Option[(String, IndexCatalog.Entry, () => DataFrame)] = x match {
+      case GraftMatch(k, textExpr, t) if t.foldable && t.eval() != null =>
+        entryFor(k, textExpr).map { case (key, entry) =>
+          val term = t.eval().toString
+          (key, entry, () => entry.lookup(term))
+        }
+      case GraftPhrase(k, textExpr, p) if p.foldable && p.eval() != null =>
+        entryFor(k, textExpr).flatMap { case (key, entry) =>
+          val terms = graft.core.Tokenizer.terms(p.eval().toString).toSeq
+          entry.phraseLookup.filter(_ => terms.nonEmpty)
+            .map(pl => (key, entry, () => pl(terms)))
+        }
       case _ => None
     }
     val leaves = splitDisjunctivePredicates(e).map(one)
@@ -124,9 +170,9 @@ case class IndexSemiJoinRule(spark: SparkSession)
       val accel = units.collect { case (_, Some(u)) => u }
       if (accel.isEmpty) f
       else {
-        val joined = accel.foldLeft(child) { case (acc, (entry, terms)) =>
+        val joined = accel.foldLeft(child) { case (acc, (entry, lookups)) =>
           val docId = acc.output.find(_.name == entry.keyCol).get
-          val lookupDf = terms.map(entry.lookup).reduce(_ unionAll _)
+          val lookupDf = lookups.map(_.apply()).reduce(_ unionAll _)
           val right = lookupDf.queryExecution.optimizedPlan
           val rightKey = right.output.head
           val rightCast: Expression =
@@ -150,6 +196,13 @@ object IndexRewrite {
       Literal(UTF8String.fromString(key), StringType),
       ColumnBridge.expression(text),
       Literal(UTF8String.fromString(term), StringType)))
+
+  /** Column builder for the phrase predicate. */
+  def graftPhrase(key: String, text: Column, phrase: String): Column =
+    ColumnBridge.column(GraftPhrase(
+      Literal(UTF8String.fromString(key), StringType),
+      ColumnBridge.expression(text),
+      Literal(UTF8String.fromString(phrase), StringType)))
 
   /** Idempotently install the rule into a session built without
     * `withExtensions` (e.g. the driver's Verify/Bench sessions). */

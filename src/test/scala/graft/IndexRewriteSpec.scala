@@ -143,6 +143,40 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 4L))
   }
 
+  test("phrase predicate rewrites via phraseLookup; without one it scan-evals") {
+    IndexRewrite.install(spark)
+    val key = "spec:phrase"
+    // phraseLookup computed from the fixture by the same sliding rule the
+    // positional index satisfies by construction
+    val phraseEval = udf { (text: String, phrase: String) =>
+      val needle = graft.core.Tokenizer.terms(phrase)
+      needle.nonEmpty && graft.core.Tokenizer.terms(text)
+        .sliding(needle.length).exists(_.sameElements(needle))
+    }
+    IndexCatalog.register(key, "doc_id",
+      term => fixture.filter(array_contains(ops.TextOps.tokens(col("text")), term))
+        .select("doc_id"),
+      phraseLookup = Some(terms =>
+        fixture.filter(phraseEval(col("text"), lit(terms.mkString(" "))))
+          .select("doc_id")))
+    val q = fixture.filter(IndexRewrite.graftPhrase(key, col("text"), "Window, over!"))
+      .select("doc_id").orderBy("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+      s"phrase must rewrite when a phraseLookup is registered:\n$lp")
+    // tokenizer-normalized adjacency: only doc 1 has "window over"
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // an entry WITHOUT phraseLookup leaves the predicate on the scan,
+    // with identical results from the fallback eval
+    val key2 = "spec:phrase-noidx"
+    registerFixtureIndex(key2)
+    val q2 = fixture.filter(IndexRewrite.graftPhrase(key2, col("text"), "window over"))
+      .select("doc_id").orderBy("doc_id")
+    assert(q2.queryExecution.optimizedPlan
+      .collect { case j: Join if j.joinType == LeftSemi => j }.isEmpty)
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("graded x1 query matches the naive scan on sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).exists(), s"$sfDir not present")
