@@ -665,6 +665,20 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // X4: negated index rewrite — NOT graft_match becomes a LEFT ANTI
+    // join against the posting list, with an IsNotNull(text) residual so
+    // null-text rows stay dropped exactly as scan-eval drops them
+    "x4_match_not_rewrite" -> { (s, dir) =>
+      IndexRewrite.install(s)
+      val key = s"docs:$dir"
+      IndexCatalog.register(key, "doc_id", term =>
+        decodedPostings(s, dir).filter(col("term") === term).select("doc_id"))
+      docs(s, dir)
+        .filter(!IndexRewrite.graftMatch(key, col("text"), "window") &&
+          col("doc_id") % 4 === 2)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // X3: PHRASE predicate answered from the positional index — the
     // graft_phrase filter (scan semantics: adjacent in-order terms)
     // rewrites to a semi-join against the J4 phrase pipeline over the
@@ -2316,6 +2330,10 @@ object SparkEntry {
     "x2_match_or_rewrite" ->
       s"""SELECT doc_id FROM documents
          |WHERE list_contains($T, 'window') OR list_contains($T, 'dup') ORDER BY doc_id""".stripMargin,
+
+    "x4_match_not_rewrite" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE NOT list_contains($T, 'window') AND doc_id % 4 = 2 ORDER BY doc_id""".stripMargin,
 
     "x3_phrase_rewrite" ->
       s"""SELECT doc_id FROM (SELECT doc_id, $T t FROM documents)

@@ -4,8 +4,8 @@ import graft.core.Tokenizer
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.plans.LeftSemi
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, HintInfo, LogicalPlan, BROADCAST}
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, JoinHint, HintInfo, LogicalPlan, Project, BROADCAST}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType}
@@ -163,14 +163,32 @@ case class IndexSemiJoinRule(spark: SparkSession)
     else None
   }
 
+  /** Text attributes referenced by the predicate's GraftMatch/GraftPhrase
+    * leaves (for the negation rewrite's IsNotNull residual). */
+  private def textAttrs(e: Expression): Seq[Attribute] = e.collect {
+    case GraftMatch(_, a: Attribute, _)  => a
+    case GraftPhrase(_, a: Attribute, _) => a
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, child) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val units = conjuncts.map(c => c -> indexable(c, child))
+      // a negated indexable unit rewrites to LEFT ANTI — De Morgan gives
+      // NOT(a OR b) = in NEITHER list, i.e. anti-join against the union.
+      // One semantic wrinkle: scan-eval of NOT graft_match(null_text) is
+      // null (row dropped), while an anti-join would KEEP a doc absent
+      // from the index — so the rewrite adds an IsNotNull(text) residual,
+      // making the two paths exactly equivalent.
+      val units = conjuncts.map {
+        case c @ Not(e) =>
+          (c, indexable(e, child).map(u => (u, true, textAttrs(e))))
+        case c =>
+          (c, indexable(c, child).map(u => (u, false, Seq.empty[Attribute])))
+      }
       val accel = units.collect { case (_, Some(u)) => u }
       if (accel.isEmpty) f
       else {
-        val joined = accel.foldLeft(child) { case (acc, (entry, lookups)) =>
+        val joined = accel.foldLeft(child) { case (acc, ((entry, lookups), anti, _)) =>
           val docId = acc.output.find(_.name == entry.keyCol).get
           val lookupDf = lookups.map(_.apply()).reduce(_ unionAll _)
           val right = lookupDf.queryExecution.optimizedPlan
@@ -178,11 +196,19 @@ case class IndexSemiJoinRule(spark: SparkSession)
           val rightCast: Expression =
             if (rightKey.dataType == docId.dataType) rightKey
             else Cast(rightKey, docId.dataType)
-          Join(acc, right, LeftSemi,
-            Some(EqualTo(docId, rightCast)),
+          // project the join key through a FRESH alias: a lookup built over
+          // the same relation as the filtered child would otherwise surface
+          // the child's own exprIds on the right side, and the Join would
+          // fail duplicate-resolution (self-join shape)
+          val freshKey = Alias(rightCast, "graft_idx_key")()
+          Join(acc, Project(Seq(freshKey), right),
+            if (anti) LeftAnti else LeftSemi,
+            Some(EqualTo(docId, freshKey.toAttribute)),
             JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
         }
-        val residual = units.collect { case (c, None) => c }
+        val notNulls = accel.collect { case (_, true, attrs) => attrs }.flatten
+          .distinct.map(a => IsNotNull(a): Expression)
+        val residual = units.collect { case (c, None) => c } ++ notNulls
         if (residual.isEmpty) joined
         else Filter(residual.reduce(And), joined)
       }

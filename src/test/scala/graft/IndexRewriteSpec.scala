@@ -177,6 +177,40 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q2.collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("NOT graft_match rewrites to LeftAnti with exact null-text semantics") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    IndexRewrite.install(spark)
+    val key = "spec:not"
+    // null-text row on disk: scan-eval of NOT graft_match(null) is null
+    // (dropped) — the rewrite must not resurrect it
+    val p = java.nio.file.Files.createTempDirectory("graft_ixrn").toString + "/docs"
+    val s = spark
+    import s.implicits._
+    Seq[(Long, String)]((0L, "fox"), (1L, "window here"), (2L, "plain"))
+      .toDF("doc_id", "text")
+      .unionAll(Seq(3L).toDF("doc_id").select(col("doc_id"),
+        lit(null).cast("string").as("text")))
+      .write.mode("overwrite").parquet(p)
+    val d = spark.read.parquet(p)
+    IndexCatalog.register(key, "doc_id", term =>
+      d.filter(array_contains(ops.TextOps.tokens(col("text")), term)).select("doc_id"))
+    val q = d.filter(!IndexRewrite.graftMatch(key, col("text"), "window"))
+      .select("doc_id").orderBy("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftAnti => j }.nonEmpty,
+      s"expected LeftAnti in:\n$lp")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(0L, 2L),
+      "doc 1 matches (excluded); doc 3 has null text (dropped, not resurrected)")
+    // NOT (a OR b): BooleanSimplification De Morgans it upstream into
+    // NOT a AND NOT b, so two stacked anti-joins land — same semantics
+    val q2 = d.filter(!(IndexRewrite.graftMatch(key, col("text"), "window")
+        || IndexRewrite.graftMatch(key, col("text"), "fox")))
+      .select("doc_id").orderBy("doc_id")
+    assert(q2.queryExecution.optimizedPlan
+      .collect { case j: Join if j.joinType == LeftAnti => j }.size == 2)
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("graded x1 query matches the naive scan on sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).exists(), s"$sfDir not present")
