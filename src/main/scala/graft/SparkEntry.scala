@@ -730,6 +730,30 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // A7: stats facet (the ES `stats` aggregation): count/min/max/sum and
+    // integer-floored mean of a numeric metadata field over the SAME
+    // index-driven matched set — one partial-aggregating pass, no sort
+    "a7_stats_facet" -> ((s, dir) =>
+      conjMatchedDocs(s, dir, Seq("spark", "query"))
+        .join(docs(s, dir).select(col("doc_id").cast("int").as("doc_id"),
+          col("n_chars")), "doc_id")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min("n_chars").cast("long").as("min_chars"),
+          max("n_chars").cast("long").as("max_chars"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          expr("sum(n_chars) div count(1)").cast("long").as("avg_chars_floor"))),
+
+    // O5: metadata sort (ES `sort` by field instead of _score): matched
+    // docs ordered by (n_chars desc, doc_id asc) — TakeOrderedAndProject,
+    // per-partition bounded heaps, never a global sort
+    "o5_sort_by_field" -> ((s, dir) =>
+      conjMatchedDocs(s, dir, Seq("window"))
+        .join(docs(s, dir).select(col("doc_id").cast("int").as("doc_id"),
+          col("n_chars")), "doc_id")
+        .orderBy(desc("n_chars"), asc("doc_id")).limit(10)
+        .select(col("doc_id").cast("long").as("doc_id"),
+          col("n_chars").cast("long").as("n_chars"))),
+
     // A7: histogram facet (the ES `histogram` aggregation): matching-doc
     // counts per fixed-width numeric bucket — same matched set as
     // a7_facet_counts, bucketed on n_chars (width 500). Engine path:
@@ -2514,6 +2538,19 @@ object SparkEntry {
          |WHERE doc_id IN (SELECT doc_id FROM $TF WHERE term IN ('spark','query')
          |                 GROUP BY doc_id HAVING count(DISTINCT term) = 2)
          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "a7_stats_facet" ->
+      s"""SELECT count(*)::BIGINT n_docs, min(n_chars)::BIGINT min_chars,
+         | max(n_chars)::BIGINT max_chars, sum(n_chars)::BIGINT sum_chars,
+         | (sum(n_chars) // count(*))::BIGINT avg_chars_floor
+         |FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM $TF WHERE term IN ('spark','query')
+         |                 GROUP BY doc_id HAVING count(DISTINCT term) = 2)""".stripMargin,
+
+    "o5_sort_by_field" ->
+      s"""SELECT doc_id, n_chars::BIGINT n_chars FROM documents
+         |WHERE doc_id IN (SELECT doc_id FROM $TF WHERE term = 'window')
+         |ORDER BY n_chars DESC, doc_id LIMIT 10""".stripMargin,
 
     "a7_histogram_facet" ->
       s"""SELECT (n_chars // 500)::BIGINT bucket, count(*)::BIGINT n_docs
