@@ -231,10 +231,23 @@ object IndexRewrite {
       Literal(UTF8String.fromString(phrase), StringType)))
 
   /** Idempotently install the rule into a session built without
-    * `withExtensions` (e.g. the driver's Verify/Bench sessions). */
+    * `withExtensions` (e.g. the driver's Verify/Bench sessions).
+    *
+    * The extension path (`GraftExtensions.injectOptimizerRule`) places the
+    * rule inside the operator-optimization fixed point, so ColumnPruning
+    * naturally re-runs after the rewrite. `experimental.extraOptimizations`
+    * runs as a LATE batch instead — after the main pruning pass — so the
+    * rewritten plan's scan would keep reading the (now-unreferenced) text
+    * column, which at 100 TB is most of the bytes the rewrite exists to
+    * avoid. The install therefore appends Catalyst's own ColumnPruning +
+    * CollapseProject after the rule; the batch is a fixed point, so they
+    * re-prune whatever the rewrite freed. */
   def install(spark: SparkSession): Unit = spark.experimental.synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_.isInstanceOf[IndexSemiJoinRule]))
-      spark.experimental.extraOptimizations = cur :+ IndexSemiJoinRule(spark)
+      spark.experimental.extraOptimizations = cur ++ Seq(
+        IndexSemiJoinRule(spark),
+        org.apache.spark.sql.catalyst.optimizer.ColumnPruning,
+        org.apache.spark.sql.catalyst.optimizer.CollapseProject)
   }
 }

@@ -218,6 +218,17 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     val lp = got.queryExecution.optimizedPlan
     assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
       s"x1 must run through the index rewrite:\n$lp")
+    // the rewrite's whole point at scale: with graft_match gone, the
+    // corpus scan must not read the text column (install() appends a
+    // ColumnPruning re-pass after the late-batch rewrite). AQE hides the
+    // scan nodes until execution, so assert on the printed plan: the
+    // FIRST FileScan (the semi-join's probe side, printed before the
+    // BroadcastExchange subtree) must read doc_id alone.
+    val firstScan = got.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("FileScan parquet"))
+    assert(firstScan.exists(l =>
+      l.contains("ReadSchema: struct<doc_id:bigint>") && !l.contains("text")),
+      s"corpus scan must be pruned to doc_id, got:\n${firstScan.getOrElse("<none>")}")
     val naive = spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(array_contains(ops.TextOps.tokens(col("text")), "window")
         && col("doc_id") % 3 === 0)
