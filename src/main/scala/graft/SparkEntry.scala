@@ -1945,6 +1945,34 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    // media -> feature -> similarity, end to end REAL: decode the BMP
+    // payloads, take the 4x4 integer grayscale thumbnail as the feature
+    // vector, find the top-20 most-similar image pairs by exact-integer
+    // dot + cosine (codegen'd long_dot; norms precomputed per vector).
+    // All-pairs is the bounded verifier shape — at corpus scale the same
+    // vectors route through the LSH/IVF candidate paths like any
+    // embedding column.
+    "mm_thumb_neardup" -> { (s, dir) =>
+      import s.implicits._
+      val ld = (x: Column, y: Column) => graft.functions.functions.long_dot(x, y)
+      val thumbs = docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val img = Multimodal.decodeBmp(Multimodal.syntheticBmp(id)).get
+          (id, Multimodal.thumbnailGray(img, 4, 4).map(_.toLong))
+        }.toDF("vid", "v")
+        .withColumn("n2", ld(col("v"), col("v")))
+      val a = thumbs.select(col("vid").as("id_a"), col("v").as("va"), col("n2").as("na"))
+      val b = thumbs.select(col("vid").as("id_b"), col("v").as("vb"), col("n2").as("nb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          when(col("na") === 0 || col("nb") === 0, lit(0L))
+            .otherwise(round(ld(col("va"), col("vb")).cast("double")
+              / sqrt(col("na").cast("double") * col("nb").cast("double")) * 1e6)
+              .cast("long"))
+            .as("cos_micro"))
+        .orderBy(desc("cos_micro"), asc("id_a"), asc("id_b")).limit(20)
+    },
+
     // multimodal REAL feature extraction: byte histogram / mean / entropy
     // over the binary payload column (batched mapPartitions, no stub)
     "mm_bytestats" -> { (s, dir) =>
@@ -3401,6 +3429,28 @@ object SparkEntry {
          | array_to_string(list_transform(range(0, 16), i ->
          |   (299 * (${at(r)}) + 587 * (${at(g)}) + 114 * (${at(b)})) // 1000), ',') thumb_gray4
          |FROM d ORDER BY media_id""".stripMargin
+    },
+
+    // thumbnail near-dup oracle: the 16-gray-value vector restated from
+    // the generator pixel formulas (same `at` substitution as
+    // mm_decode_bmp), then exact dot/cosine over all pairs
+    "mm_thumb_neardup" -> {
+      def at(expr: String) = expr
+        .replace("x", "((i % 4) * w // 4)").replace("y", "((i // 4) * h // 4)")
+      val r = "(doc_id + 7 * x + 13 * y) % 256"
+      val g = "(3 * doc_id + 5 * x + y) % 256"
+      val b = "(x * y + doc_id) % 256"
+      val gray = s"(299 * (${at(r)}) + 587 * (${at(g)}) + 114 * (${at(b)})) // 1000"
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 16 w, 1 + (doc_id * 7) % 16 h FROM documents),
+         | t AS (SELECT doc_id vid, list_transform(range(0, 16), i -> $gray) v FROM d),
+         | n AS (SELECT vid, v, list_dot_product(v, v) n2 FROM t),
+         | p AS (SELECT a.vid id_a, b.vid id_b,
+         |   CASE WHEN a.n2 = 0 OR b.n2 = 0 THEN 0
+         |        ELSE round(list_dot_product(a.v, b.v)
+         |          / sqrt(a.n2::DOUBLE * b.n2::DOUBLE) * 1e6)::BIGINT END cos_micro
+         |  FROM n a, n b WHERE a.vid < b.vid)
+         |SELECT id_a, id_b, cos_micro FROM p
+         |ORDER BY cos_micro DESC, id_a, id_b LIMIT 20""".stripMargin
     },
 
     // decoded-WAV oracle: sample i = (id*31 + i*17) % 4001 - 2000 over
