@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.{LenByte, Tokenizer, Varint}
-import graft.index.{IndexBuilder, PostingCodec}
+import graft.index.{IndexBuilder, PostingCodec, TrigramIndex}
 import graft.ops.{Dedup, Multimodal, Similarity, Sketch, TextOps}
 import graft.plans.{IndexCatalog, IndexRewrite}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -157,6 +157,43 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def docBlocks(s: SparkSession, dir: String): DataFrame =
     blockCache.getOrElseUpdate((s, dir), buildDocBlocks(s, dir).cache())
+
+  /** Character-trigram posting runs over the documents table (substring /
+    * regex search, [[graft.index.TrigramIndex]]). Memoized like
+    * [[docBlocks]]: the p9/p10 graded queries share one build. */
+  private val triBlockCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def triBlocks(s: SparkSession, dir: String): DataFrame =
+    triBlockCache.getOrElseUpdate((s, dir),
+      TrigramIndex.buildBlocks(docs(s, dir), "doc_id", "text").cache())
+
+  /** Trigram-index candidates for `tris` joined back to the docstore with
+    * an exact-verification flag — the graded shape of the p9/p10 family:
+    * the candidate SET grades the trigram postings + k-way intersection,
+    * the `hit` column grades the verifier. */
+  private def triCandidatesWithFlag(s: SparkSession, dir: String,
+                                    tris: Seq[String], verify: Column): DataFrame = {
+    val cand = TrigramIndex.candidates(triBlocks(s, dir), tris)
+      .withColumnRenamed("doc_id", "cand_id")
+    docs(s, dir).join(cand, col("doc_id").cast("int") === col("cand_id"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        when(verify, lit(1L)).otherwise(lit(0L)).as("hit"))
+      .orderBy("doc_id")
+  }
+
+  /** SQL `contains(text, tri)` conjunction replaying the trigram candidate
+    * set for the oracle — literal-generated from the SAME needle constant
+    * the Spark side uses, so both engines derive the trigram plan from one
+    * definition. */
+  private def triCandSql(tris: Seq[String]): String =
+    tris.map(t => s"contains(text, '${t.replace("'", "''")}')").mkString(" AND ")
+
+  /** The p9 graded needle: straddles a token boundary ("scan slow"), so a
+    * term/phrase index cannot serve it — only the trigram index can. */
+  private val SubstringNeedle = "scan slo"
+  /** The p10 graded pattern: literal fragments "slow " / " table" anchor
+    * the required-trigram plan; [a-z]+ needs post-verification. */
+  private val RegexNeedle = "slow [a-z]+ table"
 
   /** doc_ids matching ALL `terms`, decoded from the real posting blocks —
     * the shared candidate set of the a7 facet family. (term, doc_id) rows
@@ -1057,6 +1094,20 @@ object SparkEntry {
     // A5 over the regex expansion (disjunctive, micro-int contract)
     "a5_bm25_regex_topk" -> ((s, dir) =>
       bm25ExpandTopK(s, dir, regexExpand(s, dir, "s[a-z]*a[a-z]*", 16), 10)),
+
+    // P9: exact substring search via the character-trigram index
+    // (Google-Code-Search shape: trigram AND-intersection prunes
+    // 500 → ~230 candidates here, contains() verifies ~230 → ~27). The
+    // candidate set itself is graded (rows), and `hit` grades the verify.
+    "p9_substring" -> ((s, dir) =>
+      triCandidatesWithFlag(s, dir, TrigramIndex.trigramsOf(SubstringNeedle).toSeq,
+        col("text").contains(SubstringNeedle))),
+
+    // P10: regex search via required-trigram extraction from the pattern's
+    // literal fragments ("slow ", " table"), rlike-verified on candidates.
+    "p10_regex_trigram" -> ((s, dir) =>
+      triCandidatesWithFlag(s, dir, TrigramIndex.regexLiteralTrigrams(RegexNeedle),
+        col("text").rlike(RegexNeedle))),
 
     "p5_fuzzy_expand" -> ((s, dir) => fuzzyExpand(s, dir, "par", 2, 16)
       .orderBy(desc("df"), asc("term"))),
@@ -2269,6 +2320,22 @@ object SparkEntry {
       s"""SELECT term, count(*)::BIGINT df FROM $TF tf
          |WHERE regexp_matches(term, '^(?:s[a-z]*a[a-z]*)$$')
          |GROUP BY term ORDER BY df DESC, term LIMIT 3""".stripMargin,
+
+    // P9/P10: trigram-index candidate set (docs containing every required
+    // trigram — exactly the posting intersection) + exact verification flag
+    "p9_substring" ->
+      s"""SELECT doc_id, (CASE WHEN contains(text, '$SubstringNeedle')
+         |  THEN 1 ELSE 0 END)::BIGINT hit
+         |FROM documents
+         |WHERE ${triCandSql(TrigramIndex.trigramsOf(SubstringNeedle).toSeq)}
+         |ORDER BY doc_id""".stripMargin,
+
+    "p10_regex_trigram" ->
+      s"""SELECT doc_id, (CASE WHEN regexp_matches(text, '$RegexNeedle')
+         |  THEN 1 ELSE 0 END)::BIGINT hit
+         |FROM documents
+         |WHERE ${triCandSql(TrigramIndex.regexLiteralTrigrams(RegexNeedle))}
+         |ORDER BY doc_id""".stripMargin,
 
     "a5_bm25_regex_topk" -> bm25ExpandSql(
       "regexp_matches(term, '^(?:s[a-z]*a[a-z]*)$')", 10, 16),
