@@ -1334,6 +1334,11 @@ object SparkEntry {
         col("keep_id").cast("long").as("keep_id"))
       .orderBy("digest")),
 
+    // Duplicated-span detection (exact-substring dedup signal, Lee et al.
+    // 2022): per doc, the union of cross-doc-duplicated 5-gram spans.
+    "dedup_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(docs(s, dir), "text", "doc_id", n = 5).orderBy("doc_id")),
+
     // minhash signatures: ONE md5 per shingle, 8 rotation-derived components.
     // Staged selects: tokens -> shingles -> digests are materialized column
     // by column, so the tokenizer split runs once per doc (embedding the
@@ -2853,6 +2858,26 @@ object SparkEntry {
       s"""SELECT md5(array_to_string($T, ' ')) digest, count(*)::BIGINT n_dups,
          | min(doc_id)::BIGINT keep_id
          |FROM documents GROUP BY digest ORDER BY digest""".stripMargin,
+
+    "dedup_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $T t FROM documents),
+         | grams AS (SELECT doc_id, i AS pos, array_to_string(t[i+1:i+5], ' ') AS g
+         |   FROM toks, UNNEST(range(0, greatest(len(t)-4, 0))) AS r(i)),
+         | dup AS (SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+         |   GROUP BY g HAVING count(*) >= 2),
+         | dpos AS (SELECT doc_id, pos, g FROM grams JOIN dup USING (g)),
+         | spans AS (SELECT doc_id, pos,
+         |   lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM dpos),
+         | cover AS (SELECT doc_id,
+         |   sum(least(5, coalesce(nxt - pos, 5)))::BIGINT AS dup_tokens
+         |   FROM spans GROUP BY doc_id),
+         | dg AS (SELECT doc_id, count(*)::BIGINT AS dup_ngrams
+         |   FROM (SELECT DISTINCT doc_id, g FROM dpos) GROUP BY doc_id),
+         | lens AS (SELECT doc_id, len(t)::BIGINT AS len FROM toks)
+         |SELECT doc_id, dup_ngrams, dup_tokens, len,
+         |  (dup_tokens * 1000000 // len)::BIGINT AS dup_frac_micro
+         |FROM cover JOIN dg USING (doc_id) JOIN lens USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash_sig" -> {
       val comps = (0 until 8).map { i =>

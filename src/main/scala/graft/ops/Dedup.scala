@@ -372,4 +372,48 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Duplicated-span detection — the exact-substring dedup signal of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", public), at token-n-gram granularity: an n-gram is
+    * *duplicated* when it occurs in ≥2 distinct documents; a document's
+    * duplicated region is the UNION of its duplicated n-gram spans
+    * [pos, pos+n). Emits per doc: distinct duplicated n-grams, tokens
+    * covered by the union, doc length, and the micro-quantized covered
+    * fraction — the per-doc "how much of me is boilerplate/copy" number a
+    * filtering pipeline thresholds on.
+    *
+    * Exactness: same-length intervals union by the sorted-neighbor rule
+    * Σ min(n, next_pos − pos) (last span contributes n) — a partitioned
+    * window per doc, never a global one. Integer arithmetic throughout.
+    *
+    * Scale: the n-gram df pass is distinct (gram, doc) pairs + one
+    * count groupBy (partial-agg friendly, no countDistinct Expand); the
+    * span pass shuffles only positions of duplicated grams (a small
+    * fraction of the corpus once n ≥ 5). */
+  def dupSpans(df: DataFrame, textCol: String, idCol: String,
+               n: Int = 5): DataFrame = {
+    val staged = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("len"))
+    val grams = staged.select(col("doc_id"), col("len"),
+        posexplode(TextOps.shingles(col("t"), n)).as(Seq("pos", "g")))
+    val dup = grams.select("g", "doc_id").distinct()
+      .groupBy("g").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("g")
+    val dpos = grams.join(dup, "g")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val cover = dpos
+      .withColumn("nxt", lead(col("pos"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(sum(least(lit(n), coalesce(col("nxt") - col("pos"), lit(n))))
+        .cast("long").as("dup_tokens"),
+        max("len").as("len"))
+    val dgrams = dpos.select("doc_id", "g").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).cast("long").as("dup_ngrams"))
+    cover.join(dgrams, "doc_id")
+      .select(col("doc_id"), col("dup_ngrams"), col("dup_tokens"), col("len"),
+        expr("dup_tokens * 1000000 div len").as("dup_frac_micro"))
+  }
 }

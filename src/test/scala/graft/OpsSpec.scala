@@ -196,6 +196,20 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text")
   }
 
+  test("dupSpans: exact interval union of cross-doc duplicated 5-grams") {
+    import spark.implicits._
+    val rows = Dedup.dupSpans(docs, "text", "doc_id", n = 5)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc0/doc3 identical (14 tokens, 10 5-grams): fully covered.
+    // doc1 shares tokens 0..12 with them -> 9 duplicated grams at pos 0..8,
+    // union [0,13) = 13 of 14 tokens. doc2/doc4 have no duplicated gram and
+    // are absent (a doc with zero duplication carries no row by contract).
+    assert(rows == Seq(
+      (0L, 10L, 14L, 14L, 1000000L),
+      (1L, 9L, 13L, 14L, 928571L),
+      (3L, 10L, 14L, 14L, 1000000L)))
+  }
+
   test("synthesize draws popularity-proportional deterministic queries") {
     import spark.implicits._
     // cf: a=50, b=30, c=20 (total 100); Q=10 ⇒ targets (2q+1)·5 = 5,15,…,95
