@@ -1719,6 +1719,21 @@ object SparkEntry {
       terms.unionAll(shingles).orderBy("space")
     },
 
+    // HLL cardinality sketch over the same two value spaces as KMV —
+    // register-table shape (64-row mergeable groupBy, no distinct pass):
+    // the mergeable-at-any-partitioning counterpart; pinned md5 registers
+    // so the oracle replays the registers bit-for-bit.
+    "sk_hll_distinct" -> { (s, dir) =>
+      val terms = Sketch.hllDistinct(
+        docs(s, dir).select(explode(toks).as("v")), "v")
+        .select(lit("term").as("space"), col("*"))
+      val shingles = Sketch.hllDistinct(
+        docs(s, dir).select(toks.as("t"))
+          .select(explode(TextOps.shingles(col("t"), 3)).as("v")), "v")
+        .select(lit("shingle3").as("space"), col("*"))
+      terms.unionAll(shingles).orderBy("space")
+    },
+
     // synthetic query-log generation — the reference's
     // `tools/gen_synthetic_log.py` analog: Q=100 queries drawn
     // popularity-proportionally (systematic cf sampling, pure integer
@@ -3323,6 +3338,31 @@ object SparkEntry {
       s"""${kmvSql("term", s"unnest($T)")}
          |UNION ALL
          |${kmvSql("shingle3", s"unnest($SHING)")}
+         |ORDER BY space""".stripMargin
+    },
+
+    "sk_hll_distinct" -> {
+      def hllSql(space: String, unnested: String) =
+        s"""SELECT '$space' space, 64::BIGINT m, v_zero, s_sum,
+           | (${graft.ops.Sketch.HllAlphaM2Micro} * 134217728 // s_sum // 1000000)::BIGINT est_raw,
+           | (CASE WHEN (${graft.ops.Sketch.HllAlphaM2Micro} * 134217728 // s_sum // 1000000) <= 160
+           |        AND v_zero > 0
+           |   THEN round(64 * ln(64.0 / v_zero))::BIGINT
+           |   ELSE (${graft.ops.Sketch.HllAlphaM2Micro} * 134217728 // s_sum // 1000000)::BIGINT END) est_distinct,
+           | exact_distinct
+           |FROM (SELECT (64 - count(*))::BIGINT v_zero,
+           |        (sum(1::BIGINT << (27 - m_j)) + (64 - count(*)) * 134217728)::BIGINT s_sum
+           |      FROM (SELECT h >> 26 j,
+           |              max(CASE WHEN (h & 67108863) = 0 THEN 27
+           |                  ELSE 27 - length(format('{:b}', h & 67108863)) END) m_j
+           |            FROM (SELECT ('0x' || substr(md5(v), 1, 8))::BIGINT h
+           |                  FROM (SELECT $unnested v FROM documents))
+           |            GROUP BY j)),
+           |     (SELECT count(*)::BIGINT exact_distinct
+           |      FROM (SELECT DISTINCT $unnested v FROM documents))""".stripMargin
+      s"""${hllSql("term", s"unnest($T)")}
+         |UNION ALL
+         |${hllSql("shingle3", s"unnest($SHING)")}
          |ORDER BY space""".stripMargin
     },
 

@@ -62,4 +62,59 @@ object Sketch {
     values.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), out.schema)
   }
+
+  /** α·m²·10⁶ for m = 64, pinned as an exact integer so both engines use
+    * the identical constant: round(0.7213/(1 + 1.079/64) · 64² · 10⁶)
+    * (the standard HLL bias constant, Flajolet et al. 2007). */
+  val HllAlphaM2Micro: Long = 2905460551L
+
+  /** One-row HyperLogLog distinct-count estimate (m = 64 registers, p = 6)
+    * over `values(valueCol)`: (m, v_zero, s_sum, est_raw, est_distinct,
+    * exact_distinct).
+    *
+    * Unlike engine-private HLL register layouts, every step here is pinned
+    * and integer-exact so the DuckDB oracle replays it bit-for-bit:
+    * h = first 8 md5 hex chars as a 32-bit value; register j = h >> 26;
+    * sub-hash w = h & (2²⁶−1); rank = 27 − bit_length(w) (27 when w = 0);
+    * M_j = max rank. The harmonic sum Σ 2^(−M_j) is carried as the exact
+    * integer S = Σ 2^(27−M_j) (absent registers contribute 2²⁷), and the
+    * raw estimate is α·m²·2²⁷ div S in integer arithmetic. The standard
+    * small-range correction switches to linear counting
+    * round(m·ln(m/V)) when est_raw ≤ 2.5m and V > 0 — the one
+    * float step, same IEEE double ln both engines (the f5_idf precedent).
+    *
+    * Scale: the register table is a 64-row groupBy — one map-side partial
+    * aggregate over the scan, mergeable across any partitioning (HLL's
+    * whole point at 10^12 rows); no distinct shuffle at all, unlike KMV's
+    * distinct() pass. */
+  def hllDistinct(values: DataFrame, valueCol: String): DataFrame = {
+    val h = hash32(col(valueCol))
+    val regs = values
+      .select(shiftright(h, 26).as("j"),
+        h.bitwiseAND(lit(67108863L)).as("w"))
+      .select(col("j"),
+        when(col("w") === 0, lit(27))
+          .otherwise(lit(27) - length(conv(col("w"), 10, 2))).as("rank"))
+      .groupBy("j").agg(max("rank").as("m_j"))
+    val agg = regs.agg(
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - m_j AS INT))")) +
+        (lit(64L) - count(lit(1))) * lit(134217728L)).cast("long").as("s_sum"),
+      (lit(64L) - count(lit(1))).cast("long").as("v_zero"))
+    val exact = values.select(col(valueCol)).distinct()
+      .agg(count(lit(1)).cast("long").as("exact_distinct"))
+    val out = agg.crossJoin(exact).select(
+      lit(64L).as("m"), col("v_zero"), col("s_sum"),
+      expr(s"$HllAlphaM2Micro * 134217728 div s_sum div 1000000")
+        .cast("long").as("est_raw"),
+      col("exact_distinct"))
+      .withColumn("est_distinct",
+        when(col("est_raw") <= 160 && col("v_zero") > 0,
+          round(lit(64.0) * log(lit(64.0) / col("v_zero"))).cast("long"))
+          .otherwise(col("est_raw")))
+      .select(col("m"), col("v_zero"), col("s_sum"), col("est_raw"),
+        col("est_distinct"), col("exact_distinct"))
+    val rows = out.collect()
+    values.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
 }

@@ -634,6 +634,30 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Sketch.kmvDistinct(dup, "v", 64).collect().head
       .getAs[Long]("est_distinct") == est)
   }
+
+  test("HLL distinct sketch: LC small-range path, sane estimate, duplicate-invariant") {
+    val s = spark
+    import s.implicits._
+    // 12 distinct values: raw estimate is tiny → linear-counting path
+    val small = (1 to 12).map(i => s"v$i").toDF("v")
+    val r1 = Sketch.hllDistinct(small, "v").collect().head
+    assert(r1.getAs[Long]("exact_distinct") == 12L)
+    assert(r1.getAs[Long]("v_zero") >= 52L) // ≤12 of 64 registers touched
+    val lc = r1.getAs[Long]("est_distinct")
+    assert(lc >= 8 && lc <= 16, s"LC estimate $lc implausible for 12")
+    // 5000 distinct: estimator path, m=64 → ~13% stdev; allow wide band
+    val big = (1 to 5000).map(i => s"value_$i").toDF("v")
+    val r2 = Sketch.hllDistinct(big, "v").collect().head
+    val est = r2.getAs[Long]("est_distinct")
+    assert(est > 3000 && est < 7000, s"estimate $est implausible for 5000")
+    // registers are max-aggregated: duplicates never move them
+    val dup = big.unionAll(big).unionAll(big)
+    assert(Sketch.hllDistinct(dup, "v").collect().head
+      .getAs[Long]("est_distinct") == est)
+    // harmonic-sum invariant: S accounts for all 64 registers exactly
+    assert(r2.getAs[Long]("s_sum") > 0L &&
+      r2.getAs[Long]("s_sum") <= 64L * 134217728L)
+  }
 }
 
 class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
