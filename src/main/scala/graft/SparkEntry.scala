@@ -1734,6 +1734,20 @@ object SparkEntry {
       terms.unionAll(shingles).orderBy("space")
     },
 
+    // Count-min sketch (d=4 × w=64 pinned md5 cells) probed for every
+    // dictionary term: est_cf ≥ cf always (CMS one-sided guarantee, visible
+    // in the output), heavy hitters read off the estimates. The corpus
+    // pass collapses map-side to ≤256 cells — the frequency table never
+    // materializes.
+    "sk_cms_heavy" -> { (s, dir) =>
+      val cells = Sketch.cmsCells(docs(s, dir).select(explode(toks).as("v")), "v")
+      val probes = tfTable(s, dir).groupBy("term")
+        .agg(sum(col("tf")).cast("long").as("cf"))
+      Sketch.cmsEstimate(cells, probes, "term")
+        .select(col("term"), col("cf"), col("est").as("est_cf"))
+        .orderBy("term")
+    },
+
     // synthetic query-log generation — the reference's
     // `tools/gen_synthetic_log.py` analog: Q=100 queries drawn
     // popularity-proportionally (systematic cf sampling, pure integer
@@ -3365,6 +3379,19 @@ object SparkEntry {
          |${hllSql("shingle3", s"unnest($SHING)")}
          |ORDER BY space""".stripMargin
     },
+
+    "sk_cms_heavy" ->
+      s"""WITH vals AS (SELECT unnest($T) v FROM documents),
+         | cells AS (SELECT r, ('0x' || substr(md5(r::VARCHAR || '|' || v), 1, 8))::BIGINT % 64 b,
+         |     count(*)::BIGINT cnt
+         |   FROM vals, UNNEST(range(4)) t(r) GROUP BY r, b),
+         | probes AS (SELECT term, sum(tf)::BIGINT cf FROM $TF tf GROUP BY term),
+         | pb AS (SELECT term, cf, r,
+         |     ('0x' || substr(md5(r::VARCHAR || '|' || term), 1, 8))::BIGINT % 64 b
+         |   FROM probes, UNNEST(range(4)) t(r))
+         |SELECT term, cf, min(coalesce(cnt, 0))::BIGINT est_cf
+         |FROM pb LEFT JOIN cells USING (r, b)
+         |GROUP BY term, cf ORDER BY term""".stripMargin,
 
     "qlog_synth" ->
       s"""WITH tf AS (SELECT * FROM $TF),

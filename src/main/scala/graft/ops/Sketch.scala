@@ -117,4 +117,36 @@ object Sketch {
     values.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), out.schema)
   }
+
+  /** Count-min sketch cells over `values(valueCol)`: (r, b, cnt) for
+    * `depth` hash rows × `width` buckets. Row-r bucket of v is the pinned
+    * md5 hash of "r|v" mod width — engine-portable like every sketch here.
+    *
+    * Scale: one explode (×depth) + a groupBy onto depth·width cells —
+    * map-side partial aggregation collapses each partition to ≤ d·w rows
+    * before the shuffle, so the full-corpus frequency table never
+    * materializes (the sketch's whole point: heavy-hitter counts over
+    * 10^12 tokens in d·w longs, mergeable by cell-wise addition). */
+  def cmsCells(values: DataFrame, valueCol: String,
+               depth: Int = 4, width: Int = 64): DataFrame = {
+    values.select(posexplode(array((0 until depth).map(r =>
+        pmod(hash32(concat_ws("|", lit(r.toString), col(valueCol))), lit(width.toLong))): _*))
+        .as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Point estimates from the sketch: min over rows of the probed cell —
+    * never under the true count (CMS guarantee). `probes` keeps its other
+    * columns; the cells side is ≤ d·w rows and broadcast-joins. */
+  def cmsEstimate(cells: DataFrame, probes: DataFrame, probeCol: String,
+                  depth: Int = 4, width: Int = 64): DataFrame = {
+    val others = probes.columns.filterNot(_ == probeCol).map(col)
+    val pb = probes.select(col(probeCol) +: others :+
+      posexplode(array((0 until depth).map(r =>
+        pmod(hash32(concat_ws("|", lit(r.toString), col(probeCol))), lit(width.toLong))): _*))
+        .as(Seq("r", "b")): _*)
+    pb.join(broadcast(cells), Seq("r", "b"), "left")
+      .groupBy((col(probeCol) +: others).toIndexedSeq: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).cast("long").as("est"))
+  }
 }

@@ -658,6 +658,30 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2.getAs[Long]("s_sum") > 0L &&
       r2.getAs[Long]("s_sum") <= 64L * 134217728L)
   }
+
+  test("CMS: estimates never below true counts; exact when uncontended") {
+    val s = spark
+    import s.implicits._
+    // 200 occurrences of "hot", 1 each of 50 cold values
+    val vals = (Seq.fill(200)("hot") ++ (1 to 50).map(i => s"cold_$i")).toDF("v")
+    val cells = Sketch.cmsCells(vals, "v")
+    // total mass per row r equals the input size (cells partition each row)
+    val rowMass = cells.groupBy("r").agg(sum("cnt").as("m")).collect()
+    assert(rowMass.length == 4 && rowMass.forall(_.getAs[Long]("m") == 250L))
+    val probes = vals.groupBy(col("v").as("p")).agg(count(lit(1)).cast("long").as("truth"))
+    val est = Sketch.cmsEstimate(cells, probes, "p").collect()
+    est.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("truth"),
+        s"CMS under-counted ${r.getAs[String]("p")}")
+    }
+    // the heavy hitter dominates its cells: estimate is exact or near-exact
+    val hot = est.find(_.getAs[String]("p") == "hot").get
+    assert(hot.getAs[Long]("est") >= 200L && hot.getAs[Long]("est") <= 260L)
+    // absent probe estimates only collision mass
+    val ghost = Sketch.cmsEstimate(cells, Seq("never_seen").toDF("p"), "p")
+      .collect().head.getAs[Long]("est")
+    assert(ghost >= 0L && ghost < 250L)
+  }
 }
 
 class BpeSpec extends AnyFunSuite with BeforeAndAfterAll {
