@@ -376,6 +376,52 @@ object SparkEntry {
       .orderBy("rank")
   }
 
+  /** Dirichlet-smoothed query-likelihood top-k (Zhai & Lafferty 2001; the
+    * Lucene `LMDirichletSimilarity` family) — a second similarity next to
+    * BM25, same candidate machinery:
+    *
+    *   score(d,q) = Σ_t ln(1 + tf·C / (μ·cf_t)) + |q|·ln(μ / (len_d + μ))
+    *
+    * with μ = 2000, C = total corpus tokens, cf = collection frequency.
+    * Disjunctive candidates (docs matching ≥1 term); an absent term's
+    * smoothed contribution is exactly the length penalty (ln 1 = 0 tf
+    * part), which every candidate pays |q| times. All log inputs are exact
+    * integers, micro-quantized output like every scored contract here. */
+  private def lmdTopK(s: SparkSession, dir: String, terms: Seq[String], k: Int,
+                      mu: Long = 2000L): DataFrame = {
+    val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
+    val pivoted = tfq.groupBy("doc_id")
+      .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
+        terms.tail.zipWithIndex.map { case (t, i) =>
+          max(when(col("term") === t, col("tf"))).as(s"tf${i + 1}")
+        }: _*)
+    val cfs = tfq.agg(
+      sum(when(col("term") === terms.head, col("tf"))).cast("long").as("cf0"),
+      terms.tail.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf"))).cast("long").as(s"cf${i + 1}")
+      }: _*)
+    val len = lenTable(s, dir)
+    val stats = len.agg(sum("len").cast("long").as("c_total"))
+    val base = len.join(pivoted, "doc_id").crossJoin(cfs).crossJoin(stats)
+    val tfPart = terms.indices.map { i =>
+      when(col(s"tf$i").isNotNull,
+        log(lit(1.0) + (col(s"tf$i") * col("c_total")).cast("double") /
+          (lit(mu.toDouble) * col(s"cf$i")))).otherwise(lit(0.0))
+    }.reduceLeft(_ + _)
+    val lenPart = lit(terms.size.toDouble) *
+      log(lit(mu.toDouble) / (col("len") + lit(mu)).cast("double"))
+    val top = base.withColumn("score", tfPart + lenPart)
+      .select(col("doc_id"), col("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(k)
+    rankTopK(top, (b, a) =>
+        col("b.score") > col("a.score") ||
+          (col("b.score") === col("a.score") && col("b.doc_id") < col("a.doc_id")))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        round(col("score") * 1e6).cast("long").as("score_micro"))
+      .orderBy("rank")
+  }
+
   /** Dictionary prefix expansion (P4): terms matching `prefix` with their
     * df, capped deterministically at `maxExpansion` by (df desc, term asc) —
     * the trie `equal_prefix_range` analog (reference dictionary is a
@@ -929,6 +975,11 @@ object SparkEntry {
 
     // A5/O2/O3 + F5-F7: the flagship lossy-BM25 conjunctive top-k
     "a5_bm25_topk" -> ((s, dir) => bm25TopK(s, dir, Seq("spark", "query"), 10)),
+
+    // Dirichlet query-likelihood top-k over the same query — the second
+    // similarity (ranking differs from BM25: length normalization is a
+    // global additive penalty, tf saturates against cf·μ/C not doc length)
+    "a5_lmd_topk" -> ((s, dir) => lmdTopK(s, dir, Seq("spark", "query"), 10)),
     // Lucene-style `explain`: per-term score decomposition (tf, df, idf,
     // tfNorm, contribution) for the top-1 doc of the flagship conjunctive
     // query — the introspection surface every search engine ships
@@ -2532,6 +2583,30 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "a5_bm25_topk" -> bm25Sql(Seq("spark", "query"), 10),
+
+    "a5_lmd_topk" -> {
+      val terms = Seq("spark", "query")
+      val termList = terms.map(t => s"'$t'").mkString(",")
+      val pvCols = terms.zipWithIndex.map { case (t, i) =>
+        s"max(CASE WHEN term = '$t' THEN tf END) tf$i"
+      }.mkString(", ")
+      val cfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"sum(CASE WHEN term = '$t' THEN tf END)::BIGINT cf$i"
+      }.mkString(", ")
+      val tfParts = terms.indices.map { i =>
+        s"(CASE WHEN tf$i IS NOT NULL THEN ln(1.0 + (tf$i * c_total)::DOUBLE / (2000.0 * cf$i)) ELSE 0.0 END)"
+      }.mkString(" + ")
+      val lenPart = s"(${terms.size}.0 * ln(2000.0 / (len + 2000)::DOUBLE))"
+      s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
+         | stats AS (SELECT sum(len)::BIGINT c_total FROM lens),
+         | pv AS (SELECT doc_id, $pvCols FROM tf WHERE term IN ($termList) GROUP BY doc_id),
+         | cfs AS (SELECT $cfCols FROM tf WHERE term IN ($termList)),
+         | scored AS (SELECT doc_id, (($tfParts) + $lenPart) AS score
+         |   FROM lens JOIN pv USING (doc_id) CROSS JOIN cfs CROSS JOIN stats)
+         |SELECT rank, doc_id, round(score * 1e6)::BIGINT score_micro FROM
+         | (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) rank FROM scored)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
     "a5_bm25_topk3" -> bm25Sql(Seq("join", "hash", "dup"), 10),
     "a5_bm25_boost_topk" -> bm25Sql(Seq("spark", "query"), 10,
       boosts = Map("query" -> 2.5)),
