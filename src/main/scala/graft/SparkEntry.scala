@@ -980,6 +980,26 @@ object SparkEntry {
     // similarity (ranking differs from BM25: length normalization is a
     // global additive penalty, tf saturates against cf·μ/C not doc length)
     "a5_lmd_topk" -> ((s, dir) => lmdTopK(s, dir, Seq("spark", "query"), 10)),
+
+    // Code-identifier subtoken split (camelCase/snake_case/acronym-run):
+    // identifiers synthesized deterministically from each doc's first three
+    // tokens (the punct() pattern — the corpus has no code idents, so both
+    // engines derive the same ones), then the pinned two-regex analyzer
+    // recovers the subtokens. The analyzer is what a code index applies at
+    // index time so `bar` finds `fooBar`/`foo_bar`.
+    "text_subtokens" -> { (s, dir) =>
+      val staged = docs(s, dir).select(col("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= 3)
+      val ident = concat(
+        element_at(col("t"), 1),
+        expr("concat(upper(substring(element_at(t, 2), 1, 1)), substring(element_at(t, 2), 2))"),
+        lit("_"),
+        upper(element_at(col("t"), 3)))
+      staged.select(col("doc_id"), ident.as("ident"))
+        .select(col("doc_id"), col("ident"),
+          array_join(graft.ops.TextOps.subtokensCol(col("ident")), " ").as("subs"))
+        .orderBy("doc_id")
+    },
     // Lucene-style `explain`: per-term score decomposition (tf, df, idf,
     // tfNorm, contribution) for the top-1 doc of the flagship conjunctive
     // query — the introspection surface every search engine ships
@@ -2607,6 +2627,18 @@ object SparkEntry {
          | (SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) rank FROM scored)
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     },
+
+    "text_subtokens" ->
+      s"""WITH toks AS (SELECT doc_id, $T t FROM documents),
+         | base AS (SELECT doc_id,
+         |     t[1] || (upper(substr(t[2], 1, 1)) || substr(t[2], 2)) || '_' || upper(t[3]) AS ident
+         |   FROM toks WHERE len(t) >= 3)
+         |SELECT doc_id, ident,
+         |  array_to_string(list_filter(regexp_split_to_array(lower(
+         |    regexp_replace(regexp_replace(ident, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+         |                   '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[^a-z0-9]+'),
+         |    x -> x <> ''), ' ') subs
+         |FROM base ORDER BY doc_id""".stripMargin,
     "a5_bm25_topk3" -> bm25Sql(Seq("join", "hash", "dup"), 10),
     "a5_bm25_boost_topk" -> bm25Sql(Seq("spark", "query"), 10,
       boosts = Map("query" -> 2.5)),

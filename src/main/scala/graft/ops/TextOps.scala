@@ -546,6 +546,28 @@ object TextOps {
     if (hashes.length <= window) Array(hashes.min)
     else hashes.sliding(window).map(_.min).toArray.distinct
   }
+
+  // ---------- code-identifier subtokens ----------
+
+  /** Code-identifier subtoken split — the analyzer step every code-search
+    * engine adds so `bar` finds `fooBar` and `foo_bar` (GitHub/Sourcegraph
+    * style). The rule IS this pinned two-regex transform, identical on all
+    * three surfaces (Scala, Column, DuckDB SQL):
+    *
+    *   1. "([A-Z]+)([A-Z][a-z])" → "$1 $2"   (acronym│Word: HTTPServer)
+    *   2. "([a-z0-9])([A-Z])"    → "$1 $2"   (camel boundary: fooBar)
+    *   then lowercase, split on non-alphanumerics, drop empties.
+    */
+  def subtokens(ident: String): Array[String] =
+    ident.replaceAll("([A-Z]+)([A-Z][a-z])", "$1 $2")
+      .replaceAll("([a-z0-9])([A-Z])", "$1 $2")
+      .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** Column form of [[subtokens]] — codegen'd regexp_replace chain, no UDF. */
+  def subtokensCol(c: Column): Column =
+    filter(split(lower(
+      regexp_replace(regexp_replace(c, "([A-Z]+)([A-Z][a-z])", "$1 $2"),
+        "([a-z0-9])([A-Z])", "$1 $2")), "[^a-z0-9]+"), x => x =!= lit(""))
 }
 
 /** Byte-pair-encoding merge learning — distributed tokenizer training, the

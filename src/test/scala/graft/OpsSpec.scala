@@ -196,6 +196,24 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("doc_id", "text")
   }
 
+  test("subtokens: camelCase, snake_case, acronym runs, digits") {
+    import spark.implicits._
+    def st(s: String) = TextOps.subtokens(s).toSeq
+    assert(st("fooBar") == Seq("foo", "bar"))
+    assert(st("foo_bar") == Seq("foo", "bar"))
+    assert(st("HTTPServer") == Seq("http", "server"))
+    assert(st("parseHTTPResponse") == Seq("parse", "http", "response"))
+    assert(st("utf8Decoder") == Seq("utf8", "decoder"))
+    assert(st("__init__") == Seq("init"))
+    assert(st("XMLHttpRequest") == Seq("xml", "http", "request"))
+    assert(st("a") == Seq("a"))
+    // Column form produces the identical split
+    val got = Seq("fooBar", "HTTPServer", "parseHTTPResponse", "__init__")
+      .toDF("i").select(TextOps.subtokensCol(col("i"))).as[Seq[String]].collect().toSeq
+    assert(got == Seq(Seq("foo", "bar"), Seq("http", "server"),
+      Seq("parse", "http", "response"), Seq("init")))
+  }
+
   test("dupSpans: exact interval union of cross-doc duplicated 5-grams") {
     import spark.implicits._
     val rows = Dedup.dupSpans(docs, "text", "doc_id", n = 5)
