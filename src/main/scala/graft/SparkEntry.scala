@@ -167,6 +167,16 @@ object SparkEntry {
     triBlockCache.getOrElseUpdate((s, dir),
       TrigramIndex.buildBlocks(docs(s, dir), "doc_id", "text").cache())
 
+  /** Trigram df stats as the query planner's lookup map (termstats analog:
+    * a driver-resident dictionary, ~|distinct trigrams| entries). */
+  private val triStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, Long]]
+  private def triStatsMap(s: SparkSession, dir: String): Map[String, Long] =
+    triStatsCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      TrigramIndex.triStats(triBlocks(s, dir)).as[(String, Long)].collect().toMap
+    })
+
   /** Trigram-index candidates for `tris` joined back to the docstore with
     * an exact-verification flag — the graded shape of the p9/p10 family:
     * the candidate SET grades the trigram postings + k-way intersection,
@@ -731,6 +741,24 @@ object SparkEntry {
       docs(s, dir)
         .filter(IndexRewrite.graftMatch(key, col("text"), "window") &&
           col("doc_id") % 3 === 0)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // X5: substring index rewrite — graft_contains answered from the
+    // TRIGRAM index: the rewrite's semi-join right side is the full
+    // trigram pipeline (rarest-k posting intersection + exact contains
+    // verification), so the corpus scan of the main query never evaluates
+    // contains() at all; the mixed residual (doc_id % 2) stays a Filter.
+    "x5_contains_rewrite" -> { (s, dir) =>
+      IndexRewrite.install(s)
+      val key = s"docs:$dir"
+      IndexCatalog.register(key, "doc_id", term =>
+        decodedPostings(s, dir).filter(col("term") === term).select("doc_id"),
+        containsLookup = Some(needle => TrigramIndex.substringSearch(
+          docs(s, dir), triBlocks(s, dir), triStatsMap(s, dir), needle)))
+      docs(s, dir)
+        .filter(IndexRewrite.graftContains(key, col("text"), SubstringNeedle) &&
+          col("doc_id") % 2 === 0)
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -2554,6 +2582,10 @@ object SparkEntry {
     "x2_match_or_rewrite" ->
       s"""SELECT doc_id FROM documents
          |WHERE list_contains($T, 'window') OR list_contains($T, 'dup') ORDER BY doc_id""".stripMargin,
+
+    "x5_contains_rewrite" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE contains(text, '$SubstringNeedle') AND doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
 
     "x4_match_not_rewrite" ->
       s"""SELECT doc_id FROM documents

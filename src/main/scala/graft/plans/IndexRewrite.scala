@@ -50,11 +50,13 @@ object IndexCatalog {
     * docIds containing the terms ADJACENT IN ORDER (positional index
     * required — absent means phrase predicates stay scan-evaluated). */
   final case class Entry(keyCol: String, lookup: String => DataFrame,
-                         phraseLookup: Option[Seq[String] => DataFrame] = None)
+                         phraseLookup: Option[Seq[String] => DataFrame] = None,
+                         containsLookup: Option[String => DataFrame] = None)
   private val entries = scala.collection.concurrent.TrieMap.empty[String, Entry]
   def register(key: String, keyCol: String, lookup: String => DataFrame,
-               phraseLookup: Option[Seq[String] => DataFrame] = None): Unit =
-    entries.put(key, Entry(keyCol, lookup, phraseLookup))
+               phraseLookup: Option[Seq[String] => DataFrame] = None,
+               containsLookup: Option[String => DataFrame] = None): Unit =
+    entries.put(key, Entry(keyCol, lookup, phraseLookup, containsLookup))
   def get(key: String): Option[Entry] = entries.get(key)
   def clear(): Unit = entries.clear()
 }
@@ -112,6 +114,29 @@ case class GraftPhrase(key: Expression, text: Expression, phrase: Expression)
     copy(key = newFirst, text = newSecond, phrase = newThird)
 }
 
+/** `graft_contains(key, text, needle)` — true iff the STORED text contains
+  * `needle` as a raw substring (case-sensitive; token boundaries ignored —
+  * the predicate a term index cannot serve). `key` MAY name an
+  * [[IndexCatalog]] entry with a `containsLookup` (trigram-index path,
+  * [[graft.index.TrigramIndex]]); evaluation never consults it. */
+case class GraftContains(key: Expression, text: Expression, needle: Expression)
+    extends TernaryExpression with Predicate with CodegenFallback {
+  override def first: Expression = key
+  override def second: Expression = text
+  override def third: Expression = needle
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (Seq(key, text, needle).forall(_.dataType == StringType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "graft_contains requires (STRING key, STRING text, STRING needle)")
+  override def nullSafeEval(k: Any, t: Any, q: Any): Any =
+    t.asInstanceOf[UTF8String].contains(q.asInstanceOf[UTF8String])
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): GraftContains =
+    copy(key = newFirst, text = newSecond, needle = newThird)
+}
+
 /** The rewrite rule. Installed per session ([[IndexRewrite.install]]) or via
   * `GraftExtensions` (`withExtensions`). Runs in the user-provided optimizer
   * batch — i.e. AFTER cache substitution, so the embedded lookup plan is
@@ -154,6 +179,11 @@ case class IndexSemiJoinRule(spark: SparkSession)
           entry.phraseLookup.filter(_ => terms.nonEmpty)
             .map(pl => (key, entry, () => pl(terms)))
         }
+      case GraftContains(k, textExpr, q) if q.foldable && q.eval() != null =>
+        entryFor(k, textExpr).flatMap { case (key, entry) =>
+          val needle = q.eval().toString
+          entry.containsLookup.map(cl => (key, entry, () => cl(needle)))
+        }
       case _ => None
     }
     val leaves = splitDisjunctivePredicates(e).map(one)
@@ -166,8 +196,9 @@ case class IndexSemiJoinRule(spark: SparkSession)
   /** Text attributes referenced by the predicate's GraftMatch/GraftPhrase
     * leaves (for the negation rewrite's IsNotNull residual). */
   private def textAttrs(e: Expression): Seq[Attribute] = e.collect {
-    case GraftMatch(_, a: Attribute, _)  => a
-    case GraftPhrase(_, a: Attribute, _) => a
+    case GraftMatch(_, a: Attribute, _)    => a
+    case GraftPhrase(_, a: Attribute, _)   => a
+    case GraftContains(_, a: Attribute, _) => a
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
@@ -229,6 +260,13 @@ object IndexRewrite {
       Literal(UTF8String.fromString(key), StringType),
       ColumnBridge.expression(text),
       Literal(UTF8String.fromString(phrase), StringType)))
+
+  /** Column builder for the substring predicate. */
+  def graftContains(key: String, text: Column, needle: String): Column =
+    ColumnBridge.column(GraftContains(
+      Literal(UTF8String.fromString(key), StringType),
+      ColumnBridge.expression(text),
+      Literal(UTF8String.fromString(needle), StringType)))
 
   /** Idempotently install the rule into a session built without
     * `withExtensions` (e.g. the driver's Verify/Bench sessions).

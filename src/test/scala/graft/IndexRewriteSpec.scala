@@ -237,4 +237,43 @@ class IndexRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
       == naive.collect().map(_.getLong(0)).toSeq)
     assert(got.count() > 0, "probe term must occur in the corpus")
   }
+
+  test("graft_contains rewrites via the trigram index; scan-evals without one") {
+    import graft.index.TrigramIndex
+    IndexRewrite.install(spark)
+    val s = spark
+    import s.implicits._
+    val blocks = TrigramIndex.buildBlocks(fixture, "doc_id", "text").cache()
+    val stats = TrigramIndex.triStats(blocks).as[(String, Long)].collect().toMap
+    val key = "spec:contains"
+    IndexCatalog.register(key, "doc_id", term =>
+      fixture.filter(array_contains(ops.TextOps.tokens(col("text")), term))
+        .select("doc_id"),
+      containsLookup = Some(n =>
+        TrigramIndex.substringSearch(fixture, blocks, stats, n)))
+    // substring straddles "window over": only doc 1; mixed residual kept
+    val q = fixture.filter(IndexRewrite.graftContains(key, col("text"), "ndow ov")
+        && col("doc_id") >= 0)
+      .select("doc_id").orderBy("doc_id")
+    val lp = q.queryExecution.optimizedPlan
+    assert(lp.collect { case j: Join if j.joinType == LeftSemi => j }.nonEmpty,
+      s"expected LeftSemi join in:\n$lp")
+    val residue = lp.collect { case f: Filter
+      if f.condition.exists(_.isInstanceOf[graft.plans.GraftContains]) => f }
+    assert(residue.isEmpty, s"graft_contains survived the rewrite:\n$lp")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // raw-substring semantics are case-sensitive both paths
+    val cased = fixture.filter(IndexRewrite.graftContains(key, col("text"), "Window"))
+      .select("doc_id")
+    assert(cased.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // no containsLookup registered → scan-side eval, same rows
+    val key2 = "spec:contains-noidx"
+    registerFixtureIndex(key2)
+    val q2 = fixture.filter(IndexRewrite.graftContains(key2, col("text"), "ndow ov"))
+      .select("doc_id")
+    assert(q2.queryExecution.optimizedPlan
+      .collect { case j: Join => j }.isEmpty)
+    assert(q2.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    blocks.unpersist(false)
+  }
 }
