@@ -1833,6 +1833,14 @@ object SparkEntry {
       terms.unionAll(shingles).orderBy("space")
     },
 
+    // Histogram quantile sketch: P50/P90/P99 of n_chars from the ≤256
+    // lenbyte-bucket histogram (the code a deployed index keeps per doc
+    // anyway), exact quantiles alongside; cumulative counts via bounded
+    // inequality self-joins, never a global-order window.
+    "sk_quantile_hist" -> ((s, dir) =>
+      Sketch.histQuantiles(docs(s, dir).select(col("n_chars")), "n_chars",
+        Seq(50, 90, 99))),
+
     // Count-min sketch (d=4 × w=64 pinned md5 cells) probed for every
     // dictionary term: est_cf ≥ cf always (CMS one-sided guarantee, visible
     // in the output), heavy hitters read off the estimates. The corpus
@@ -3518,6 +3526,20 @@ object SparkEntry {
          |${hllSql("shingle3", s"unnest($SHING)")}
          |ORDER BY space""".stripMargin
     },
+
+    "sk_quantile_hist" ->
+      s"""WITH vals AS (SELECT n_chars::BIGINT v FROM documents),
+         | nn AS (SELECT count(*)::BIGINT n FROM vals),
+         | qs AS (SELECT unnest([50, 90, 99])::BIGINT q),
+         | t AS (SELECT q, n, (q * n + 99) // 100 target FROM qs CROSS JOIN nn),
+         | bh AS (SELECT ${lossySql("v")}::BIGINT k, count(*)::BIGINT c FROM vals GROUP BY k),
+         | bc AS (SELECT k, sum(c) OVER (ORDER BY k)::BIGINT cum FROM bh),
+         | vh AS (SELECT v k, count(*)::BIGINT c FROM vals GROUP BY k),
+         | vc AS (SELECT k, sum(c) OVER (ORDER BY k)::BIGINT cum FROM vh),
+         | eb AS (SELECT q, n, target, min(k)::BIGINT est_bucket
+         |   FROM t JOIN bc ON cum >= target GROUP BY q, n, target),
+         | ex AS (SELECT q, min(k)::BIGINT "exact" FROM t JOIN vc ON cum >= target GROUP BY q)
+         |SELECT q, n, target, est_bucket, "exact" FROM eb JOIN ex USING (q) ORDER BY q""".stripMargin,
 
     "sk_cms_heavy" ->
       s"""WITH vals AS (SELECT unnest($T) v FROM documents),

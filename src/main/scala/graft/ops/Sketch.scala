@@ -135,6 +135,48 @@ object Sketch {
       .groupBy("r", "b").agg(count(lit(1)).cast("long").as("cnt"))
   }
 
+  /** Histogram quantile sketch: approximate quantiles from a ≤256-bucket
+    * log-scale histogram, the mergeable alternative to an exact
+    * sort-the-corpus quantile at 10^12 rows. Buckets are the engine's own
+    * 1-byte length code ([[graft.core.LenByte]], 4-bit-mantissa floor —
+    * the same code the reference stores per doc, `utils.h:58-73` analog),
+    * so the sketch is the histogram a deployed index can keep for free.
+    *
+    * For each q‰-free percentile q ∈ qs: target rank = ⌈q·N/100⌉ (pure
+    * integers), the estimate is the SMALLEST bucket floor whose cumulative
+    * count reaches the target (a lower bound of the true quantile by
+    * construction), reported next to the exact quantile (same rule over
+    * the raw-value histogram) for self-audit.
+    *
+    * Scale shape: both histograms are partial-agg groupBys (256 buckets /
+    * |distinct values| rows); cumulative counts come from an inequality
+    * self-join on the TINY aggregated sets (broadcast, windowless — never
+    * a global-order WindowExec over the corpus). */
+  def histQuantiles(values: DataFrame, valueCol: String,
+                    qs: Seq[Int]): DataFrame = {
+    val spark = values.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("long")
+    def cumOf(keyed: DataFrame): DataFrame = // (k, c) -> (k, cum)
+      keyed.as("a").join(broadcast(keyed.as("b")), col("b.k") <= col("a.k"))
+        .groupBy(col("a.k").as("k")).agg(sum(col("b.c")).cast("long").as("cum"))
+    val bucketHist = values.select(graft.functions.functions.len_lossy(v).as("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("c"))
+    val valueHist = values.select(v.as("k"))
+      .groupBy("k").agg(count(lit(1)).cast("long").as("c"))
+    val n = values.agg(count(lit(1)).cast("long").as("n"))
+    val qdf = qs.toDF("q").crossJoin(n)
+      .select(col("q").cast("long").as("q"), col("n"),
+        expr("(q * n + 99) div 100").as("target"))
+    def pick(cum: DataFrame, as: String): DataFrame =
+      qdf.join(broadcast(cum), col("cum") >= col("target"))
+        .groupBy("q", "n", "target").agg(min(col("k")).as(as))
+    pick(cumOf(bucketHist), "est_bucket")
+      .join(pick(cumOf(valueHist), "exact").select("q", "exact"), "q")
+      .select(col("q"), col("n"), col("target"), col("est_bucket"), col("exact"))
+      .orderBy("q")
+  }
+
   /** Point estimates from the sketch: min over rows of the probed cell —
     * never under the true count (CMS guarantee). `probes` keeps its other
     * columns; the cells side is ≤ d·w rows and broadcast-joins. */

@@ -677,6 +677,21 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       r2.getAs[Long]("s_sum") <= 64L * 134217728L)
   }
 
+  test("histogram quantiles: exact rule correct, bucket floor never above") {
+    val s = spark
+    import s.implicits._
+    val vals = (1 to 100).map(_.toLong).toDF("x")
+    val rows = Sketch.histQuantiles(vals, "x", Seq(50, 90, 99))
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(50L, 90L, 99L))
+    rows.foreach { case (q, n, target, est, exact) =>
+      assert(n == 100L && target == q) // target = ceil(q*100/100) = q
+      assert(exact == q)               // values are exactly 1..100
+      assert(est <= exact, s"bucket floor $est above exact $exact at q=$q")
+      assert(est >= exact / 2, s"bucket floor $est implausibly low at q=$q")
+    }
+  }
+
   test("CMS: estimates never below true counts; exact when uncontended") {
     val s = spark
     import s.implicits._
