@@ -33,15 +33,20 @@ object Engine {
   final case class SearchResult(entries: Seq[ResultEntry], docFreqs: Map[String, Long])
 
   /** Build (or resume building) an index over a corpus
-    * (repo, path, commit, lang, content[, sha256]) and open it. */
+    * (repo, path, commit, lang, content[, sha256]) and open it.
+    * `codeAnalyzer = true` additionally posts each token's case-derived
+    * subtokens at the same position (camelCase/snake_case — `bar` finds
+    * `fooBar`; [[graft.core.Tokenizer.groupedCode]]); query terms are
+    * already lowercase, so the search side needs no change. */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
-            partitions: Int = 32, withBloom: Boolean = true): Engine = {
+            partitions: Int = 32, withBloom: Boolean = true,
+            codeAnalyzer: Boolean = false): Engine = {
     val withSha =
       if (corpus.columns.contains("sha256")) corpus
       else corpus.withColumn("sha256",
         org.apache.spark.sql.functions.sha2(org.apache.spark.sql.functions.col("content"), 256))
-    IndexBuilder.build(spark, withSha, indexDir, partitions)
-    if (withBloom) Bloom.buildStage(spark, indexDir)
+    IndexBuilder.build(spark, withSha, indexDir, partitions, codeAnalyzer)
+    if (withBloom) Bloom.buildStage(spark, indexDir, codeAnalyzer)
     load(spark, indexDir)
   }
 

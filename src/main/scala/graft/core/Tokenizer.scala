@@ -43,6 +43,46 @@ object Tokenizer {
   /** Just the term sequence (BM25 doc length = its size). */
   def terms(text: String): Array[String] = tokenize(text).map(_.term)
 
+  /** Code-identifier subtoken split (see [[graft.ops.TextOps.subtokensCol]]
+    * for the Column form): pinned two-regex transform — acronym│Word
+    * boundary, then camel boundary — lowercase, split on non-alnum. */
+  def subtokens(ident: String): Array[String] =
+    ident.replaceAll("([A-Z]+)([A-Z][a-z])", "$1 $2")
+      .replaceAll("([a-z0-9])([A-Z])", "$1 $2")
+      .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+
+  /** [[grouped]] with the CODE analyzer: each token additionally posts its
+    * case-derived subtokens AT THE SAME POSITION with the same offsets
+    * (Lucene WordDelimiterGraphFilter's posInc=0 injection), so `bar`
+    * matches `fooBar`/`foo_bar` docs and phrase positions stay those of
+    * the original token stream. Subtokens are derived from the ORIGINAL
+    * cased slice (the lowercasing tokenizer has already erased camel
+    * boundaries in `term`); a subtoken equal to the token itself is not
+    * re-posted. Doc length (BM25 norm) remains the ORIGINAL token count —
+    * injected subtokens don't inflate it (documented deviation knob). */
+  def groupedCode(text: String): Array[(String, Array[Int], Array[(Int, Int)])] = {
+    val toks = tokenize(text)
+    val order = scala.collection.mutable.LinkedHashMap
+      .empty[String, (scala.collection.mutable.ArrayBuilder[Int],
+                      scala.collection.mutable.ArrayBuilder.ofRef[(Int, Int)])]
+    def add(term: String, pos: Int, start: Int, end: Int): Unit = {
+      val (ps, os) = order.getOrElseUpdate(
+        term,
+        (scala.collection.mutable.ArrayBuilder.make[Int],
+         new scala.collection.mutable.ArrayBuilder.ofRef[(Int, Int)]))
+      ps += pos
+      os += ((start, end))
+    }
+    toks.foreach { t =>
+      add(t.term, t.position, t.start, t.end)
+      val subs = subtokens(text.substring(t.start, t.end))
+      subs.distinct.foreach { sub =>
+        if (sub != t.term) add(sub, t.position, t.start, t.end)
+      }
+    }
+    order.iterator.map { case (term, (ps, os)) => (term, ps.result(), os.result()) }.toArray
+  }
+
   /** Per-unique-term groups like the reference linedoc `WITH_POSITIONS`
     * format: term -> (tf, positions, offsets), terms in first-seen order.
     */

@@ -88,19 +88,42 @@ object Bloom {
   /** Build the two-way bloom store from the doc store: per (term, doc),
     * filters over the sets of immediately-preceding / following terms.
     * Map-only (no shuffle) — neighbors are computed per doc. */
-  def buildStore(docs: Dataset[IndexBuilder.DocRow]): Dataset[BloomRow] = {
+  def buildStore(docs: Dataset[IndexBuilder.DocRow],
+                 codeAnalyzer: Boolean = false): Dataset[BloomRow] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
-      val toks = Tokenizer.terms(d.content)
       val begin = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[String]]
       val end = scala.collection.mutable.HashMap.empty[String, scala.collection.mutable.Set[String]]
-      var i = 0
-      while (i < toks.length) {
-        if (i > 0)
-          begin.getOrElseUpdate(toks(i), scala.collection.mutable.Set.empty) += toks(i - 1)
-        if (i < toks.length - 1)
-          end.getOrElseUpdate(toks(i), scala.collection.mutable.Set.empty) += toks(i + 1)
-        i += 1
+      if (!codeAnalyzer) {
+        val toks = Tokenizer.terms(d.content)
+        var i = 0
+        while (i < toks.length) {
+          if (i > 0)
+            begin.getOrElseUpdate(toks(i), scala.collection.mutable.Set.empty) += toks(i - 1)
+          if (i < toks.length - 1)
+            end.getOrElseUpdate(toks(i), scala.collection.mutable.Set.empty) += toks(i + 1)
+          i += 1
+        }
+      } else {
+        // code analyzer: a position can carry the original token AND its
+        // injected subtokens; a term's neighbor sets are ALL terms at the
+        // adjacent positions — the exact over-approximation the positional
+        // phrase join needs so subtoken phrases are never falsely pruned
+        val grouped = Tokenizer.groupedCode(d.content)
+        val atPos = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[String]]
+        grouped.foreach { case (t, ps, _) =>
+          ps.foreach(p => atPos.getOrElseUpdate(p,
+            scala.collection.mutable.ArrayBuffer.empty) += t)
+        }
+        grouped.foreach { case (t, ps, _) =>
+          ps.foreach { p =>
+            atPos.get(p - 1).foreach(_.foreach(n =>
+              begin.getOrElseUpdate(t, scala.collection.mutable.Set.empty) += n))
+            atPos.get(p + 1).foreach(_.foreach(n =>
+              end.getOrElseUpdate(t, scala.collection.mutable.Set.empty) += n))
+          }
+        }
       }
       // fixed sizing (expected_entries=5) like the reference's global config;
       // denser neighbor sets just raise the false-positive rate (lossy-safe)
@@ -115,11 +138,12 @@ object Bloom {
   }
 
   /** Stage wrapper: builds + commits `bloom/` under the index dir. */
-  def buildStage(spark: SparkSession, indexDir: String): Unit = {
+  def buildStage(spark: SparkSession, indexDir: String,
+                 codeAnalyzer: Boolean = false): Unit = {
     import spark.implicits._
     if (!Manifest.isCommitted(indexDir, "bloom")) {
       val docs = spark.read.parquet(s"$indexDir/docstore").as[IndexBuilder.DocRow]
-      buildStore(docs).write.mode("overwrite").option("compression", "zstd")
+      buildStore(docs, codeAnalyzer).write.mode("overwrite").option("compression", "zstd")
         .parquet(s"$indexDir/bloom")
       Manifest.commit(spark, indexDir, "bloom")
     }

@@ -104,16 +104,25 @@ object IndexBuilder {
   /** Tokenize → per-(doc, unique-term) flat postings with positions+offsets.
     * The reference's `AddDocument` per-term loop (`qq_mem_engine.h:194-215`)
     * as a flatMap — embarrassingly parallel, no shuffle. */
-  def flatPostings(docs: Dataset[DocRow]): Dataset[FlatPosting] = {
+  def flatPostings(docs: Dataset[DocRow],
+                   codeAnalyzer: Boolean = false): Dataset[FlatPosting] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
-      val grouped = Tokenizer.grouped(d.content)
-      // doc length = total token count; its lossy byte rides on every flat
-      // posting so the block encoder can emit avg-independent block-max
-      // metadata without a doclen join
+      val grouped =
+        if (codeAnalyzer) Tokenizer.groupedCode(d.content)
+        else Tokenizer.grouped(d.content)
+      // doc length = ORIGINAL token count = max position + 1 (positions are
+      // contiguous 0..len-1; the code analyzer's injected subtokens share
+      // original positions, so this stays the un-inflated BM25 norm). Its
+      // lossy byte rides on every flat posting so the block encoder can
+      // emit avg-independent block-max metadata without a doclen join.
       var len = 0
       var i = 0
-      while (i < grouped.length) { len += grouped(i)._2.length; i += 1 }
+      while (i < grouped.length) {
+        val ps = grouped(i)._2
+        if (ps.length > 0 && ps(ps.length - 1) + 1 > len) len = ps(ps.length - 1) + 1
+        i += 1
+      }
       val lb = LenByte.encode(len.toLong)
       grouped.iterator.map { case (term, ps, os) =>
         FlatPosting(term, d.docId, ps.length,
@@ -299,7 +308,7 @@ object IndexBuilder {
     * QQ-dump → Vacuum-convert pipeline collapsed into checkpointed Spark
     * stages, SURVEY.md §3.3). */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
-            partitions: Int = 32): Unit = {
+            partitions: Int = 32, codeAnalyzer: Boolean = false): Unit = {
     import spark.implicits._
     val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
     def timed[T](name: String)(f: => T): T = {
@@ -360,7 +369,7 @@ object IndexBuilder {
         math.max(partitions.toLong, totalPostings / PostingsPerPartition)).toInt
       if (profile) println(s"BUILD_STAGE postings.parts $blockParts (est $totalPostings postings)")
       timed("postings.enc") {
-        buildBlocksWithSpans(spark, flatPostings(docstore), hot, blockParts)
+        buildBlocksWithSpans(spark, flatPostings(docstore, codeAnalyzer), hot, blockParts)
           .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings")
       }
       timed("postings.commit") { Manifest.commit(spark, indexDir, "postings") }

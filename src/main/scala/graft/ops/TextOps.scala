@@ -559,9 +559,7 @@ object TextOps {
     *   then lowercase, split on non-alphanumerics, drop empties.
     */
   def subtokens(ident: String): Array[String] =
-    ident.replaceAll("([A-Z]+)([A-Z][a-z])", "$1 $2")
-      .replaceAll("([a-z0-9])([A-Z])", "$1 $2")
-      .toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    graft.core.Tokenizer.subtokens(ident)
 
   /** Column form of [[subtokens]] — codegen'd regexp_replace chain, no UDF. */
   def subtokensCol(c: Column): Column =
