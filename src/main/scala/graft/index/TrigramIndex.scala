@@ -52,14 +52,17 @@ object TrigramIndex {
     * (tri, prevDocId, n, docIds) with doc_ids ascending per trigram,
     * delta-gap varint in runs of ≤128.
     *
-    * Shape: one per-doc trigram explode, then a hash repartition on the
-    * trigram + in-partition sort + STREAMING run encode (mapPartitions) —
-    * never a per-group array, so a trigram with df ≈ n_docs (`" th"`-class
-    * at 10^12 files) encodes in bounded memory; `collect_list` here would
-    * both OOM the hot groups and trip the object-agg sort fallback. Hot
-    * trigrams beyond a single partition's comfort would salt into
-    * docId-range shards exactly like hot terms do
-    * ([[IndexBuilder]]'s saltTarget path — same codec, same seeding rule). */
+    * Shape: one per-doc trigram explode, then a hash repartition on
+    * (trigram, docId-range bucket) + in-partition sort + STREAMING run
+    * encode (mapPartitions) — never a per-group array, so a trigram with
+    * df ≈ n_docs (`" th"`-class at 10^12 files) encodes in bounded memory;
+    * `collect_list` here would both OOM the hot groups and trip the
+    * object-agg sort fallback. The `saltSpan` docId-range bucket is the
+    * trigram analog of [[IndexBuilder]]'s hot-term salting: it caps any
+    * single partition's share of one trigram at `saltSpan` postings. Runs
+    * are self-describing (each stores its own delta base), so decoding
+    * never needs to know where bucket cuts fell — a run that starts a
+    * bucket seeds prev = 0 and carries absolute ids from there. */
   /** Lossless 48-bit pack of a trigram's three UTF-16 chars — the shuffle
     * key is a primitive long instead of a heap string (measured ~2× on the
     * build's explode+sort, and radix-sortable in Tungsten). */
@@ -68,7 +71,8 @@ object TrigramIndex {
   def triUnpack(p: Long): String = new String(Array(
     ((p >> 32) & 0xFFFF).toChar, ((p >> 16) & 0xFFFF).toChar, (p & 0xFFFF).toChar))
 
-  def buildBlocks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def buildBlocks(docs: DataFrame, idCol: String, textCol: String,
+                  saltSpan: Int = 1 << 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("int").as("doc_id"), col(textCol).as("text"))
@@ -90,8 +94,9 @@ object TrigramIndex {
         out.iterator
       }
       .toDF("tkey", "doc_id")
-      .repartition(col("tkey"))
+      .repartition(col("tkey"), expr(s"doc_id div $saltSpan"))
       .sortWithinPartitions("tkey", "doc_id")
+      .select("tkey", "doc_id")
       .as[(Long, Int)]
       .mapPartitions { it =>
         new Iterator[(String, Int, Int, Array[Byte])] {
