@@ -401,7 +401,10 @@ object Dedup {
     val dup = grams.select("g", "doc_id").distinct()
       .groupBy("g").agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2).select("g")
-    val dpos = grams.join(dup, "g")
+    // duplicated grams are a small fraction of the gram space once n ≥ 5 —
+    // broadcast them so the position pass is a map-side semi filter, not a
+    // corpus-wide string shuffle
+    val dpos = grams.join(broadcast(dup), "g")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val cover = dpos
