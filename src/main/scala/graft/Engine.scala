@@ -40,13 +40,14 @@ object Engine {
     * already lowercase, so the search side needs no change. */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
             partitions: Int = 32, withBloom: Boolean = true,
-            codeAnalyzer: Boolean = false): Engine = {
+            codeAnalyzer: Boolean = false, withTrigrams: Boolean = false): Engine = {
     val withSha =
       if (corpus.columns.contains("sha256")) corpus
       else corpus.withColumn("sha256",
         org.apache.spark.sql.functions.sha2(org.apache.spark.sql.functions.col("content"), 256))
     IndexBuilder.build(spark, withSha, indexDir, partitions, codeAnalyzer)
     if (withBloom) Bloom.buildStage(spark, indexDir, codeAnalyzer)
+    if (withTrigrams) graft.index.TrigramIndex.buildStage(spark, indexDir)
     load(spark, indexDir)
   }
 
@@ -123,5 +124,48 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
       }.getOrElse("")
       ResultEntry(h.docId, h.score, snip)
     }
+  }
+
+  // ---------- substring / regex search (trigram stage) ----------
+
+  private lazy val triBlocks: DataFrame = {
+    require(Manifest.isCommitted(ix.indexDir, "trigrams"),
+      s"no trigram stage at ${ix.indexDir} — build with withTrigrams = true")
+    ix.spark.read.parquet(s"${ix.indexDir}/trigrams").cache()
+  }
+  private lazy val triStats: Map[String, Long] = {
+    import ix.spark.implicits._
+    graft.index.TrigramIndex.triStats(triBlocks).as[(String, Long)].collect().toMap
+  }
+
+  /** Exact substring search over the stored content via the trigram stage
+    * (Google-Code-Search query shape): rarest-k posting intersection →
+    * contains verification → top-k by (occurrence count desc, docId asc).
+    * Occurrences are counted with exact integer string arithmetic. */
+  def searchSubstring(needle: String, k: Int): Seq[(Int, Long)] = {
+    import org.apache.spark.sql.functions._
+    import ix.spark.implicits._
+    val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
+    val hits = graft.index.TrigramIndex
+      .substringSearch(docsDf, triBlocks, triStats, needle)
+    docsDf.join(hits.withColumnRenamed("doc_id", "hit_id"),
+        col("doc_id") === col("hit_id"))
+      .select(col("doc_id").cast("int"),
+        ((length(col("text")) - length(regexp_replace(col("text"),
+          lit(java.util.regex.Pattern.quote(needle)), lit("")))) /
+          lit(needle.length)).cast("long").as("occ"))
+      .orderBy(desc("occ"), asc("doc_id")).limit(k)
+      .as[(Int, Long)].collect().toSeq
+  }
+
+  /** Exact regex search via required-trigram pruning + rlike verification;
+    * results ordered by docId (a regex has no natural tf). */
+  def searchRegex(pattern: String, k: Int): Seq[Int] = {
+    import org.apache.spark.sql.functions._
+    import ix.spark.implicits._
+    val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
+    graft.index.TrigramIndex.regexSearch(docsDf, triBlocks, triStats, pattern)
+      .orderBy("doc_id").limit(k)
+      .as[Long].collect().map(_.toInt).toSeq
   }
 }

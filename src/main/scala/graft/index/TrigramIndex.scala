@@ -1,7 +1,7 @@
 package graft.index
 
 import graft.core.{Delta, Varint}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Character-trigram index for substring and regex search over source code.
@@ -185,6 +185,20 @@ object TrigramIndex {
       }
     verified.filter(col(textCol).contains(needle))
       .select(docs(idCol).cast("long").as("doc_id"))
+  }
+
+  /** Persisted index stage: builds + commits `trigrams/` under the index
+    * dir from the committed docstore (content keyed by docId), making
+    * substring/regex search a first-class capability of a loaded engine. */
+  def buildStage(spark: SparkSession, indexDir: String): Unit = {
+    if (!Manifest.isCommitted(indexDir, "trigrams")) {
+      val docs = spark.read.parquet(s"$indexDir/docstore")
+        .select(col("docId").as("doc_id"), col("content").as("text"))
+      buildBlocks(docs, "doc_id", "text")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$indexDir/trigrams")
+      Manifest.commit(spark, indexDir, "trigrams")
+    }
   }
 
   /** Required trigrams of a regex: trigrams fully inside literal fragments

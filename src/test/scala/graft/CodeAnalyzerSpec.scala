@@ -36,7 +36,7 @@ class CodeAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   private lazy val eng = Engine.build(spark, corpus, tmp, partitions = 4,
-    codeAnalyzer = true)
+    codeAnalyzer = true, withTrigrams = true)
 
   test("groupedCode injects subtokens at the original position") {
     val g = Tokenizer.groupedCode("def fooBar(x)").map(t => t._1 -> t._2.toSeq).toMap
@@ -88,5 +88,19 @@ class CodeAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ph4 = eng.search(Engine.SearchQuery(Seq("parse", "http"), nResults = 10,
       isPhrase = true)).entries.map(_.docId)
     assert(ph4 == Seq()) // same position, not adjacent — documented semantics
+  }
+
+  test("substring and regex search through the persisted trigram stage") {
+    // raw substring straddling token boundaries, ranked by occurrence count
+    assert(eng.searchSubstring("fooBar(x)", 10) == Seq((0, 1L)))
+    assert(eng.searchSubstring("oo_b", 10) == Seq((1, 1L)))
+    assert(eng.searchSubstring("o", 10).head._2 >= 2L) // occ counting works
+    assert(eng.searchSubstring("not in any doc", 10) == Seq())
+    // regex with literal-fragment pruning + rlike verification
+    assert(eng.searchRegex("foo_?[Bb]ar", 10) == Seq(0, 1, 3))
+    assert(eng.searchRegex("parseHTTP[A-Za-z]+\\(\\)", 10) == Seq(1))
+    // the trigram stage is committed and reloadable
+    val eng2 = Engine.load(spark, tmp)
+    assert(eng2.searchSubstring("fooBar(x)", 10) == Seq((0, 1L)))
   }
 }
