@@ -158,6 +158,25 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
       .as[(Int, Long)].collect().toSeq
   }
 
+  /** grep: per-LINE substring hits — (docId, 0-based line number, line) —
+    * the code-search result shape. Line extraction runs ONLY on the
+    * trigram-verified candidate docs, so the corpus never splits lines. */
+  def grep(needle: String, maxLines: Int): Seq[(Int, Long, String)] = {
+    import org.apache.spark.sql.functions._
+    import ix.spark.implicits._
+    val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
+    val hits = graft.index.TrigramIndex
+      .substringSearch(docsDf, triBlocks, triStats, needle)
+      .withColumnRenamed("doc_id", "hit_id")
+    docsDf.join(hits, col("doc_id") === col("hit_id"))
+      .select(col("doc_id").cast("int"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+      .filter(col("line").contains(needle))
+      .select(col("doc_id"), col("line_no").cast("long"), col("line"))
+      .orderBy("doc_id", "line_no").limit(maxLines)
+      .as[(Int, Long, String)].collect().toSeq
+  }
+
   /** Exact regex search via required-trigram pruning + rlike verification;
     * results ordered by docId (a regex has no natural tf). */
   def searchRegex(pattern: String, k: Int): Seq[Int] = {

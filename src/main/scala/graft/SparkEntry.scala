@@ -1208,6 +1208,17 @@ object SparkEntry {
       triCandidatesWithFlag(s, dir, TrigramIndex.regexLiteralTrigrams(RegexNeedle),
         col("text").rlike(RegexNeedle))),
 
+    // P11: grep — per-LINE substring hits (doc, 0-based line number, line)
+    // over the multi-line fixture; the code-search result shape. Engine
+    // path: Engine.grep (line extraction only on trigram candidates).
+    "p11_grep_lines" -> ((s, dir) =>
+      lineAugmented(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
+        .filter(col("line").contains("license footer"))
+        .select(col("doc_id"), col("line_no").cast("long").as("line_no"), col("line"))
+        .orderBy("doc_id", "line_no")),
+
     "p5_fuzzy_expand" -> ((s, dir) => fuzzyExpand(s, dir, "par", 2, 16)
       .orderBy(desc("df"), asc("term"))),
     // A5 over the fuzzy expansion (disjunctive, micro-int contract)
@@ -2594,6 +2605,14 @@ object SparkEntry {
     "x5_contains_rewrite" ->
       s"""SELECT doc_id FROM documents
          |WHERE contains(text, '$SubstringNeedle') AND doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+
+    "p11_grep_lines" ->
+      s"""WITH aug AS ($LineAugSql),
+         | ls AS (SELECT doc_id, str_split(text, chr(10)) l FROM aug)
+         |SELECT doc_id, i::BIGINT line_no, l[i+1] AS line
+         |FROM ls, UNNEST(range(len(l))) r(i)
+         |WHERE contains(l[i+1], 'license footer')
+         |ORDER BY doc_id, line_no""".stripMargin,
 
     "x4_match_not_rewrite" ->
       s"""SELECT doc_id FROM documents

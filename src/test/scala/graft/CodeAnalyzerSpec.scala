@@ -31,7 +31,9 @@ class CodeAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("r0", "a.py", "c0", "py", "def fooBar(x): return x"),
       ("r0", "b.py", "c0", "py", "val foo_bar = parseHTTPResponse()"),
       ("r0", "c.py", "c0", "py", "nothing relevant here"),
-      ("r0", "d.py", "c0", "py", "plain foobar literal")
+      ("r0", "d.py", "c0", "py", "plain foobar literal"),
+      ("r0", "e.py", "c0", "py",
+        "alpha beta\ngamma delta grep_target\nepsilon\nmore grep_target here")
     ).toDF("repo", "path", "commit", "lang", "content")
   }
 
@@ -102,5 +104,14 @@ class CodeAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the trigram stage is committed and reloadable
     val eng2 = Engine.load(spark, tmp)
     assert(eng2.searchSubstring("fooBar(x)", 10) == Seq((0, 1L)))
+  }
+
+  test("grep returns (doc, line number, line) hits on candidate docs only") {
+    assert(eng.grep("grep_target", 10) == Seq(
+      (4, 1L, "gamma delta grep_target"),
+      (4, 3L, "more grep_target here")))
+    assert(eng.grep("not anywhere", 10) == Seq())
+    // maxLines caps output deterministically
+    assert(eng.grep("grep_target", 1) == Seq((4, 1L, "gamma delta grep_target")))
   }
 }
