@@ -128,14 +128,26 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
 
   // ---------- substring / regex search (trigram stage) ----------
 
-  private lazy val triBlocks: DataFrame = {
-    require(Manifest.isCommitted(ix.indexDir, "trigrams"),
-      s"no trigram stage at ${ix.indexDir} — build with withTrigrams = true")
-    ix.spark.read.parquet(s"${ix.indexDir}/trigrams").cache()
-  }
   private lazy val triStats: Map[String, Long] = {
     import ix.spark.implicits._
-    graft.index.TrigramIndex.triStats(triBlocks).as[(String, Long)].collect().toMap
+    ix.trigrams.map(b =>
+      graft.index.TrigramIndex.triStats(b).as[(String, Long)].collect().toMap)
+      .getOrElse(Map.empty)
+  }
+
+  /** Exact matches of `needle` via the trigram stage when present
+    * (rarest-k posting intersection + contains verification), or a full
+    * verify scan when the index was built without one — results identical
+    * either way. */
+  private def substringHits(docsDf: DataFrame, needle: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    ix.trigrams match {
+      case Some(blocks) =>
+        graft.index.TrigramIndex.substringSearch(docsDf, blocks, triStats, needle)
+      case None =>
+        docsDf.filter(col("text").contains(needle))
+          .select(col("doc_id").cast("long").as("doc_id"))
+    }
   }
 
   /** Exact substring search over the stored content via the trigram stage
@@ -146,8 +158,7 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
     import org.apache.spark.sql.functions._
     import ix.spark.implicits._
     val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
-    val hits = graft.index.TrigramIndex
-      .substringSearch(docsDf, triBlocks, triStats, needle)
+    val hits = substringHits(docsDf, needle)
     docsDf.join(hits.withColumnRenamed("doc_id", "hit_id"),
         col("doc_id") === col("hit_id"))
       .select(col("doc_id").cast("int"),
@@ -165,9 +176,7 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
     import org.apache.spark.sql.functions._
     import ix.spark.implicits._
     val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
-    val hits = graft.index.TrigramIndex
-      .substringSearch(docsDf, triBlocks, triStats, needle)
-      .withColumnRenamed("doc_id", "hit_id")
+    val hits = substringHits(docsDf, needle).withColumnRenamed("doc_id", "hit_id")
     docsDf.join(hits, col("doc_id") === col("hit_id"))
       .select(col("doc_id").cast("int"),
         posexplode(split(col("text"), "\n")).as(Seq("line_no", "line")))
@@ -183,8 +192,14 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
     import org.apache.spark.sql.functions._
     import ix.spark.implicits._
     val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
-    graft.index.TrigramIndex.regexSearch(docsDf, triBlocks, triStats, pattern)
-      .orderBy("doc_id").limit(k)
+    val hits = ix.trigrams match {
+      case Some(blocks) =>
+        graft.index.TrigramIndex.regexSearch(docsDf, blocks, triStats, pattern)
+      case None =>
+        docsDf.filter(col("text").rlike(pattern))
+          .select(col("doc_id").cast("long").as("doc_id"))
+    }
+    hits.orderBy("doc_id").limit(k)
       .as[Long].collect().map(_.toInt).toSeq
   }
 }

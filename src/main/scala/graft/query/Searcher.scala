@@ -132,6 +132,26 @@ object Searcher {
         else Some(spark.read.parquet(s"$indexDir/bloom").filter(col("seg").isin(live: _*)))
       }
     }
+    /** Trigram posting runs ([[graft.index.TrigramIndex]]), if present AND
+      * covering every live segment — partial coverage disables the index
+      * path entirely (candidates from a missing segment would silently
+      * drop results; callers fall back to a full verify scan, still
+      * exact). Cached: substring queries reuse the decoded store. */
+    lazy val trigrams: Option[DataFrame] = {
+      val p = java.nio.file.Paths.get(indexDir, "trigrams")
+      if (!java.nio.file.Files.exists(p)) None
+      else if (!hasSegments) {
+        // batch stage: only a manifest-committed dir is readable (a crash
+        // mid-write leaves parquet parts without the manifest)
+        if (!graft.index.Manifest.isCommitted(indexDir, "trigrams")) None
+        else Some(spark.read.parquet(s"$indexDir/trigrams").cache())
+      } else {
+        val live = liveSegments
+        if (!live.forall(s => java.nio.file.Files.exists(p.resolve(s"seg=$s")))) None
+        else Some(spark.read.parquet(s"$indexDir/trigrams")
+          .filter(col("seg").isin(live: _*)).drop("seg").cache())
+      }
+    }
   }
 
   /** Load an index for querying. `asOfSeg` opens a SNAPSHOT read of a

@@ -32,7 +32,8 @@ object StreamingIndexer {
     * reference's batch indexes always have (`bloom_filter.h:562-670`). */
   def appendSegment(spark: SparkSession, batch: DataFrame, indexDir: String,
                     segId: Long, partitions: Int = 8,
-                    withBloom: Boolean = true): Unit = {
+                    withBloom: Boolean = true,
+                    withTrigrams: Boolean = false): Unit = {
     import spark.implicits._
     if (Manifest.isCommitted(indexDir, s"segment_$segId")) return
     if (batch.isEmpty) return
@@ -72,6 +73,16 @@ object StreamingIndexer {
       graft.index.Bloom.buildStore(docs)
         .write.mode("overwrite").option("compression", "zstd")
         .parquet(s"$indexDir/bloom/seg=$segId")
+
+    // per-segment trigram runs (substring/regex search over streamed
+    // indexes): docIds are absolute, so rows from different segments
+    // coexist — runs are self-describing (each stores its delta base)
+    if (withTrigrams)
+      graft.index.TrigramIndex.buildBlocks(
+          docs.toDF.select(col("docId").as("doc_id"), col("content").as("text")),
+          "doc_id", "text")
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$indexDir/trigrams/seg=$segId")
 
     release() // the sorted micro-batch cache — without this every batch leaks one copy
     // segment manifest: carries the doc-count watermark (atomic rename)
@@ -223,6 +234,25 @@ object StreamingIndexer {
           spark.read.parquet(s"$indexDir/docstore/seg=$newSeg").as[IndexBuilder.DocRow]).toDF()
       bloomRows.write.mode("overwrite").option("compression", "zstd")
         .parquet(s"$indexDir/bloom/seg=$newSeg")
+    }
+    // trigram rows carry like bloom rows: per-(tri, run) with absolute
+    // docIds, merge-invariant. Deleted docs may linger in copied runs —
+    // exact regardless, because substring verification joins the LIVE
+    // docstore (a stale candidate vanishes at the verify join); a
+    // partially-covered index rebuilds from the merged docstore instead.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "trigrams"))) {
+      val withTriSegs = segs.filter(s =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "trigrams", s"seg=$s")))
+      val triRows =
+        if (withTriSegs == segs)
+          spark.read.option("basePath", s"$indexDir/trigrams")
+            .parquet(segs.map(s => s"$indexDir/trigrams/seg=$s"): _*).drop("seg")
+        else graft.index.TrigramIndex.buildBlocks(
+          spark.read.parquet(s"$indexDir/docstore/seg=$newSeg")
+            .select(col("docId").as("doc_id"), col("content").as("text")),
+          "doc_id", "text")
+      triRows.write.mode("overwrite").option("compression", "zstd")
+        .parquet(s"$indexDir/trigrams/seg=$newSeg")
     }
 
     // atomic publish: new segment manifest in, source manifests out,

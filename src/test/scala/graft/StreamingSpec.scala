@@ -130,6 +130,38 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("streamed segments carry trigrams: substring search exact, compact keeps them") {
+    import graft.index.TrigramIndex
+    import graft.streaming.StreamingIndexer
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val ixDir = s"$root/ix_tri"
+    val all = (0L until 120L).map(id => CorpusGen.row(7L, id))
+    def df(rows: Seq[(String, String, String, String, String)]) =
+      rows.toDF("repo", "path", "commit", "lang", "content")
+    StreamingIndexer.appendSegment(spark, df(all.take(60)), ixDir, segId = 0,
+      partitions = 2, withTrigrams = true)
+    StreamingIndexer.appendSegment(spark, df(all.drop(60)), ixDir, segId = 1,
+      partitions = 2, withTrigrams = true)
+    def check(): Unit = {
+      val ix = Searcher.load(spark, ixDir)
+      assert(ix.trigrams.isDefined, "trigram store must cover all live segments")
+      val blocks = ix.trigrams.get
+      val stats = TrigramIndex.triStats(blocks).as[(String, Long)].collect().toMap
+      val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
+      val needle = "if (" // straddles tokens, present in the code corpus
+      val got = TrigramIndex.substringSearch(docsDf, blocks, stats, needle)
+        .as[Long].collect().sorted.toSeq
+      val naive = docsDf.filter(col("text").contains(needle))
+        .select(col("doc_id").cast("long")).as[Long].collect().sorted.toSeq
+      assert(got.nonEmpty && got == naive, s"index path ${got.size} vs scan ${naive.size}")
+    }
+    check()
+    StreamingIndexer.compact(spark, ixDir, partitions = 2)
+    check() // trigram rows carried through the merge
+  }
+
   test("compaction merges segments: identical results, fewer segment dirs") {
     import spark.implicits._
     val ixDir = s"$root/ix"
