@@ -126,6 +126,38 @@ object Integrity {
       add("bloom_doc_coverage", uncovered)
     }
 
+    // trigram store (only when present): runs must decode to ascending ids
+    // (same O1 rule as term postings), and every doc long enough to carry a
+    // trigram must post at least one — a silently missing doc would make
+    // substring search return FALSE NEGATIVES (the trigram index gates
+    // candidates, unlike the lossy-safe bloom store).
+    ix.trigrams.foreach { tb =>
+      val runBad = tb.select("tri", "prevDocId", "n", "docIds")
+        .as[(String, Int, Int, Array[Byte])]
+        .map { case (_, prev, n, blob) =>
+          val ids = TrigramIndex.decodeRun(prev, n, blob)
+          var bad = 0L
+          if (ids.length != n) bad += 1
+          var i = 1
+          while (i < ids.length) {
+            if (ids(i) <= ids(i - 1)) bad += 1
+            i += 1
+          }
+          bad
+        }
+        .toDF("bad").agg(coalesce(sum("bad"), lit(0L))).as[Long].head()
+      add("trigram_decode", runBad)
+      val postedDocs = tb.select("tri", "prevDocId", "n", "docIds")
+        .as[(String, Int, Int, Array[Byte])]
+        .flatMap { case (_, prev, n, blob) =>
+          TrigramIndex.decodeRun(prev, n, blob).iterator
+        }.toDF("docId").distinct()
+      val trigramEligible = ix.docstore
+        .filter(length(col("content")) >= 3).select("docId")
+      val missing = trigramEligible.join(postedDocs, Seq("docId"), "left_anti").count()
+      add("trigram_doc_coverage", missing)
+    }
+
     results.toSeq.toDF()
   }
 }

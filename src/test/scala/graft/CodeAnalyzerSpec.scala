@@ -106,6 +106,15 @@ class CodeAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eng2.searchSubstring("fooBar(x)", 10) == Seq((0, 1L)))
   }
 
+  test("fsck covers the trigram stage: clean index passes both invariants") {
+    eng // force build
+    val res = graft.index.Integrity.check(spark, tmp).collect()
+    val names = res.map(_.getAs[String]("check")).toSet
+    assert(names.contains("trigram_decode") && names.contains("trigram_doc_coverage"))
+    res.foreach(r => assert(r.getAs[Boolean]("ok"),
+      s"fsck: ${r.getAs[String]("check")} -> ${r.getAs[Long]("violations")}"))
+  }
+
   test("grep returns (doc, line number, line) hits on candidate docs only") {
     assert(eng.grep("grep_target", 10) == Seq(
       (4, 1L, "gamma delta grep_target"),
