@@ -1852,6 +1852,16 @@ object SparkEntry {
       Sketch.histQuantiles(docs(s, dir).select(col("n_chars")), "n_chars",
         Seq(50, 90, 99))),
 
+    // AMS F2 sketch over the term-frequency distribution: the self-join
+    // size (sum cf^2) a planner needs to size the term-keyed shuffle —
+    // 64 pinned-sign counters over the DISTINCT term table, estimate and
+    // exact side by side.
+    "sk_ams_f2" -> { (s, dir) =>
+      val cfs = tfTable(s, dir).groupBy("term")
+        .agg(sum(col("tf")).cast("long").as("cf"))
+      Sketch.amsF2(cfs, "term", "cf")
+    },
+
     // Count-min sketch (d=4 × w=64 pinned md5 cells) probed for every
     // dictionary term: est_cf ≥ cf always (CMS one-sided guarantee, visible
     // in the output), heavy hitters read off the estimates. The corpus
@@ -3559,6 +3569,15 @@ object SparkEntry {
          |   FROM t JOIN bc ON cum >= target GROUP BY q, n, target),
          | ex AS (SELECT q, min(k)::BIGINT "exact" FROM t JOIN vc ON cum >= target GROUP BY q)
          |SELECT q, n, target, est_bucket, "exact" FROM eb JOIN ex USING (q) ORDER BY q""".stripMargin,
+
+    "sk_ams_f2" ->
+      s"""WITH cfs AS (SELECT term, sum(tf)::BIGINT cf FROM $TF tf GROUP BY term),
+         | counters AS (SELECT i,
+         |     sum(((('0x' || substr(md5(i::VARCHAR || '|' || term), 1, 8))::BIGINT & 1) * 2 - 1) * cf)::BIGINT c
+         |   FROM cfs, UNNEST(range(64)) t(i) GROUP BY i)
+         |SELECT 64::BIGINT k,
+         |  (SELECT (sum(c * c) // 64)::BIGINT FROM counters) est_f2,
+         |  (SELECT sum(cf * cf)::BIGINT FROM cfs) exact_f2""".stripMargin,
 
     "sk_cms_heavy" ->
       s"""WITH vals AS (SELECT unnest($T) v FROM documents),

@@ -177,6 +177,41 @@ object Sketch {
       .orderBy("q")
   }
 
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch: estimates the second frequency
+    * moment Σ cf² — the SELF-JOIN SIZE on the value column, the number a
+    * distributed planner needs to size a term-keyed join/shuffle before
+    * running it. k ±1 counters with pinned md5 signs
+    * (sign_i(v) = 2·(h("i|v") & 1) − 1); each counter accumulates
+    * Σ_v sign_i(v)·w(v), and E[c_i²] = F₂ exactly (the AMS identity), so
+    * the estimate is (Σ c_i²) div k in pure integer arithmetic. The exact
+    * F₂ rides along for self-audit.
+    *
+    * Scale: input is the (value, weight) aggregate (one corpus-width
+    * groupBy); the counter update is a ×k explode over that SMALL distinct
+    * table into k partial-agg sums — counters merge by addition across any
+    * partitioning, like every sketch here. Counter squares fit a BIGINT up
+    * to ~3·10⁹ total weight; past that the same pipeline runs on
+    * DecimalType(38) counters (DuckDB side: HUGEINT). */
+  def amsF2(weighted: DataFrame, valueCol: String, weightCol: String,
+            k: Int = 64): DataFrame = {
+    val signed = weighted.select(
+      posexplode(array((0 until k).map(i =>
+        (hash32(concat_ws("|", lit(i.toString), col(valueCol)))
+          .bitwiseAND(lit(1L)) * lit(2L) - lit(1L)) * col(weightCol)): _*))
+        .as(Seq("i", "contrib")))
+    val counters = signed.groupBy("i")
+      .agg(sum(col("contrib")).cast("long").as("c"))
+    val est = counters.agg(
+      expr(s"(sum(c * c) div $k)").cast("long").as("est_f2"))
+    val exact = weighted.agg(
+      sum(col(weightCol) * col(weightCol)).cast("long").as("exact_f2"))
+    val out = est.crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("est_f2"), col("exact_f2"))
+    val rows = out.collect()
+    weighted.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Point estimates from the sketch: min over rows of the probed cell —
     * never under the true count (CMS guarantee). `probes` keeps its other
     * columns; the cells side is ≤ d·w rows and broadcast-joins. */

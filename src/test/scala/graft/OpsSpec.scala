@@ -692,6 +692,26 @@ class OpsSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("AMS F2: unbiased-family estimate lands near the exact self-join size") {
+    val s = spark
+    import s.implicits._
+    // skewed weights: F2 dominated by the heavy value
+    val w = (Seq(("hot", 100L)) ++ (1 to 50).map(i => (s"c$i", 2L))).toDF("v", "w")
+    val r = Sketch.amsF2(w, "v", "w").collect().head
+    val exact = r.getAs[Long]("exact_f2")
+    assert(exact == 100L * 100L + 50L * 4L)
+    val est = r.getAs[Long]("est_f2")
+    // k=64 gives stderr ~ sqrt(2/64) ≈ 18% of F2; allow a wide determinism band
+    assert(est > exact / 3 && est < exact * 3, s"est $est vs exact $exact")
+    // doubling every weight exactly quadruples both estimate and exact
+    val w2 = w.select(col("v"), (col("w") * 2).as("w"))
+    val r2 = Sketch.amsF2(w2, "v", "w").collect().head
+    assert(r2.getAs[Long]("exact_f2") == 4L * exact)
+    // counters double exactly; the floor-div by k re-rounds: 4·est + [0,3]
+    val est2 = r2.getAs[Long]("est_f2")
+    assert(est2 >= 4L * est && est2 <= 4L * est + 3L)
+  }
+
   test("CMS: estimates never below true counts; exact when uncontended") {
     val s = spark
     import s.implicits._
