@@ -151,9 +151,12 @@ object TrigramIndex {
     * intersection over the decoded runs — J2's shape on the trigram
     * index). (tri, doc_id) rows are unique by construction, so a plain
     * count equals the distinct-trigram count. */
-  def candidates(blocks: DataFrame, tris: Seq[String]): DataFrame = {
+  def candidates(blocks: DataFrame, tris0: Seq[String]): DataFrame = {
     val spark = blocks.sparkSession
     import spark.implicits._
+    // dedupe defensively: a duplicated trigram would raise the required
+    // match count above what any doc can reach (one posting per pair)
+    val tris = tris0.distinct
     if (tris.isEmpty) return spark.emptyDataFrame.select(lit(0).as("doc_id")).limit(0)
     val k = tris.size
     blocks.filter(col("tri").isin(tris: _*))

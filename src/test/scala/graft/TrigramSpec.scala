@@ -65,6 +65,10 @@ class TrigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cand = TrigramIndex.candidates(blocks, TrigramIndex.trigramsOf("here foo").toSeq)
       .as[Long].collect().toSeq
     assert(cand.contains(5L))
+    // duplicated trigrams in the request must not inflate the match bar
+    val dup = TrigramIndex.candidates(blocks, Seq("foo", "foo"))
+      .as[Long].collect().sorted.toSeq
+    assert(dup == Seq(0L, 1L, 3L, 5L))
     assert(search("here foo") == Seq())
   }
 
