@@ -128,11 +128,34 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
 
   // ---------- substring / regex search (trigram stage) ----------
 
-  private lazy val triStats: Map[String, Long] = {
-    import ix.spark.implicits._
-    ix.trigrams.map(b =>
-      graft.index.TrigramIndex.triStats(b).as[(String, Long)].collect().toMap)
-      .getOrElse(Map.empty)
+  /** Per-trigram df cache: LRU-bounded like [[LocalService]]'s dfCache.
+    * Negative results (df 0) are cached too, so repeat misses never
+    * re-probe. The full (trigram -> df) dictionary is NEVER collected —
+    * over arbitrary UTF-16 content it is unbounded (any char triple);
+    * a query needs only its own needle's ≤|needle| trigram dfs. */
+  private val triDfCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.lang.Long](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
+        size() > 65536
+    })
+
+  /** Rows fetched by the LAST trigram df probe (0 on a warm cache) —
+    * diagnostics for the no-full-dictionary-collect invariant. */
+  @volatile private[graft] var lastTriProbeCount: Int = 0
+
+  private def triDfOf(tris: Seq[String]): Map[String, Long] = {
+    val distinct = tris.distinct
+    val missing = distinct.filterNot(triDfCache.containsKey)
+    lastTriProbeCount = missing.size
+    if (missing.nonEmpty) {
+      val probed = ix.trigrams
+        .map(b => graft.index.TrigramIndex.probeTriDfs(b, missing))
+        .getOrElse(Map.empty[String, Long])
+      missing.foreach(t =>
+        triDfCache.put(t, java.lang.Long.valueOf(probed.getOrElse(t, 0L))))
+    }
+    distinct.map(t => t -> triDfCache.get(t).longValue()).toMap
   }
 
   /** Exact matches of `needle` via the trigram stage when present
@@ -143,7 +166,8 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
     import org.apache.spark.sql.functions._
     ix.trigrams match {
       case Some(blocks) =>
-        graft.index.TrigramIndex.substringSearch(docsDf, blocks, triStats, needle)
+        graft.index.TrigramIndex.substringSearch(docsDf, blocks,
+          triDfOf(graft.index.TrigramIndex.trigramsOf(needle).toSeq), needle)
       case None =>
         docsDf.filter(col("text").contains(needle))
           .select(col("doc_id").cast("long").as("doc_id"))
@@ -157,6 +181,7 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
   def searchSubstring(needle: String, k: Int): Seq[(Int, Long)] = {
     import org.apache.spark.sql.functions._
     import ix.spark.implicits._
+    if (needle.isEmpty) return Nil // every doc "contains" it; occ would be 0/0
     val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
     val hits = substringHits(docsDf, needle)
     docsDf.join(hits.withColumnRenamed("doc_id", "hit_id"),
@@ -175,6 +200,7 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
   def grep(needle: String, maxLines: Int): Seq[(Int, Long, String)] = {
     import org.apache.spark.sql.functions._
     import ix.spark.implicits._
+    if (needle.isEmpty) return Nil
     val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
     val hits = substringHits(docsDf, needle).withColumnRenamed("doc_id", "hit_id")
     docsDf.join(hits, col("doc_id") === col("hit_id"))
@@ -194,7 +220,8 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
     val docsDf = ix.docstore.select(col("docId").as("doc_id"), col("content").as("text"))
     val hits = ix.trigrams match {
       case Some(blocks) =>
-        graft.index.TrigramIndex.regexSearch(docsDf, blocks, triStats, pattern)
+        graft.index.TrigramIndex.regexSearch(docsDf, blocks,
+          triDfOf(graft.index.TrigramIndex.regexLiteralTrigrams(pattern)), pattern)
       case None =>
         docsDf.filter(col("text").rlike(pattern))
           .select(col("doc_id").cast("long").as("doc_id"))

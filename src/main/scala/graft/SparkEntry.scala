@@ -167,15 +167,16 @@ object SparkEntry {
     triBlockCache.getOrElseUpdate((s, dir),
       TrigramIndex.buildBlocks(docs(s, dir), "doc_id", "text").cache())
 
-  /** Trigram df stats as the query planner's lookup map (termstats analog:
-    * a driver-resident dictionary, ~|distinct trigrams| entries). */
+  /** Per-needle trigram df probe (memoized): the planner needs only the
+    * NEEDLE's ≤|needle| trigram dfs — the full dictionary is never
+    * collected (unbounded over arbitrary UTF-16 content). */
   private val triStatsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Map[String, Long]]
-  private def triStatsMap(s: SparkSession, dir: String): Map[String, Long] =
-    triStatsCache.getOrElseUpdate((s, dir), {
-      import s.implicits._
-      TrigramIndex.triStats(triBlocks(s, dir)).as[(String, Long)].collect().toMap
-    })
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Map[String, Long]]
+  private def triStatsFor(s: SparkSession, dir: String,
+                          needle: String): Map[String, Long] =
+    triStatsCache.getOrElseUpdate((s, dir, needle),
+      TrigramIndex.probeTriDfs(triBlocks(s, dir),
+        TrigramIndex.trigramsOf(needle).toSeq))
 
   /** Trigram-index candidates for `tris` joined back to the docstore with
     * an exact-verification flag — the graded shape of the p9/p10 family:
@@ -755,7 +756,7 @@ object SparkEntry {
       IndexCatalog.register(key, "doc_id", term =>
         decodedPostings(s, dir).filter(col("term") === term).select("doc_id"),
         containsLookup = Some(needle => TrigramIndex.substringSearch(
-          docs(s, dir), triBlocks(s, dir), triStatsMap(s, dir), needle)))
+          docs(s, dir), triBlocks(s, dir), triStatsFor(s, dir, needle), needle)))
       docs(s, dir)
         .filter(IndexRewrite.graftContains(key, col("text"), SubstringNeedle) &&
           col("doc_id") % 2 === 0)

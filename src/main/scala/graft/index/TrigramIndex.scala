@@ -133,6 +133,23 @@ object TrigramIndex {
   def triStats(blocks: DataFrame): DataFrame =
     blocks.groupBy("tri").agg(sum(col("n")).cast("long").as("df"))
 
+  /** dfs of exactly `tris`: one `tri IN (...)` metadata probe returning
+    * ≤ |tris| rows. The planner only ever needs the dfs of the NEEDLE's
+    * trigrams (≤ needle length), so a query never materializes the full
+    * trigram dictionary on the driver — over arbitrary UTF-16 content that
+    * dictionary is effectively unbounded (any char triple), while this
+    * probe is bounded by the query. Trigrams absent from the index are
+    * absent from the map (df 0 to [[planTrigrams]]). */
+  def probeTriDfs(blocks: DataFrame, tris: Seq[String]): Map[String, Long] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    val distinct = tris.distinct
+    if (distinct.isEmpty) Map.empty
+    else blocks.filter(col("tri").isin(distinct: _*))
+      .groupBy("tri").agg(sum(col("n")).cast("long").as("df"))
+      .as[(String, Long)].collect().toMap
+  }
+
   /** The query planner's trigram pick for `needle`: the `rarestK` rarest of
     * the needle's distinct trigrams by indexed df (ties by trigram asc, the
     * deterministic order), from the provided stats. Trigrams absent from
@@ -212,7 +229,13 @@ object TrigramIndex {
     * nothing rather than something wrong). */
   def regexLiteralTrigrams(pattern: String): Seq[String] = {
     if (pattern.indexOf('|') >= 0) return Nil // alternation: nothing is required
-    val frags = scala.collection.mutable.ArrayBuilder.make[String]
+    val frags = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (frags.length at '(', discard-contents?) per open group. A group's
+    // fragments are discarded when the group itself is optional ('(…)?',
+    // '(…)*', '(…){…}') or is a non-(?:) special group (lookarounds,
+    // inline flags): negative lookahead content is NOT required, and
+    // being conservative here only loses pruning, never correctness.
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
     val cur = new StringBuilder
     def push(): Unit = { if (cur.nonEmpty) frags += cur.toString; cur.clear() }
     var i = 0
@@ -240,7 +263,25 @@ object TrigramIndex {
           while (i < pattern.length && pattern.charAt(i) != '}') i += 1
         case '+' => // ≥1 repeat: char itself required, adjacency after it broken
           push()
-        case '.' | '(' | ')' | '^' | '$' =>
+        case '(' =>
+          push()
+          var discard = false
+          if (i + 1 < pattern.length && pattern.charAt(i + 1) == '?') {
+            i += 1 // the group-type '?' is a metachar, not a quantifier
+            if (i + 1 < pattern.length && pattern.charAt(i + 1) == ':') i += 1
+            else discard = true // lookaround / flags / named: drop contents
+          }
+          groups += ((frags.length, discard))
+        case ')' =>
+          push()
+          val (mark, discard) =
+            if (groups.nonEmpty) groups.remove(groups.length - 1) else (0, false)
+          val quantified = i + 1 < pattern.length &&
+            "?*{".indexOf(pattern.charAt(i + 1)) >= 0
+          if (discard || quantified)
+            frags.remove(mark, frags.length - mark)
+          // a following '?'/'*' then sees empty cur (no-op); '{' skips to '}'
+        case '.' | '^' | '$' =>
           push()
         case c =>
           cur.append(c)
@@ -248,7 +289,7 @@ object TrigramIndex {
       i += 1
     }
     push()
-    frags.result().toSeq.filter(_.length >= 3).flatMap(trigramsOf).distinct
+    frags.toSeq.filter(_.length >= 3).flatMap(trigramsOf).distinct
   }
 
   /** Exact regex search over the stored text: required-trigram candidates

@@ -279,7 +279,7 @@ object StreamingIndexer {
         srcStoreAll.select("docId"))
     segs.foreach { s =>
       // "doclen" covers legacy segments written before lengths moved inline
-      Seq("postings", "doclen", "termstats", "docstore", "bloom").foreach { st =>
+      Seq("postings", "doclen", "termstats", "docstore", "bloom", "trigrams").foreach { st =>
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$indexDir/$st/seg=$s"))
       }

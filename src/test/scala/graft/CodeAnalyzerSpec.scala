@@ -106,6 +106,22 @@ class CodeAnalyzerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(eng2.searchSubstring("fooBar(x)", 10) == Seq((0, 1L)))
   }
 
+  test("trigram dfs are point-probed, never the full dictionary") {
+    val eng2 = Engine.load(spark, tmp)
+    val needle = "fooBar(x)"
+    val nTris = graft.index.TrigramIndex.trigramsOf(needle).length
+    assert(eng2.searchSubstring(needle, 10) == Seq((0, 1L)))
+    // cold probe fetches at most the needle's own trigram dfs
+    assert(eng2.lastTriProbeCount > 0 && eng2.lastTriProbeCount <= nTris)
+    // warm cache: the repeat query probes nothing
+    assert(eng2.searchSubstring(needle, 10) == Seq((0, 1L)))
+    assert(eng2.lastTriProbeCount == 0)
+    // absent trigrams are negative-cached too
+    assert(eng2.searchSubstring("zzzqqqzzz", 10) == Seq())
+    assert(eng2.searchSubstring("zzzqqqzzz", 10) == Seq())
+    assert(eng2.lastTriProbeCount == 0)
+  }
+
   test("fsck covers the trigram stage: clean index passes both invariants") {
     eng // force build
     val res = graft.index.Integrity.check(spark, tmp).collect()

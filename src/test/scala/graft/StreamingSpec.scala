@@ -160,6 +160,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     check()
     StreamingIndexer.compact(spark, ixDir, partitions = 2)
     check() // trigram rows carried through the merge
+    // retired trigram seg dirs are physically removed (no storage leak)
+    val triDirs = new java.io.File(s"$ixDir/trigrams")
+      .listFiles().count(_.getName.startsWith("seg="))
+    assert(triDirs == 1, s"stale trigram segment dirs after compact: $triDirs")
   }
 
   test("compaction merges segments: identical results, fewer segment dirs") {

@@ -74,4 +74,16 @@ object TrigramProperties extends Properties("trigram") {
         req.forall(matching.contains)
       }
     }
+
+  property("quantified-group trigrams hold on zero-repetition matches") =
+    Prop.forAll(
+      Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString),
+      Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString),
+      Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString),
+      Gen.oneOf("*", "?", "{0,2}")) { (a, g, b, q) =>
+      val pattern = a + "(" + g + ")" + q + b
+      val zeroRep = a + b // matches the pattern with zero group repetitions
+      val req = TrigramIndex.regexLiteralTrigrams(pattern)
+      zeroRep.matches(".*" + pattern + ".*") ==> req.forall(zeroRep.contains)
+    }
 }

@@ -89,6 +89,30 @@ class TrigramSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TrigramIndex.regexLiteralTrigrams("ab+cd").toSet == Set()) // frags "ab","cd" too short
   }
 
+  test("quantified groups and (?…) prefixes are not required") {
+    // '(abcd)*' matches with zero repetitions: its contents must not be required
+    assert(TrigramIndex.regexLiteralTrigrams("xxxx(abcd)*yyyy").toSet ==
+      Set("xxx", "yyy"))
+    assert(TrigramIndex.regexLiteralTrigrams("xxxx(abcd)?yyyy").toSet ==
+      Set("xxx", "yyy"))
+    assert(TrigramIndex.regexLiteralTrigrams("xxxx(abcd){0,3}yyyy").toSet ==
+      Set("xxx", "yyy"))
+    // '(abcd)+' requires at least one occurrence: contents stay required
+    assert(TrigramIndex.regexLiteralTrigrams("(abcd)+efgh").toSet ==
+      Set("abc", "bcd", "efg", "fgh"))
+    // non-capturing group prefix must not leak ':' into fragments
+    assert(TrigramIndex.regexLiteralTrigrams("(?:abcd)efgh").toSet ==
+      Set("abc", "bcd", "efg", "fgh"))
+    // negative lookahead content is NOT required in a match
+    assert(TrigramIndex.regexLiteralTrigrams("(?!abcd)wxyz0").toSet ==
+      Set("wxy", "xyz", "yz0"))
+    assert(TrigramIndex.regexLiteralTrigrams("(?=abcd)wxyz0").toSet ==
+      Set("wxy", "xyz", "yz0"))
+    // nested: outer optional discards inner required content too
+    assert(TrigramIndex.regexLiteralTrigrams("((abcd)+wxyz)?mnop").toSet ==
+      Set("mno", "nop"))
+  }
+
   test("regex search matches rlike exactly") {
     import spark.implicits._
     def rx(p: String): Seq[Long] =
