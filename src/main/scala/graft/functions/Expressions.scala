@@ -324,6 +324,10 @@ object functions {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def len_lossy(c: Column): Column =
     ColumnBridge.column(LenByteLossy(ColumnBridge.expression(c)))
+  /** [[LenByteEncode]] wrapped directly (registration-free) — for engine
+    * code like [[graft.index.Integrity]] that runs on arbitrary sessions. */
+  def len_code(c: Column): Column =
+    ColumnBridge.column(LenByteEncode(ColumnBridge.expression(c)))
   def slot_sum(c: Column): Column =
     ColumnBridge.column(SlotOrderedSum(ColumnBridge.expression(c)))
   def int8(c: Column): Column =

@@ -1,6 +1,5 @@
 package graft.index
 
-import graft.core.LenByte
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,10 +103,11 @@ object Integrity {
     if (shaBad >= 0) add("docstore_sha", shaBad)
     else results += CheckResult("docstore_sha", ok = false, -1L, "no sha256 column")
 
-    // lossy norm byte re-derives from the exact length
-    val lbEnc = udf((len: Long) => LenByte.encode(len))
+    // lossy norm byte re-derives from the exact length (codegen'd
+    // [[graft.functions.LenByteEncode]] — the engine-wide no-UDF rule)
     add("doclen_lenbyte",
-      ix.doclen.filter(lbEnc(col("len")) =!= col("lenByte")).count())
+      ix.doclen.filter(graft.functions.functions.len_code(
+        col("len").cast("long")) =!= col("lenByte")).count())
 
     // bloom coverage (only when a bloom store exists): phrase pruning is
     // lossy-SAFE only if probes are served for every doc the store claims

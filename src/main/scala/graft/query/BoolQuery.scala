@@ -406,8 +406,11 @@ object BoolQuery {
     // blocks decoded for one query only add rows another query's own
     // predicate discards — same exactness argument as Searcher.searchAll)
     val blocks = ix.postings.filter($"term".isin(allTerms: _*))
-    val metaRaw = blocks.select("term", "firstDocId", "lastDocId")
-      .as[(String, Int, Int)].collect()
+    // [[MetaStore]]-bounded fetch: the per-tree coverage walk is monotone
+    // in each term's intervals, so running it over COARSE coverage yields
+    // a sound superset to restrict the fine fetch to
+    val metaRaw = MetaStore.fineMetaBy(ix, blocks, allTerms, dfs)(covMap =>
+      MetaStore.unionIv(infos.map(qi => coverage(qi.root, covMap))))
     val ranges: Map[String, Array[(Int, Int)]] = metaRaw.groupBy(_._1)
       .map { case (t, rs) => t -> rs.sortBy(_._2).map(r => (r._2, r._3)) }
     val keys: Set[(String, Int)] = infos.iterator.flatMap { qi =>
@@ -483,8 +486,8 @@ object BoolQuery {
     val (posTerms, negTerms) = leafTerms(root)
     val allTerms = (posTerms ++ negTerms).distinct
     val blocks = ix.postings.filter($"term".isin(allTerms: _*))
-    val metaRaw = blocks.select("term", "firstDocId", "lastDocId")
-      .as[(String, Int, Int)].collect()
+    val metaRaw = MetaStore.fineMetaBy(ix, blocks, allTerms, dfs)(covMap =>
+      coverage(root, covMap))
     val ranges: Map[String, Array[(Int, Int)]] = metaRaw.groupBy(_._1)
       .map { case (t, rs) => t -> rs.sortBy(_._2).map(r => (r._2, r._3)) }
     val cov = coverage(root, ranges)

@@ -37,6 +37,23 @@ object Searcher {
   final case class LoadedIndex(spark: SparkSession, indexDir: String, nDocs: Long,
                                avgLen: Double, lossyCache: Array[Double],
                                asOfSeg: Option[Long] = None) {
+    /** Driver-side per-term block-meta caches ([[MetaStore]]); lifetime =
+      * this loaded snapshot — a re-load after append/compaction starts
+      * fresh, so no invalidation protocol is needed. LRU-bounded. */
+    private[query] val fineMetaCache: java.util.Map[String, Array[MetaStore.FineRow]] =
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[String, Array[MetaStore.FineRow]](64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[MetaStore.FineRow]]): Boolean =
+            size() > 512
+        })
+    private[query] val coarseCovCache: java.util.Map[String, Array[(Int, Int)]] =
+      java.util.Collections.synchronizedMap(
+        new java.util.LinkedHashMap[String, Array[(Int, Int)]](64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Array[(Int, Int)]]): Boolean =
+            size() > 4096
+        })
     private def hasSegments: Boolean = {
       val d = java.nio.file.Paths.get(indexDir, "termstats")
       java.nio.file.Files.exists(d) && {
@@ -285,16 +302,18 @@ object Searcher {
     //   block (its co-terms' blocks overlap its own), so the final
     //   aggregation stays exact.
     val blocks = ix.postings.filter($"term".isin(terms: _*))
-    val metaRaw = blocks
-      .select("term", "firstDocId", "lastDocId", "n", "maxTf", "minLenByte")
-      .as[(String, Int, Int, Int, Int, Int)].collect()
+    // meta rows fetched through [[MetaStore]]: per-term LRU cache on the
+    // warm path, two-level coarse→fine fetch past the direct cap — the
+    // driver never holds O(Σ df/128) rows for a hot∧rare conjunction
+    val metaShape = if (conjunctive) terms.map(Seq(_)) else Seq(terms.toSeq)
+    val metaRaw = MetaStore.fineMeta(ix, blocks, terms, dfs, Seq(metaShape))
     val meta: Map[String, Array[BlockMax.BlockMeta]] = metaRaw.groupBy(_._1)
       .map { case (t, rs) =>
         val w = idfW(t)
         t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, r._4,
           w * Bm25.tfNormLossy(r._5.toLong, r._6, cache)))
       }
-    val perTerm = terms.map(meta(_))
+    val perTerm = terms.map(t => meta.getOrElse(t, Array.empty[BlockMax.BlockMeta]))
     // conjunctive: a matching doc lies in EVERY term's coverage → intersect.
     // disjunctive: any term's coverage can contribute → union. The WAND
     // θ-prune below is sound in both modes: a block b of term t is dropped
@@ -322,7 +341,10 @@ object Searcher {
       if (exTerms.isEmpty) None
       else {
         val exBlocks = ix.postings.filter($"term".isin(exTerms: _*))
+        // meta bounded by the POSITIVE candidates' coverage: a hot excluded
+        // term ships only the meta slice that can matter, never O(df/128)
         val exMetaRaw = exBlocks.select("term", "firstDocId", "lastDocId")
+          .filter(MetaStore.overlapPred(MetaStore.coarsenTo(candidates, 512)))
           .as[(String, Int, Int)].collect()
         val exKeys = exMetaRaw.groupBy(_._1).iterator.flatMap { case (t, rs) =>
           val m = rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
@@ -744,14 +766,14 @@ object Searcher {
     if (liveGroups.exists(_.isEmpty)) return spark.emptyDataset[Hit] // P2 analog
     val liveTerms = liveGroups.flatten
     val blocks = ix.postings.filter($"term".isin(liveTerms: _*))
-    val metaRaw = blocks.select("term", "firstDocId", "lastDocId")
-      .as[(String, Int, Int)].collect()
+    val metaRaw = MetaStore.fineMeta(ix, blocks, liveTerms, dfs, Seq(liveGroups))
     val meta: Map[String, Array[BlockMax.BlockMeta]] = metaRaw.groupBy(_._1)
       .map { case (t, rs) =>
         t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
       }
     // conjunctive-over-groups coverage: ∩_g (∪_{m∈g} ranges(m))
-    val perGroupCov = liveGroups.map(g => BlockMax.unionCoverage(g.map(meta(_))))
+    val perGroupCov = liveGroups.map(g =>
+      BlockMax.unionCoverage(g.map(t => meta.getOrElse(t, Array.empty[BlockMax.BlockMeta]))))
     val candidates = perGroupCov.reduceLeft { (a, b) =>
       val am = a.map(r => BlockMax.BlockMeta(r._1, r._2, 0, 0.0))
       BlockMax.intersectCoverage(Seq(am,
@@ -759,7 +781,7 @@ object Searcher {
     }
     if (candidates.isEmpty) return spark.emptyDataset[Hit]
     val keys: Set[(String, Int)] = liveTerms.iterator.flatMap { t =>
-      val m = meta(t)
+      val m = meta.getOrElse(t, Array.empty[BlockMax.BlockMeta])
       BlockMax.overlapping(m, candidates).iterator.map(i => (t, m(i).first))
     }.toSet
     def decode(keySet: Set[(String, Int)]): DataFrame =
@@ -773,10 +795,10 @@ object Searcher {
       if (!exactDf)
         liveGroups.zipWithIndex.map { case (g, i) => i -> g.map(dfs).max }.toMap
       else {
-        val fullKeys: Set[(String, Int)] = liveTerms.iterator.flatMap { t =>
-          meta(t).iterator.map(b => (t, b.first))
-        }.toSet
-        decode(fullKeys).join(groupDf, "term")
+        // GLOBAL union-df per group: decode every block of the live terms
+        // (no key semi-join — the full stat needs them all, and skipping
+        // the driver-side key set keeps meta access coverage-bounded)
+        decodedScoreRows(ix, blocks).join(groupDf, "term")
           .select("gid", "docId").distinct()
           .groupBy("gid").agg(count(lit(1)).as("df"))
           .as[(Int, Long)].collect().toMap
@@ -961,17 +983,32 @@ object Searcher {
     def empty = Seq.empty[Int].toDF("docId")
     val terms = queryTerms.distinct
     if (terms.isEmpty || excludeTerms.exists(terms.contains)) return empty
-    val present = ix.termstats.filter($"term".isin(terms: _*))
-      .select("term").as[String].collect().toSet
-    if (terms.exists(t => !present.contains(t))) return empty
-    val blocks = ix.postings.filter($"term".isin(terms ++ excludeTerms.distinct: _*))
-    val metaRaw = blocks.select("term", "firstDocId", "lastDocId")
-      .as[(String, Int, Int)].collect()
-    val meta = metaRaw.groupBy(_._1).map { case (t, rs) =>
+    val ex = excludeTerms.distinct
+    val dfsAll: Map[String, Long] = ix.termstats
+      .filter($"term".isin(terms ++ ex: _*))
+      .select("term", "df").as[(String, Long)].collect().toMap
+    if (terms.exists(t => !dfsAll.contains(t))) return empty
+    val blocks = ix.postings.filter($"term".isin(terms ++ ex: _*))
+    val posBlocks = ix.postings.filter($"term".isin(terms: _*))
+    val posMetaRaw = MetaStore.fineMeta(ix, posBlocks, terms, dfsAll,
+      Seq(terms.map(Seq(_))))
+    val posMeta = posMetaRaw.groupBy(_._1).map { case (t, rs) =>
       t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
     }
-    val candidates = BlockMax.intersectCoverage(terms.map(meta(_)))
+    val candidates = BlockMax.intersectCoverage(
+      terms.map(t => posMeta.getOrElse(t, Array.empty[BlockMax.BlockMeta])))
     if (candidates.isEmpty) return empty
+    // exclusion meta bounded by the positive candidates' coverage
+    val exMeta =
+      if (ex.isEmpty) Map.empty[String, Array[BlockMax.BlockMeta]]
+      else ix.postings.filter($"term".isin(ex: _*))
+        .select("term", "firstDocId", "lastDocId")
+        .filter(MetaStore.overlapPred(MetaStore.coarsenTo(candidates, 512)))
+        .as[(String, Int, Int)].collect()
+        .groupBy(_._1).map { case (t, rs) =>
+          t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
+        }
+    val meta = posMeta ++ exMeta
     def decodeIds(sel: Seq[String]): DataFrame = {
       val keys = sel.flatMap { t =>
         val m = meta.getOrElse(t, Array.empty[BlockMax.BlockMeta])
@@ -994,9 +1031,9 @@ object Searcher {
       .agg(count(lit(1)).as("nMatched"))
       .filter($"nMatched" === terms.size)
       .select("docId")
-    val ex = excludeTerms.distinct.filter(meta.contains)
-    if (ex.isEmpty) matched
-    else matched.join(decodeIds(ex).select("docId").distinct(), Seq("docId"), "left_anti")
+    val exLive = ex.filter(meta.contains)
+    if (exLive.isEmpty) matched
+    else matched.join(decodeIds(exLive).select("docId").distinct(), Seq("docId"), "left_anti")
   }
 
   /** Facet counts over ALL matching docs — matching-doc count per value of
@@ -1132,9 +1169,13 @@ object Searcher {
     // base (query-slot multiplicity is applied per query at filter time)
     val cache = ix.lossyCache
     val blocksAll = ix.postings.filter($"term".isin(liveTerms: _*))
-    val metaRaw = blocksAll
-      .select("term", "firstDocId", "lastDocId", "n", "maxTf", "minLenByte")
-      .as[(String, Int, Int, Int, Int, Int)].collect()
+    // one [[MetaStore]] fetch for the whole batch: coverage = union over
+    // queries of each query's AND/OR shape
+    val metaRaw = MetaStore.fineMeta(ix, blocksAll, liveTerms, dfs,
+      live.map { case (qid, ts) =>
+        val uniq = ts.distinct
+        if (disjunctive(qid)) Seq(uniq) else uniq.map(Seq(_))
+      })
     val meta: Map[String, Array[BlockMax.BlockMeta]] = metaRaw.groupBy(_._1)
       .map { case (t, rs) =>
         val idf = idfs(t)
@@ -1176,8 +1217,12 @@ object Searcher {
       if (allEx.isEmpty) None
       else {
         val exBlocksDf = ix.postings.filter($"term".isin(allEx: _*))
+        // meta bounded by the union of the live queries' candidate coverage
+        val exCov = MetaStore.coarsenTo(
+          MetaStore.unionIv(plans.map(_.candidates)), 512)
         val exMeta: Map[String, Array[BlockMax.BlockMeta]] = exBlocksDf
           .select("term", "firstDocId", "lastDocId")
+          .filter(MetaStore.overlapPred(exCov))
           .as[(String, Int, Int)].collect()
           .groupBy(_._1).map { case (t, rs) =>
             t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
@@ -1360,9 +1405,8 @@ object Searcher {
     }.toDF("queryId", "term", "slot", "idf")
     // ---- per-query block-range intersection over collected metadata ----
     val blocksAll = ix.postings.filter($"term".isin(liveTerms: _*))
-    val metaRaw = blocksAll
-      .select("term", "firstDocId", "lastDocId", "n")
-      .as[(String, Int, Int, Int)].collect()
+    val metaRaw = MetaStore.fineMeta(ix, blocksAll, liveTerms, dfs,
+      live.map(_._2.distinct.map(Seq(_))))
     val meta: Map[String, Array[BlockMax.BlockMeta]] = metaRaw.groupBy(_._1)
       .map { case (t, rs) =>
         t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, r._4, 0.0))

@@ -887,6 +887,32 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(warmMs < 200.0, s"warm serve took ${warmMs}ms — not a resident path")
   }
 
+  test("LocalService: over-budget norms never materialize; results identical") {
+    built
+    // a budget smaller than the corpus docId space: every scoring path must
+    // route distributed and the corpus norm array must never be collected
+    val svc = new graft.query.LocalService(ix, maxResidentNorms = 4L)
+    val queries = Seq(
+      (Seq("if"), false), (Seq("if", "return"), false),
+      (Seq("hash", "seed", "mask"), false), (Seq("if", "return"), true))
+    queries.foreach { case (terms, phrase) =>
+      val want = Oracle.search(oracle, terms, 10, phrase)
+      val got = svc.search(terms, 10, phrase)
+      assert(got.map(_.docId) == want.map(_.docId), s"gated $terms phrase=$phrase")
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g.score - w.score) < 1e-9) }
+    }
+    // bool + expansion paths route distributed; explain point-probes its norm
+    val b = svc.searchBool("if AND return", 5)
+    val bWant = new graft.query.LocalService(ix).searchBool("if AND return", 5)
+    assert(b == bWant)
+    val pfx = svc.searchPrefix("re", 5)
+    assert(pfx.nonEmpty)
+    val ex = svc.explain(Seq("if"), b.head.docId)
+    assert(ex.nonEmpty && ex.head.term == "if")
+    assert(!svc.normsMaterialized,
+      "over-budget index materialized the corpus norm array on the driver")
+  }
+
   test("Integrity.check: clean index passes every invariant; corruption is flagged") {
     import spark.implicits._
     built
