@@ -38,18 +38,33 @@ object Engine {
     * subtokens at the same position (camelCase/snake_case — `bar` finds
     * `fooBar`; [[graft.core.Tokenizer.groupedCode]]); query terms are
     * already lowercase, so the search side needs no change. */
+  /** `textAnalyzer = true` indexes through the natural-language chain
+    * (possessive strip → english stopwords → Porter;
+    * [[graft.core.Tokenizer.groupedText]]) — the reference's wiki
+    * deployment semantics (`tokenize_wiki_linedoc.py:21-57`). QUERY terms
+    * must then be analyzed the same way ([[Engine.analyzeText]]). The
+    * bloom store is skipped under it: its adjacency pairs are built on the
+    * raw token stream, and a mismatched bloom prunes LOSSILY. */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
             partitions: Int = 32, withBloom: Boolean = true,
-            codeAnalyzer: Boolean = false, withTrigrams: Boolean = false): Engine = {
+            codeAnalyzer: Boolean = false, withTrigrams: Boolean = false,
+            withFuzzy: Boolean = false, textAnalyzer: Boolean = false): Engine = {
     val withSha =
       if (corpus.columns.contains("sha256")) corpus
       else corpus.withColumn("sha256",
         org.apache.spark.sql.functions.sha2(org.apache.spark.sql.functions.col("content"), 256))
-    IndexBuilder.build(spark, withSha, indexDir, partitions, codeAnalyzer)
-    if (withBloom) Bloom.buildStage(spark, indexDir, codeAnalyzer)
+    IndexBuilder.build(spark, withSha, indexDir, partitions, codeAnalyzer,
+      textAnalyzer)
+    if (withBloom && !textAnalyzer) Bloom.buildStage(spark, indexDir, codeAnalyzer)
     if (withTrigrams) graft.index.TrigramIndex.buildStage(spark, indexDir)
+    if (withFuzzy) graft.index.FuzzyIndex.buildStage(spark, indexDir)
     load(spark, indexDir)
   }
+
+  /** Analyze a raw query string under the TEXT analyzer — the terms to
+    * search a `textAnalyzer = true` index with. */
+  def analyzeText(query: String): Seq[String] =
+    graft.core.Tokenizer.tokenizeText(query).map(_.term).toSeq
 
   /** Open an existing index (snapshot manifest must be committed). */
   def load(spark: SparkSession, indexDir: String): Engine = {

@@ -90,6 +90,41 @@ object SparkEntry {
     lenCache.getOrElseUpdate((s, dir),
       docs(s, dir).select(col("doc_id"), size(toks).cast("long").as("len")).cache())
 
+  private val textTfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val textLenCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** (doc_id, term, tf) under the TEXT analyzer (possessive strip →
+    * english stopwords → Porter stemmer; [[graft.core.Tokenizer
+    * .tokenizeText]]) — the reference's ES analyzer chain
+    * (`tokenize_wiki_linedoc.py:21-57`) re-expressed engine-side. */
+  private def textTfTable(s: SparkSession, dir: String): DataFrame =
+    textTfCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          Tokenizer.tokenizeText(t).iterator.map(tok => (id, tok.term))
+        }
+        .toDF("doc_id", "term")
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .cache()
+    })
+
+  /** (doc_id, len) = SURVIVING token count under the TEXT analyzer
+    * (Lucene's post-stopword norm). */
+  private def textLenTable(s: SparkSession, dir: String): DataFrame =
+    textLenCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) => (id, Tokenizer.tokenizeText(t).length.toLong) }
+        .toDF("doc_id", "len")
+        .cache()
+    })
+
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Array[Array[Long]], DataFrame)]
 
@@ -316,8 +351,10 @@ object SparkEntry {
                        eligible: Option[DataFrame] = None,
                        excludeTerms: Seq[String] = Nil,
                        boosts: Map[String, Double] = Map.empty,
-                       minShouldMatch: Int = 0): DataFrame = {
-    val tfq = tfTable(s, dir).filter(col("term").isin(terms: _*))
+                       minShouldMatch: Int = 0,
+                       tfSrc: Option[DataFrame] = None,
+                       lenSrc: Option[DataFrame] = None): DataFrame = {
+    val tfq = tfSrc.getOrElse(tfTable(s, dir)).filter(col("term").isin(terms: _*))
     val pivoted0 = tfq.groupBy("doc_id")
       .agg(max(when(col("term") === terms.head, col("tf"))).as("tf0"),
         terms.tail.zipWithIndex.map { case (t, i) =>
@@ -358,7 +395,7 @@ object SparkEntry {
       terms.tail.zipWithIndex.map { case (t, i) =>
         count(when(col("term") === t, lit(1))).cast("long").as(s"df${i + 1}")
       }: _*)
-    val len = lenTable(s, dir)
+    val len = lenSrc.getOrElse(lenTable(s, dir))
     val stats = len.agg(count(lit(1)).cast("long").as("n_docs"),
       sum("len").cast("long").as("sum_len"))
     val base = len.join(pivoted, "doc_id").crossJoin(dfs).crossJoin(stats)
@@ -464,14 +501,25 @@ object SparkEntry {
     * (df desc, term asc) cap as [[prefixExpand]]. The length band is the
     * cheap pre-filter; `levenshtein(_,_,threshold)` early-exits above the
     * bound. Engine path: [[graft.query.Searcher.expandFuzzy]]. */
+  /** SymSpell delete table over the dictionary, memoized per (session,
+    * dir) — the p5/a5 fuzzy family shares one build, each probe is then a
+    * bounded `del IN (...)` filter instead of a dictionary Levenshtein
+    * scan ([[graft.index.FuzzyIndex]]). */
+  private val fuzzyTableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def fuzzyTable(s: SparkSession, dir: String): DataFrame =
+    fuzzyTableCache.getOrElseUpdate((s, dir),
+      graft.index.FuzzyIndex.deleteTable(
+        tfTable(s, dir).groupBy("term").agg(count(lit(1)).cast("long").as("df")),
+        maxDist = 2).cache())
+
   private def fuzzyExpand(s: SparkSession, dir: String, term: String,
-                          maxDist: Int, maxExpansion: Int): DataFrame =
-    tfTable(s, dir)
-      .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-      .filter(abs(length(col("term")) - lit(term.length)) <= maxDist)
-      .filter(levenshtein(col("term"), lit(term), maxDist) >= 0)
+                          maxDist: Int, maxExpansion: Int): DataFrame = {
+    require(maxDist <= 2, "graded fuzzy table is built at maxDist 2")
+    graft.index.FuzzyIndex.probe(fuzzyTable(s, dir), term, maxDist)
       .orderBy(desc("df"), asc("term"))
       .limit(maxExpansion)
+  }
 
   /** PII fixture: the synthetic corpus carries no PII, so the graded
     * contract injects deterministic addresses by doc_id — identically in
@@ -638,6 +686,26 @@ object SparkEntry {
       .groupBy("term")
       .agg(count(lit(1)).cast("long").as("df"), sum("tf").cast("long").as("cf"))
       .orderBy("term")),
+
+    // TEXT analyzer (reference ES chain parity: possessive → english stop
+    // → Porter): the analyzed token stream with ORIGINAL positions
+    // (stopword gaps preserved — Lucene position increments)
+    "text_stemmed" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          Tokenizer.tokenizeText(t).iterator.map(tok => (id, tok.position.toLong, tok.term))
+        }
+        .toDF("doc_id", "pos", "term")
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "pos")
+    },
+    // A5 over the STEMMED index tables: the raw query "queries table" is
+    // analyzed by the same chain, then scored conjunctively
+    "a5_bm25_stemmed_topk" -> ((s, dir) =>
+      bm25TopK(s, dir, StemmedQueryTerms, 10,
+        tfSrc = Some(textTfTable(s, dir)), lenSrc = Some(textLenTable(s, dir)))),
 
     // A4: doc lengths + global stats
     "a4_doclen" -> ((s, dir) => lenTable(s, dir).orderBy("doc_id")),
@@ -2294,6 +2362,49 @@ object SparkEntry {
   private val TF =
     s"(SELECT doc_id, term, count(*)::BIGINT tf FROM (SELECT doc_id, unnest($T) term FROM documents) GROUP BY doc_id, term)"
   private val LEN = s"(SELECT doc_id, len($T)::BIGINT len FROM documents)"
+
+  // ---- TEXT analyzer oracle (possessive → stopwords → Porter, mirroring
+  // Tokenizer.tokenizeText; the stem chain is literal-generated by
+  // Porter.sqlStemQuery from the SAME rule tables the Scala stemmer runs) ----
+  /** Raw text tokens keeping `'` in the token alphabet. */
+  private val TT =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9_'']+'), x -> x <> '')"
+  private val StopSql =
+    Tokenizer.EnglishStopWords.toSeq.sorted.map(w => s"'$w'").mkString(", ")
+  /** Per-token possessive/apostrophe strip with the ORIGINAL raw-token
+    * position (stopword removal leaves position gaps — Lucene posInc). */
+  private def textKeptSql(where: String): String =
+    s"""SELECT doc_id, pos, tok FROM (
+       | SELECT doc_id, i::BIGINT pos,
+       |   replace(regexp_replace(t[i+1], '''s$$', ''), '''', '') AS tok
+       | FROM (SELECT doc_id, $TT t FROM documents$where), unnest(range(len(t))) u(i))
+       |WHERE tok <> '' AND tok NOT IN ($StopSql)""".stripMargin
+  /** (doc_id, pos, tok) fully analyzed: the Porter chain runs over the
+    * DISTINCT vocabulary only (stem the dictionary, not the stream — at
+    * 10^12 files the stream is trillions of tokens, the dictionary
+    * millions), then joins back to the kept token stream. */
+  private def textStemmedSql(where: String = ""): String = {
+    val stems = graft.core.Porter.sqlStemQuery(
+      s"SELECT tok AS orig, tok FROM (SELECT DISTINCT tok FROM (${textKeptSql(where)}))",
+      "tok", Seq("orig"))
+    s"""SELECT k.doc_id, k.pos, s.tok
+       |FROM (${textKeptSql(where)}) k JOIN ($stems) s ON k.tok = s.orig""".stripMargin
+  }
+  private val TextTF =
+    s"(SELECT doc_id, tok AS term, count(*)::BIGINT tf FROM (${textStemmedSql()}) GROUP BY doc_id, tok)"
+  /** Post-stopword doc length (Lucene's norm); zero-survivor docs keep a
+    * row with len 0, exactly like the Spark side. */
+  private val TextLEN =
+    s"""(SELECT d.doc_id, coalesce(k.len, 0)::BIGINT len FROM documents d
+       | LEFT JOIN (SELECT doc_id, count(*)::BIGINT len
+       |            FROM (${textKeptSql("")}) GROUP BY doc_id) k
+       | ON d.doc_id = k.doc_id)""".stripMargin
+
+  /** The graded stemmed query, analyzed by the SAME `tokenizeText` both
+    * paths share — "queries table" → Seq("queri", "tabl"). */
+  private[graft] val StemmedQuery = "queries table"
+  private[graft] val StemmedQueryTerms: Seq[String] =
+    Tokenizer.tokenizeText(StemmedQuery).map(_.term).toSeq
   /** Lucene longToInt4∘byte4ToInt lossy length, integer-exact. */
   private def lossySql(c: String) =
     s"(CASE WHEN $c < 8 THEN $c ELSE ((((($c >> (length(format('{:b}', $c)) - 4)) & 7) | 8)) << (length(format('{:b}', $c)) - 4)) END)"
@@ -2358,7 +2469,12 @@ object SparkEntry {
   private def bm25Sql(terms: Seq[String], k: Int,
                       filterWhere: Option[String] = None,
                       excludeTerms: Seq[String] = Nil,
-                      boosts: Map[String, Double] = Map.empty): String = {
+                      boosts: Map[String, Double] = Map.empty,
+                      tfSql: String = TF, lenSql: String = LEN,
+                      materialize: Boolean = false): String = {
+    // AS MATERIALIZED stops DuckDB inlining the CTE per reference — the
+    // stemmed tf's Porter expression tree re-plans 4x per term otherwise
+    val mat = if (materialize) " MATERIALIZED" else ""
     val joins = terms.zipWithIndex.map { case (t, i) =>
       s"JOIN (SELECT doc_id, tf AS tf$i FROM tf WHERE term = '$t') t$i USING (doc_id) " +
         s"CROSS JOIN (SELECT count(*)::BIGINT df$i FROM tf WHERE term = '$t') d$i"
@@ -2373,7 +2489,7 @@ object SparkEntry {
                    else s"(ln(1.0 + (n_docs - df$i + 0.5)/(df$i + 0.5)) * $b)"
       s"($idfSql * (tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * ${lossySql("len")} / (sum_len::DOUBLE / n_docs::DOUBLE)))))"
     }.mkString(" + ")
-    s"""WITH tf AS (SELECT * FROM $TF), lens AS (SELECT * FROM $LEN),
+    s"""WITH tf AS$mat (SELECT * FROM $tfSql), lens AS$mat (SELECT * FROM $lenSql),
        | stats AS (SELECT count(*)::BIGINT n_docs, sum(len)::BIGINT sum_len FROM lens),
        | base AS (SELECT * FROM lens CROSS JOIN stats $joins),
        | scored AS (SELECT doc_id, ($score) AS score FROM base)
@@ -2523,6 +2639,14 @@ object SparkEntry {
          |ORDER BY doc_id, pos""".stripMargin,
 
     "a1_tf" -> s"SELECT * FROM $TF ORDER BY doc_id, term",
+
+    "text_stemmed" ->
+      s"""SELECT doc_id, pos, tok AS term FROM (${textStemmedSql(" WHERE doc_id < 50")})
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "a5_bm25_stemmed_topk" ->
+      bm25Sql(StemmedQueryTerms, 10, tfSql = TextTF, lenSql = TextLEN,
+        materialize = true),
 
     "a3_termstats" ->
       s"""SELECT term, count(DISTINCT doc_id)::BIGINT df, count(*)::BIGINT cf

@@ -22,13 +22,15 @@ object Oracle {
   final case class Doc(docId: Int, content: String)
   final case class Hit(docId: Int, score: Double)
 
-  final class Index(val docs: Seq[Doc]) {
+  final class Index(val docs: Seq[Doc], textAnalyzer: Boolean = false) {
+    private def groupedOf(content: String) =
+      if (textAnalyzer) Tokenizer.groupedText(content) else Tokenizer.grouped(content)
     // term -> postings sorted by docId: (docId, tf, positions)
     val postings: Map[String, Array[(Int, Int, Array[Int])]] = {
       val m = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])]]
       docs.sortBy(_.docId).foreach { d =>
-        Tokenizer.grouped(d.content).foreach { case (term, ps, _) =>
+        groupedOf(d.content).foreach { case (term, ps, _) =>
           m.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty) +=
             ((d.docId, ps.length, ps))
         }
@@ -36,7 +38,9 @@ object Oracle {
       m.view.mapValues(_.toArray).toMap
     }
     val docLen: Map[Int, Int] =
-      docs.map(d => d.docId -> Tokenizer.terms(d.content).length).toMap
+      docs.map(d => d.docId -> (
+        if (textAnalyzer) Tokenizer.tokenizeText(d.content).length
+        else Tokenizer.terms(d.content).length)).toMap
     val nDocs: Long = docs.size.toLong
     val avgLen: Double = if (nDocs == 0) 0.0 else docLen.values.map(_.toLong).sum.toDouble / nDocs
     val lossyCache: Array[Double] = Bm25.lossyCache(avgLen)

@@ -83,11 +83,61 @@ object Tokenizer {
     order.iterator.map { case (term, (ps, os)) => (term, ps.result(), os.result()) }.toArray
   }
 
+  /** The ES `_english_` stop set (Lucene `EnglishAnalyzer` default —
+    * public), used by the reference's analyzer chain
+    * (`tokenize_wiki_linedoc.py:36-39`). */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with")
+
+  @inline private def isTextWordChar(c: Char): Boolean =
+    isWordChar(c) || c == '\''
+
+  /** Natural-language analyzer (opt-in; mirrors the reference's ES chain
+    * `tokenize_wiki_linedoc.py:21-57`: possessive stemmer → lowercase →
+    * english stop → english stemmer). Token chars additionally include
+    * `'` so possessives survive tokenization; each token then drops a
+    * trailing `'s` and any remaining apostrophes, stopwords are removed
+    * (their POSITIONS remain consumed — Lucene position-increment
+    * semantics, so phrase adjacency across a removed stopword does NOT
+    * collapse), and survivors are Porter-stemmed ([[Porter]]). Doc length
+    * (the BM25 norm) = SURVIVING token count, Lucene's norm rule. */
+  def tokenizeText(text: String): Array[Token] = {
+    val lower = text.toLowerCase
+    val out = scala.collection.mutable.ArrayBuilder.make[Token]
+    var i = 0
+    var pos = 0
+    val n = lower.length
+    while (i < n) {
+      while (i < n && !isTextWordChar(lower.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && isTextWordChar(lower.charAt(i))) i += 1
+        val raw = lower.substring(start, i)
+        val dePoss = if (raw.endsWith("'s")) raw.dropRight(2) else raw
+        val term = dePoss.replace("'", "")
+        if (term.nonEmpty && !EnglishStopWords.contains(term))
+          out += Token(Porter.stem(term), pos, start, i)
+        pos += 1 // removed tokens still consume their position
+      }
+    }
+    out.result()
+  }
+
+  /** [[grouped]] under the text analyzer ([[tokenizeText]]). */
+  def groupedText(text: String): Array[(String, Array[Int], Array[(Int, Int)])] =
+    groupTokens(tokenizeText(text))
+
   /** Per-unique-term groups like the reference linedoc `WITH_POSITIONS`
     * format: term -> (tf, positions, offsets), terms in first-seen order.
     */
-  def grouped(text: String): Array[(String, Array[Int], Array[(Int, Int)])] = {
-    val toks = tokenize(text)
+  def grouped(text: String): Array[(String, Array[Int], Array[(Int, Int)])] =
+    groupTokens(tokenize(text))
+
+  private def groupTokens(
+      toks: Array[Token]): Array[(String, Array[Int], Array[(Int, Int)])] = {
     val order = scala.collection.mutable.LinkedHashMap
       .empty[String, (scala.collection.mutable.ArrayBuilder[Int],
                       scala.collection.mutable.ArrayBuilder.ofRef[(Int, Int)])]

@@ -105,22 +105,27 @@ object IndexBuilder {
     * The reference's `AddDocument` per-term loop (`qq_mem_engine.h:194-215`)
     * as a flatMap — embarrassingly parallel, no shuffle. */
   def flatPostings(docs: Dataset[DocRow],
-                   codeAnalyzer: Boolean = false): Dataset[FlatPosting] = {
+                   codeAnalyzer: Boolean = false,
+                   textAnalyzer: Boolean = false): Dataset[FlatPosting] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
       val grouped =
-        if (codeAnalyzer) Tokenizer.groupedCode(d.content)
+        if (textAnalyzer) Tokenizer.groupedText(d.content)
+        else if (codeAnalyzer) Tokenizer.groupedCode(d.content)
         else Tokenizer.grouped(d.content)
-      // doc length = ORIGINAL token count = max position + 1 (positions are
-      // contiguous 0..len-1; the code analyzer's injected subtokens share
-      // original positions, so this stays the un-inflated BM25 norm). Its
-      // lossy byte rides on every flat posting so the block encoder can
-      // emit avg-independent block-max metadata without a doclen join.
+      // doc length (BM25 norm): default/code analyzer = ORIGINAL token
+      // count = max position + 1 (positions contiguous 0..len-1; injected
+      // subtokens share original positions, so this stays un-inflated).
+      // TEXT analyzer = SURVIVING token count (Lucene's norm after
+      // stopword removal) = Σ tf, since positions keep stopword gaps.
+      // Its lossy byte rides on every flat posting so the block encoder
+      // can emit avg-independent block-max metadata without a doclen join.
       var len = 0
       var i = 0
       while (i < grouped.length) {
         val ps = grouped(i)._2
-        if (ps.length > 0 && ps(ps.length - 1) + 1 > len) len = ps(ps.length - 1) + 1
+        if (textAnalyzer) len += ps.length
+        else if (ps.length > 0 && ps(ps.length - 1) + 1 > len) len = ps(ps.length - 1) + 1
         i += 1
       }
       val lb = LenByte.encode(len.toLong)
@@ -308,8 +313,14 @@ object IndexBuilder {
     * QQ-dump → Vacuum-convert pipeline collapsed into checkpointed Spark
     * stages, SURVEY.md §3.3). */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
-            partitions: Int = 32, codeAnalyzer: Boolean = false): Unit = {
+            partitions: Int = 32, codeAnalyzer: Boolean = false,
+            textAnalyzer: Boolean = false): Unit = {
     import spark.implicits._
+    require(!(codeAnalyzer && textAnalyzer), "pick one analyzer")
+    // analyzer-consistent term stream for length + hot-term sampling
+    def analyzedTerms(content: String): Array[String] =
+      if (textAnalyzer) Tokenizer.tokenizeText(content).map(_.term)
+      else Tokenizer.terms(content)
     val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -327,7 +338,7 @@ object IndexBuilder {
       // tokenize ride on the write pass; no separate doclen stage/job)
       timed("docstore.write") {
         docs.map { d =>
-          val len = Tokenizer.terms(d.content).length
+          val len = analyzedTerms(d.content).length
           StoredDoc(d.docId, d.repo, d.path, d.commit, d.lang, d.sha256, d.content,
             len, LenByte.encode(len.toLong))
         }.write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/docstore")
@@ -347,7 +358,7 @@ object IndexBuilder {
       val (hot, totalPostings) = timed("postings.hot") {
         val row = docstore
           .filter($"docId" % HotSampleMod === 0)
-          .flatMap(d => Tokenizer.terms(d.content).distinct.iterator)
+          .flatMap(d => analyzedTerms(d.content).distinct.iterator)
           .groupBy("value").agg(count(lit(1)).as("c"))
           .agg(sum($"c").as("total"),
             collect_list(when($"c" * HotSampleMod > SaltTarget,
@@ -369,7 +380,8 @@ object IndexBuilder {
         math.max(partitions.toLong, totalPostings / PostingsPerPartition)).toInt
       if (profile) println(s"BUILD_STAGE postings.parts $blockParts (est $totalPostings postings)")
       timed("postings.enc") {
-        buildBlocksWithSpans(spark, flatPostings(docstore, codeAnalyzer), hot, blockParts)
+        buildBlocksWithSpans(spark,
+          flatPostings(docstore, codeAnalyzer, textAnalyzer), hot, blockParts)
           .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings")
       }
       timed("postings.commit") { Manifest.commit(spark, indexDir, "postings") }

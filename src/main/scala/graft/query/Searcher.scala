@@ -169,6 +169,13 @@ object Searcher {
           .filter(col("seg").isin(live: _*)).drop("seg").cache())
       }
     }
+    /** SymSpell deletion-neighborhood stage ([[graft.index.FuzzyIndex]]):
+      * batch indexes only — a streamed append would stale the table, so a
+      * segmented index always takes the exact dictionary-scan fallback. */
+    lazy val fuzzy: Option[(DataFrame, Int)] =
+      if (hasSegments || !graft.index.Manifest.isCommitted(indexDir, "fuzzy")) None
+      else Some((spark.read.parquet(s"$indexDir/fuzzy"),
+        graft.index.FuzzyIndex.stageMaxDist(indexDir)))
   }
 
   /** Load an index for querying. `asOfSeg` opens a SNAPSHOT read of a
@@ -645,10 +652,19 @@ object Searcher {
     val spark = ix.spark
     import spark.implicits._
     if (term.isEmpty || maxExpansion <= 0) return Nil
-    ix.termstats
-      .filter(abs(length($"term") - lit(term.length)) <= maxDist)
-      .filter(levenshtein($"term", lit(term), maxDist) >= 0) // -1 = over threshold
-      .select($"term", $"df")
+    val cands = ix.fuzzy match {
+      // SymSpell stage: one bounded `del IN (...)` probe instead of a
+      // dictionary scan — identical output (superset candidates, exact
+      // threshold-Levenshtein verify, same cap rule)
+      case Some((table, builtDist)) if maxDist <= builtDist =>
+        graft.index.FuzzyIndex.probe(table, term, maxDist)
+      case _ =>
+        ix.termstats
+          .filter(abs(length($"term") - lit(term.length)) <= maxDist)
+          .filter(levenshtein($"term", lit(term), maxDist) >= 0) // -1 = over threshold
+          .select($"term", $"df")
+    }
+    cands
       .orderBy(desc("df"), asc("term"))
       .limit(maxExpansion)
       .as[(String, Long)]
@@ -912,9 +928,16 @@ object Searcher {
     val spark = ix.spark
     import spark.implicits._
     if (term.isEmpty || maxSuggestions <= 0) return Nil
-    ix.termstats
-      .filter(abs(length($"term") - lit(term.length)) <= maxDist)
-      .filter(levenshtein($"term", lit(term), maxDist) >= 0)
+    val cands = ix.fuzzy match {
+      case Some((table, builtDist)) if maxDist <= builtDist =>
+        graft.index.FuzzyIndex.probe(table, term, maxDist)
+      case _ =>
+        ix.termstats
+          .filter(abs(length($"term") - lit(term.length)) <= maxDist)
+          .filter(levenshtein($"term", lit(term), maxDist) >= 0)
+          .select($"term", $"df")
+    }
+    cands
       .select($"term", levenshtein($"term", lit(term)).as("dist"), $"df")
       .orderBy(asc("dist"), desc("df"), asc("term"))
       .limit(maxSuggestions)

@@ -176,6 +176,55 @@ class OracleSpec extends AnyFunSuite {
     assert(g.map(_._1).toSeq == Seq("a", "b"))
     assert(g(0)._2.toSeq == Seq(0, 2)) // positions of 'a'
   }
+
+  test("Porter stemmer vectors (Porter 1980 examples)") {
+    val vectors = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "motoring" -> "motor",
+      "sing" -> "sing", "conflated" -> "conflat", "troubled" -> "troubl",
+      "sized" -> "size", "hopping" -> "hop", "tanned" -> "tan",
+      "falling" -> "fall", "hissing" -> "hiss", "fizzed" -> "fizz",
+      "failing" -> "fail", "filing" -> "file", "happy" -> "happi",
+      "sky" -> "sky", "relational" -> "relat", "conditional" -> "condit",
+      "rational" -> "ration", "valenci" -> "valenc", "digitizer" -> "digit",
+      "operator" -> "oper", "feudalism" -> "feudal",
+      "decisiveness" -> "decis", "hopefulness" -> "hope",
+      "formaliti" -> "formal", "triplicate" -> "triplic",
+      "formative" -> "form", "formalize" -> "formal",
+      "electriciti" -> "electr", "electrical" -> "electr",
+      "hopeful" -> "hope", "goodness" -> "good", "revival" -> "reviv",
+      "allowance" -> "allow", "inference" -> "infer", "airliner" -> "airlin",
+      "adjustable" -> "adjust", "defensible" -> "defens",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "adoption" -> "adopt",
+      "communism" -> "commun", "activate" -> "activ",
+      "effective" -> "effect", "probate" -> "probat", "rate" -> "rate",
+      "cease" -> "ceas", "controll" -> "control", "roll" -> "roll",
+      // the graded corpus vocabulary
+      "queries" -> "queri", "query" -> "queri", "tables" -> "tabl",
+      "table" -> "tabl", "values" -> "valu", "value" -> "valu",
+      "customer" -> "custom", "merge" -> "merg", "scanning" -> "scan")
+    vectors.foreach { case (w, want) =>
+      assert(Porter.stem(w) == want, s"stem($w) = ${Porter.stem(w)}, want $want")
+    }
+  }
+
+  test("text analyzer: possessive strip, stopwords, position gaps, norm") {
+    val toks = Tokenizer.tokenizeText("The customer's queries are falling")
+    // "the"(0) and "are"(3) removed but consume positions
+    assert(toks.map(t => (t.term, t.position)).toSeq ==
+      Seq(("custom", 1), ("queri", 2), ("fall", 4)))
+    // surviving count is the BM25 norm, not max position + 1
+    assert(toks.length == 3)
+    // offsets still span the ORIGINAL text (snippet highlighting)
+    assert(toks.head.start == 4 && toks.head.end == 14) // "customer's"
+    val g = Tokenizer.groupedText("tables table's TABLES")
+    assert(g.map(_._1).toSeq == Seq("tabl"))
+    assert(g(0)._2.toSeq == Seq(0, 1, 2))
+    // apostrophes beyond the possessive are dropped, not split on
+    assert(Tokenizer.tokenizeText("don't").map(_.term).toSeq == Seq("dont"))
+  }
 }
 
 /** Differential sweep: the serving path's COMPILED boolean evaluator

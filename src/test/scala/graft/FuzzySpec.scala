@@ -1,0 +1,137 @@
+package graft
+
+import graft.index.FuzzyIndex
+import graft.query.Searcher
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SymSpell deletion-neighborhood index: the delete kernel, the symmetric-
+  * delete candidate guarantee, and stage-vs-dictionary-scan parity of the
+  * fuzzy/suggest contracts through a real index. */
+class FuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val tmpA = java.nio.file.Files.createTempDirectory("graft_fz_a").toString
+  private val tmpB = java.nio.file.Files.createTempDirectory("graft_fz_b").toString
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    Seq(tmpA, tmpB).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  test("deletes: exact neighborhood, deduped, includes the term") {
+    assert(FuzzyIndex.deletes("abc", 0).toSet == Set("abc"))
+    assert(FuzzyIndex.deletes("abc", 1).toSet == Set("abc", "bc", "ac", "ab"))
+    assert(FuzzyIndex.deletes("abc", 2).toSet ==
+      Set("abc", "bc", "ac", "ab", "a", "b", "c"))
+    assert(FuzzyIndex.deletes("aa", 2).toSet == Set("aa", "a", ""))
+    assert(FuzzyIndex.deletes("", 2).toSet == Set(""))
+  }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("symmetric-delete guarantee: lev<=d implies shared delete") {
+    val rnd = new scala.util.Random(42)
+    def word(): String =
+      (0 until 3 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    var checked = 0
+    for (_ <- 0 until 3000) {
+      val a = word(); val b = word()
+      val d = lev(a, b)
+      if (d <= 2) {
+        checked += 1
+        assert(FuzzyIndex.deletes(a, 2).toSet
+          .intersect(FuzzyIndex.deletes(b, 2).toSet).nonEmpty,
+          s"lev($a,$b)=$d but no shared delete")
+      }
+    }
+    assert(checked > 100) // the generator actually exercised the property
+  }
+
+  test("stage probe is output-identical to the dictionary scan") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0 until 300).map { i =>
+      val words = Seq("part", "park", "pair", "par", "parse", "spar",
+        "return", "retorn", "retain", s"unique$i")
+      ("r0", f"p$i%04d", "c0", "txt", words.take(3 + i % 7).mkString(" "))
+    }.toDF("repo", "path", "commit", "lang", "content")
+    // A: with the SymSpell stage; B: same corpus, dictionary-scan fallback
+    val engA = Engine.build(spark, corpus, tmpA, partitions = 4,
+      withBloom = false, withFuzzy = true)
+    val engB = Engine.build(spark, corpus, tmpB, partitions = 4,
+      withBloom = false)
+    assert(engA.ix.fuzzy.isDefined && engB.ix.fuzzy.isEmpty)
+    for (q <- Seq("par", "retur", "parse", "zzz", "p");
+         d <- Seq(1, 2)) {
+      val a = Searcher.expandFuzzy(engA.ix, q, d, 16)
+      val b = Searcher.expandFuzzy(engB.ix, q, d, 16)
+      assert(a == b, s"expandFuzzy($q, $d): stage=$a scan=$b")
+      val sa = Searcher.suggest(engA.ix, q, d, 3)
+      val sb = Searcher.suggest(engB.ix, q, d, 3)
+      assert(sa == sb, s"suggest($q, $d): stage=$sa scan=$sb")
+    }
+    // probe distance beyond the built distance falls back to the scan
+    assert(Searcher.expandFuzzy(engA.ix, "par", 3, 16) ==
+      Searcher.expandFuzzy(engB.ix, "par", 3, 16))
+    // resumability: stage commit is idempotent
+    graft.index.FuzzyIndex.buildStage(spark, tmpA)
+    assert(Searcher.expandFuzzy(Searcher.load(spark, tmpA), "par", 2, 16) ==
+      Searcher.expandFuzzy(engB.ix, "par", 2, 16))
+  }
+
+  test("text-analyzer index: stemmed search differential vs oracle") {
+    val s = spark
+    import s.implicits._
+    val bodies = Seq(
+      "The customer's queries are falling behind the tables",
+      "tables and tables of values for the customer",
+      "a query optimizer merges sorted streams",
+      "plain code tokens if return value",
+      "scanning windows customer query table value",
+      "no relevant words here at all")
+    val corpus = bodies.zipWithIndex.map { case (b, i) =>
+      ("r0", f"p$i%04d", "c0", "txt", b)
+    }.toDF("repo", "path", "commit", "lang", "content")
+    val dirT = java.nio.file.Files.createTempDirectory("graft_txt_ix").toString
+    try {
+      val eng = Engine.build(spark, corpus, dirT, partitions = 2,
+        textAnalyzer = true)
+      val oracle = new graft.core.Oracle.Index(
+        bodies.zipWithIndex.map { case (b, i) => graft.core.Oracle.Doc(i, b) },
+        textAnalyzer = true)
+      // raw user queries analyzed by the shared chain, then searched
+      for (q <- Seq("queries table", "customer's values", "merge",
+                    "the query", "scanning")) {
+        val terms = Engine.analyzeText(q)
+        val want = graft.core.Oracle.search(oracle, terms, 10)
+        val got = Searcher.search(eng.ix, terms, 10).collect().sortBy(_.rank)
+        assert(got.map(_.docId).toSeq == want.map(_.docId),
+          s"query '$q' (terms $terms): got ${got.toSeq} want $want")
+        got.zip(want).foreach { case (g, w) =>
+          assert(math.abs(g.score - w.score) < 1e-12) }
+      }
+      // stopword-only query analyzes to nothing
+      assert(Engine.analyzeText("the a with").isEmpty)
+      // doc length = surviving token count, not max position + 1
+      val lens = eng.ix.doclen.select("docId", "len").as[(Int, Int)]
+        .collect().toMap
+      assert(lens(5) == graft.core.Tokenizer.tokenizeText(bodies(5)).length)
+      assert(lens(0) == 5) // customer queri fall behind tabl
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirT))
+  }
+}
