@@ -2207,6 +2207,30 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    // REAL PNG decode: complete files (zlib IDAT, per-row filter y % 5 so
+    // all five standard filters are exercised, true chunk CRC32s) decoded
+    // by Multimodal.decodePng; same graded shape as mm_decode_bmp — the
+    // oracle recomputes every value from the generator pixel formulas, so
+    // a filter-reconstruction or inflate bug is a hash mismatch
+    "mm_decode_png" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val img = Multimodal.decodePng(Multimodal.syntheticPng(id)).get
+          var sr = 0L; var sg = 0L; var sb = 0L
+          img.pixels.foreach { p =>
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          }
+          val n = img.width.toLong * img.height
+          (id, img.width.toLong, img.height.toLong,
+            sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n,
+            Multimodal.thumbnailGray(img, 4, 4).mkString(","))
+        }
+        .toDF("media_id", "width", "height", "mean_r_micro", "mean_g_micro",
+          "mean_b_micro", "thumb_gray4")
+        .orderBy("media_id")
+    },
+
     // REAL audio decode: 16-bit PCM WAV files decoded to samples
     // (RIFF chunk walk + sign-extended little-endian s16), graded on
     // sample count, energy (exact integer sum of squares) and peak
@@ -3934,6 +3958,27 @@ object SparkEntry {
          |  FROM n a, n b WHERE a.vid < b.vid)
          |SELECT id_a, id_b, cos_micro FROM p
          |ORDER BY cos_micro DESC, id_a, id_b LIMIT 20""".stripMargin
+    },
+
+    // decoded-PNG oracle: the generator pixel formulas restated (same
+    // structure as mm_decode_bmp — the decoder's inflate + filter
+    // reconstruction must land exactly on these)
+    "mm_decode_png" -> {
+      def sum2(expr: String) =
+        s"list_sum(flatten(list_transform(range(0, w), x -> list_transform(range(0, h), y -> $expr))))"
+      def at(expr: String) = expr
+        .replace("x", "((i % 4) * w // 4)").replace("y", "((i // 4) * h // 4)")
+      val r = "(2 * doc_id + 11 * x + 3 * y) % 256"
+      val g = "(5 * doc_id + x * y + 2 * y) % 256"
+      val b = "(7 * doc_id + 4 * x + 5 * y) % 256"
+      s"""WITH d AS (SELECT doc_id, 1 + doc_id % 16 w, 1 + (doc_id * 7) % 16 h FROM documents)
+         |SELECT doc_id media_id, w::BIGINT width, h::BIGINT height,
+         | (${sum2(r)} * 1000000 // (w * h))::BIGINT mean_r_micro,
+         | (${sum2(g)} * 1000000 // (w * h))::BIGINT mean_g_micro,
+         | (${sum2(b)} * 1000000 // (w * h))::BIGINT mean_b_micro,
+         | array_to_string(list_transform(range(0, 16), i ->
+         |   (299 * (${at(r)}) + 587 * (${at(g)}) + 114 * (${at(b)})) // 1000), ',') thumb_gray4
+         |FROM d ORDER BY media_id""".stripMargin
     },
 
     // decoded-WAV oracle: sample i = (id*31 + i*17) % 4001 - 2000 over

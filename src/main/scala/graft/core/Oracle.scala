@@ -22,29 +22,58 @@ object Oracle {
   final case class Doc(docId: Int, content: String)
   final case class Hit(docId: Int, score: Double)
 
-  final class Index(val docs: Seq[Doc], textAnalyzer: Boolean = false) {
-    private def groupedOf(content: String) =
-      if (textAnalyzer) Tokenizer.groupedText(content) else Tokenizer.grouped(content)
-    // term -> postings sorted by docId: (docId, tf, positions)
-    val postings: Map[String, Array[(Int, Int, Array[Int])]] = {
+  final class Index private (
+      val docs: Seq[Doc],
+      /** term -> postings sorted by docId: (docId, tf, positions) */
+      val postings: Map[String, Array[(Int, Int, Array[Int])]],
+      val docLen: Map[Int, Int]) {
+
+    def this(docs: Seq[Doc], textAnalyzer: Boolean = false) = this(
+      docs,
+      Index.buildPostings(docs, textAnalyzer),
+      docs.map(d => d.docId -> (
+        if (textAnalyzer) Tokenizer.tokenizeText(d.content).length
+        else Tokenizer.terms(d.content).length)).toMap)
+
+    val nDocs: Long = docLen.size.toLong
+    val avgLen: Double = if (nDocs == 0) 0.0 else docLen.values.map(_.toLong).sum.toDouble / nDocs
+    val lossyCache: Array[Double] = Bm25.lossyCache(avgLen)
+    def df(term: String): Long = postings.get(term).map(_.length.toLong).getOrElse(0L)
+  }
+
+  object Index {
+    private def buildPostings(docs: Seq[Doc], textAnalyzer: Boolean)
+        : Map[String, Array[(Int, Int, Array[Int])]] = {
       val m = scala.collection.mutable.HashMap
         .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])]]
       docs.sortBy(_.docId).foreach { d =>
-        groupedOf(d.content).foreach { case (term, ps, _) =>
+        val grouped =
+          if (textAnalyzer) Tokenizer.groupedText(d.content) else Tokenizer.grouped(d.content)
+        grouped.foreach { case (term, ps, _) =>
           m.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty) +=
             ((d.docId, ps.length, ps))
         }
       }
       m.view.mapValues(_.toArray).toMap
     }
-    val docLen: Map[Int, Int] =
-      docs.map(d => d.docId -> (
-        if (textAnalyzer) Tokenizer.tokenizeText(d.content).length
-        else Tokenizer.terms(d.content).length)).toMap
-    val nDocs: Long = docs.size.toLong
-    val avgLen: Double = if (nDocs == 0) 0.0 else docLen.values.map(_.toLong).sum.toDouble / nDocs
-    val lossyCache: Array[Double] = Bm25.lossyCache(avgLen)
-    def df(term: String): Long = postings.get(term).map(_.length.toLong).getOrElse(0L)
+
+    /** Index from PRE-ANALYZED per-doc term groups + externally-defined
+      * doc lengths — the reference's linedoc ingestion shape
+      * (`qq_mem_engine.h:194-215`): the file carries the analyzed stream,
+      * the BM25 norm is `BodyLength()` (whitespace terms of the raw
+      * body), and no tokenizer runs at all. */
+    def fromGroups(perDoc: Seq[(Int, Seq[(String, Array[Int])])],
+                   lens: Map[Int, Int]): Index = {
+      val m = scala.collection.mutable.HashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])]]
+      perDoc.sortBy(_._1).foreach { case (docId, groups) =>
+        groups.foreach { case (term, ps) =>
+          m.getOrElseUpdate(term, scala.collection.mutable.ArrayBuffer.empty) +=
+            ((docId, ps.length, ps))
+        }
+      }
+      new Index(Nil, m.view.mapValues(_.toArray).toMap, lens)
+    }
   }
 
   /** Conjunctive (optionally phrase) BM25 top-k. Empty if any term missing

@@ -39,6 +39,7 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
     val s = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     s.setExecutor(pool)
     s.createContext("/search", (ex: HttpExchange) => handle(ex)(doSearch))
+    s.createContext("/stream", (ex: HttpExchange) => doStream(ex))
     s.createContext("/explain", (ex: HttpExchange) => handle(ex)(doExplain))
     s.createContext("/suggest", (ex: HttpExchange) => handle(ex)(doSuggest))
     s.createContext("/stats", (ex: HttpExchange) => handle(ex)(_ => doStats()))
@@ -101,6 +102,56 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
       excludeTerms = terms(p, "not"),
       slop = intOf(p, "slop", 0))
     hitsJson(hits)
+  }
+
+  /** Streaming results (`StreamingSearch` analog,
+    * `grpc_server_impl.h:209-460`): chunked transfer, one NDJSON frame per
+    * hit, flushed page by page. Pages advance through the search-after
+    * cursor — page N+1 is COMPUTED only after page N's frames are already
+    * on the wire, so a slow consumer (or an early hang-up) never pays for
+    * results it hasn't asked to render; cursor pages are exact slices of
+    * the global (score desc, docId asc) order (bitwise-deterministic
+    * scores), so the streamed set is identical to one `/search?k=` call.
+    * `/stream?q=a+b&k=50[&page=10][&phrase=1][&not=c][&slop=2]`. */
+  private def doStream(ex: HttpExchange): Unit = {
+    val os = ex.getResponseBody
+    try {
+      val p = params(ex)
+      val q = terms(p, "q")
+      if (q.isEmpty) throw new IllegalArgumentException("missing query ?q=")
+      val k = intOf(p, "k", 10)
+      val pageSize = math.max(1, intOf(p, "page", 10))
+      val phrase = p.get("phrase").contains("1")
+      val ex0 = terms(p, "not")
+      val slop = intOf(p, "slop", 0)
+      ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+      ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+      var sent = 0
+      var cursor: Option[(Double, Int)] = None
+      var more = true
+      while (more && sent < k) {
+        val want = math.min(pageSize, k - sent)
+        val page = svc.search(q, want, phrase,
+          excludeTerms = ex0, slop = slop, after = cursor)
+        page.foreach { h =>
+          sent += 1
+          os.write(
+            (s"""{"rank":$sent,"doc":${h.docId},"score":${h.score}}""" + "\n")
+              .getBytes(StandardCharsets.UTF_8))
+        }
+        os.flush() // frame boundary: this page is on the wire NOW
+        more = page.size == want // a short page means the ranking is exhausted
+        cursor = page.lastOption.map(h => (h.score, h.docId)).orElse(cursor)
+      }
+      os.write(s"""{"done":true,"n":$sent}""".getBytes(StandardCharsets.UTF_8))
+      os.write('\n')
+    } catch {
+      case e: IllegalArgumentException =>
+        val b = jsonErr(e.getMessage).getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(400, b.length)
+        os.write(b)
+      case _: java.io.IOException => // client hung up mid-stream: stop paging
+    } finally os.close()
   }
 
   private def doExplain(p: Map[String, String]): String = {

@@ -86,6 +86,41 @@ class HttpServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally pool.shutdownNow()
   }
 
+  test("GET /stream: incremental NDJSON frames, final set identical to /search") {
+    val direct = svc.search(Seq("if", "return"), 12)
+    assume(direct.size == 12, "need a deep ranking for multi-page streaming")
+    val url = java.net.URI.create(
+      s"http://127.0.0.1:${http.boundPort}/stream?q=if+return&k=12&page=5").toURL
+    val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(30000)
+    assert(conn.getResponseCode == 200)
+    assert(conn.getHeaderField("Transfer-Encoding") == "chunked",
+      "streaming endpoint must use chunked transfer")
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(conn.getInputStream,
+        java.nio.charset.StandardCharsets.UTF_8))
+    val lines = Iterator.continually(rd.readLine()).takeWhile(_ != null).toVector
+    rd.close()
+    // every line is a standalone frame: k hit frames + one done frame
+    assert(lines.size == 13, lines.mkString("|"))
+    val FrameRe = """\{"rank":(\d+),"doc":(\d+),"score":([0-9.Ee+-]+)\}""".r
+    val hits = lines.init.map {
+      case FrameRe(r, d, s) => (r.toInt, d.toInt, s.toDouble)
+      case other            => fail(s"bad frame: $other")
+    }
+    assert(lines.last == """{"done":true,"n":12}""")
+    assert(hits.map(_._1) == (1 to 12)) // global ranks across page boundaries
+    // the streamed union equals one /search call — cursor pages are exact
+    assert(hits.map(h => (h._2, h._3)) == direct.map(h => (h.docId, h.score)))
+    // a short ranking terminates with fewer frames and the true count
+    val (_, small) = get("/stream?q=if+return&k=100000&page=1000")
+    val n = """\{"done":true,"n":(\d+)\}""".r.findFirstMatchIn(small).get.group(1).toInt
+    assert(n == svc.search(Seq("if", "return"), 100000).size)
+    // validation still 400s before any frame
+    assert(get("/stream")._1 == 400)
+  }
+
   test("input validation: 400 with a JSON error, never a hang or a 500") {
     assert(get("/search")._1 == 400)
     assert(get("/search?q=")._1 == 400)

@@ -833,6 +833,72 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(decodeBmp("BMnotreally".getBytes).isEmpty)
   }
 
+  test("PNG roundtrip: every synthetic file decodes to the formula pixels") {
+    (0L until 128L).foreach { id =>
+      val img = decodePng(syntheticPng(id)).get
+      assert(img.width == 1 + (id % 16).toInt && img.height == 1 + ((id * 7) % 16).toInt)
+      (0 until img.height).foreach { y =>
+        (0 until img.width).foreach { x =>
+          val p = img.pixels(y * img.width + x)
+          assert(((p >> 16) & 0xff) == ((2 * id + 11 * x + 3 * y) % 256).toInt, s"R id=$id ($x,$y)")
+          assert(((p >> 8) & 0xff) == ((5 * id + x.toLong * y + 2 * y) % 256).toInt, s"G id=$id ($x,$y)")
+          assert((p & 0xff) == ((7 * id + 4 * x + 5 * y) % 256).toInt, s"B id=$id ($x,$y)")
+        }
+      }
+    }
+    // the generator cycles filter types by row, so ids with h >= 5 have
+    // exercised ALL FIVE standard filters in the assertions above
+    assert((0L until 128L).exists(id => 1 + ((id * 7) % 16) >= 5))
+  }
+
+  test("PNG gray and RGBA color types decode (alpha dropped)") {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + data.length)
+      bb.putInt(crc.getValue.toInt).array()
+    }
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(); d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val t = new Array[Byte](512)
+      while (!d.finished()) out.write(t, 0, d.deflate(t))
+      d.end(); out.toByteArray
+    }
+    def png(w: Int, h: Int, colorType: Int, rows: Array[Byte]): Array[Byte] = {
+      val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", deflate(rows)) ++
+        chunk("IEND", Array.empty)
+    }
+    // 2x2 gray, filter 0: values 10, 20 / 30, 40
+    val gray = png(2, 2, 0, Array[Byte](0, 10, 20, 0, 30, 40))
+    assert(decodePng(gray).get.pixels.toSeq ==
+      Seq(0x0a0a0a, 0x141414, 0x1e1e1e, 0x282828))
+    // 1x1 RGBA, filter 0: (1, 2, 3, alpha 200) -> alpha dropped
+    val rgba = png(1, 1, 6, Array[Byte](0, 1, 2, 3, 200.toByte))
+    assert(decodePng(rgba).get.pixels.toSeq == Seq(0x010203))
+    // 16-bit depth rejected
+    val deep = png(1, 1, 0, Array[Byte](0, 1, 2))
+    deep(24) = 16.toByte // bitDepth inside IHDR -> CRC now wrong too
+    assert(decodePng(deep).isEmpty)
+  }
+
+  test("PNG rejects corruption instead of guessing") {
+    val ok = syntheticPng(9L)
+    // flip one IDAT payload byte: chunk CRC must catch it
+    val bad = ok.clone(); bad(45) = (bad(45) ^ 0x5a).toByte
+    assert(decodePng(bad).isEmpty)
+    // truncation at every chunk boundary region
+    Seq(7, 20, 40, ok.length - 5).foreach { cut =>
+      assert(decodePng(java.util.Arrays.copyOf(ok, cut)).isEmpty, s"cut=$cut")
+    }
+    assert(decodePng("not a png at all".getBytes).isEmpty)
+  }
+
   test("WAV roundtrip: rate/channels/samples match the formulas") {
     (0L until 128L).foreach { id =>
       val pcm = decodeWavPcm(syntheticWav(id)).get
