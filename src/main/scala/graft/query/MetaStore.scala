@@ -148,6 +148,7 @@ object MetaStore {
       : Array[FineRow] = {
     val spark = ix.spark
     import spark.implicits._
+    ix.ensureMetaCachesFresh() // streaming appends invalidate cached meta
     val distinct = terms.distinct
     val directCap = confLong(ix, "spark.graft.meta.directRows", 16384L)
     val est = distinct.iterator.map(t => dfs.getOrElse(t, 0L) / 128L + 1L).sum

@@ -54,6 +54,23 @@ object Searcher {
               e: java.util.Map.Entry[String, Array[(Int, Int)]]): Boolean =
             size() > 4096
         })
+    /** [[postings]] re-reads the manifest-committed LIVE segment set per
+      * call, so a long-lived LoadedIndex over a streaming index SEES new
+      * appends — the meta caches must not pin a term's old block set.
+      * [[MetaStore]] calls this before every cache use: when the committed
+      * segment set changed, both caches drop (a directory listing, no
+      * Spark job — segRead already pays the same listing per query). */
+    private val metaCacheStamp =
+      new java.util.concurrent.atomic.AtomicReference[String](null)
+    private[query] def ensureMetaCachesFresh(): Unit = {
+      val stamp =
+        if (!hasSegments) ""
+        else liveSegments.mkString(",")
+      if (metaCacheStamp.getAndSet(stamp) != stamp) {
+        fineMetaCache.clear()
+        coarseCovCache.clear()
+      }
+    }
     private def hasSegments: Boolean = {
       val d = java.nio.file.Paths.get(indexDir, "termstats")
       java.nio.file.Files.exists(d) && {

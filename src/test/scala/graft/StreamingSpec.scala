@@ -166,6 +166,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(triDirs == 1, s"stale trigram segment dirs after compact: $triDirs")
   }
 
+  test("a held LoadedIndex sees appended segments (meta caches invalidate)") {
+    import graft.streaming.StreamingIndexer
+    val s = spark
+    import s.implicits._
+    val ixDir = s"$root/ix_live"
+    val all = (0L until 120L).map(id => CorpusGen.row(11L, id))
+    def df(rows: Seq[(String, String, String, String, String)]) =
+      rows.toDF("repo", "path", "commit", "lang", "content")
+    StreamingIndexer.appendSegment(spark, df(all.take(60)), ixDir, segId = 0,
+      partitions = 2)
+    val ix = Searcher.load(spark, ixDir)
+    def docsOf(i: Searcher.LoadedIndex): Set[Int] =
+      Searcher.search(i, Seq("if"), 500).collect().map(_.docId).toSet
+    val before = docsOf(ix)
+    assert(docsOf(ix) == before) // warm the per-term meta cache
+    StreamingIndexer.appendSegment(spark, df(all.drop(60)), ixDir, segId = 1,
+      partitions = 2)
+    // the SAME LoadedIndex must see the new segment's docs — cached block
+    // meta from before the append must not pin the old block set
+    val after = docsOf(ix)
+    val fresh = docsOf(Searcher.load(spark, ixDir))
+    assert(after == fresh, "held index diverged from a fresh load after append")
+    assert(after.size > before.size, "append docs missing from the held index")
+  }
+
   test("compaction merges segments: identical results, fewer segment dirs") {
     import spark.implicits._
     val ixDir = s"$root/ix"
