@@ -399,6 +399,31 @@ object IndexBuilder {
       }
       timed("termstats.commit") { Manifest.commit(spark, indexDir, "termstats") }
     }}
+
+    timed("superblocks") { if (!Manifest.isCommitted(indexDir, "superblocks")) {
+      // persisted COARSE block metadata ([[graft.query.MetaStore]]'s
+      // two-level fetch): one (term, lo, hi) row per docId super-bucket of
+      // ~128 blocks. Another metadata-only aggregation at build time, so a
+      // cold hot-term plan reads O(df/16384) precomputed rows instead of
+      // aggregating O(df/128) block rows per query. Written term-sorted
+      // for row-group pruning on the probe's `term IN (...)`.
+      timed("superblocks.agg") {
+        spark.read.parquet(s"$indexDir/postings")
+          .groupBy($"term", expr(s"firstDocId div $SuperSpan").as("bkt"))
+          .agg(min($"firstDocId").as("lo"), max($"lastDocId").as("hi"))
+          .select("term", "lo", "hi")
+          .repartitionByRange(math.max(1, partitions / 4), $"term")
+          .sortWithinPartitions("term")
+          .write.mode("overwrite").option("compression", "zstd")
+          .parquet(s"$indexDir/superblocks")
+      }
+      timed("superblocks.commit") { Manifest.commit(spark, indexDir, "superblocks") }
+    }}
     Manifest.commitSnapshot(spark, indexDir, nDocs)
   }
+
+  /** docId span per coarse super-bucket — one bucket ≈ 128 dense-term
+    * blocks. Must match `spark.graft.meta.superSpan`'s default; a session
+    * overriding that conf falls back to the per-query aggregation. */
+  val SuperSpan: Long = 1L << 14
 }

@@ -84,6 +84,16 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
   private def terms(p: Map[String, String], key: String): Seq[String] =
     p.getOrElse(key, "").split("[ +]+").iterator.filter(_.nonEmpty).toSeq
 
+  /** `analyze=text` runs the raw query through the TEXT analyzer chain
+    * (possessive → stopwords → Porter) — the terms a `textAnalyzer`-built
+    * index expects; raw terms pass through untouched otherwise. */
+  private def queryTerms(p: Map[String, String]): Seq[String] = {
+    val raw = terms(p, "q")
+    if (p.get("analyze").contains("text"))
+      graft.core.Tokenizer.tokenizeText(raw.mkString(" ")).map(_.term).toSeq
+    else raw
+  }
+
   private def intOf(p: Map[String, String], key: String, dflt: Int): Int =
     p.get(key).map { v =>
       try v.toInt
@@ -94,8 +104,10 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
   // ---- endpoints ----
 
   private def doSearch(p: Map[String, String]): String = {
-    val q = terms(p, "q")
-    if (q.isEmpty) throw new IllegalArgumentException("missing query ?q=")
+    if (terms(p, "q").isEmpty)
+      throw new IllegalArgumentException("missing query ?q=")
+    val q = queryTerms(p)
+    if (q.isEmpty) return """{"hits":[]}""" // analyzer ate the whole query
     val hits = svc.search(q,
       k = intOf(p, "k", 10),
       phrase = p.get("phrase").contains("1"),
@@ -117,9 +129,10 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
     val os = ex.getResponseBody
     try {
       val p = params(ex)
-      val q = terms(p, "q")
-      if (q.isEmpty) throw new IllegalArgumentException("missing query ?q=")
-      val k = intOf(p, "k", 10)
+      if (terms(p, "q").isEmpty)
+        throw new IllegalArgumentException("missing query ?q=")
+      val q = queryTerms(p)
+      val k = if (q.isEmpty) 0 else intOf(p, "k", 10)
       val pageSize = math.max(1, intOf(p, "page", 10))
       val phrase = p.get("phrase").contains("1")
       val ex0 = terms(p, "not")

@@ -121,10 +121,19 @@ object MetaStore {
     val missing = terms.filterNot(ix.coarseCovCache.containsKey)
     var fetchedRows = 0L
     if (missing.nonEmpty) {
-      val rows = ix.postings.filter(col("term").isin(missing: _*))
-        .groupBy(col("term"), expr(s"firstDocId div $span").as("bkt"))
-        .agg(min("firstDocId").as("lo"), max("lastDocId").as("hi"))
-        .select("term", "lo", "hi").as[(String, Int, Int)].collect()
+      // precomputed stage when present AND the span matches its build
+      // default — a cold term reads O(df/16384) coarse rows directly
+      // instead of aggregating its O(df/128) block rows
+      val rows = ix.superBlocks match {
+        case Some(sb) if span == graft.index.IndexBuilder.SuperSpan =>
+          sb.filter(col("term").isin(missing: _*))
+            .select("term", "lo", "hi").as[(String, Int, Int)].collect()
+        case _ =>
+          ix.postings.filter(col("term").isin(missing: _*))
+            .groupBy(col("term"), expr(s"firstDocId div $span").as("bkt"))
+            .agg(min("firstDocId").as("lo"), max("lastDocId").as("hi"))
+            .select("term", "lo", "hi").as[(String, Int, Int)].collect()
+      }
       fetchedRows = rows.length.toLong
       val byTerm = rows.groupBy(_._1)
       missing.foreach { t =>

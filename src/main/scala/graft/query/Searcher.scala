@@ -193,6 +193,13 @@ object Searcher {
       if (hasSegments || !graft.index.Manifest.isCommitted(indexDir, "fuzzy")) None
       else Some((spark.read.parquet(s"$indexDir/fuzzy"),
         graft.index.FuzzyIndex.stageMaxDist(indexDir)))
+    /** Persisted coarse super-block metadata (term, lo, hi) for
+      * [[MetaStore]]'s two-level fetch — batch indexes only (streamed
+      * segments fall back to the per-query aggregation over postings). */
+    lazy val superBlocks: Option[DataFrame] =
+      if (hasSegments ||
+          !graft.index.Manifest.isCommitted(indexDir, "superblocks")) None
+      else Some(spark.read.parquet(s"$indexDir/superblocks"))
   }
 
   /** Load an index for querying. `asOfSeg` opens a SNAPSHOT read of a

@@ -121,6 +121,19 @@ class HttpServiceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(get("/stream")._1 == 400)
   }
 
+  test("analyze=text runs the query through the text analyzer chain") {
+    // "returning" stems to "return" — matches the raw code-index term
+    val want = parseHits(get("/search?q=return&k=5")._2)
+    assume(want.nonEmpty)
+    assert(parseHits(get("/search?q=returning&analyze=text&k=5")._2) == want)
+    // a query the analyzer consumes entirely (stopwords) returns empty,
+    // not a 400 — on both endpoints
+    val (c, b) = get("/search?q=the+a&analyze=text")
+    assert(c == 200 && b == """{"hits":[]}""")
+    val (cs, bs) = get("/stream?q=the+a&analyze=text")
+    assert(cs == 200 && bs.trim == """{"done":true,"n":0}""")
+  }
+
   test("input validation: 400 with a JSON error, never a hang or a 500") {
     assert(get("/search")._1 == 400)
     assert(get("/search?q=")._1 == 400)

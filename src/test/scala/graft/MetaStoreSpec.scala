@@ -99,6 +99,41 @@ class MetaStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first.map(e => (e.docId, e.score)) == second.map(e => (e.docId, e.score)))
   }
 
+  test("persisted superblocks stage serves the coarse fetch") {
+    val ixb = Engine.load(spark, tmp).ix
+    assert(ixb.superBlocks.isDefined, "batch build must commit superblocks/")
+    import spark.implicits._
+    // stage rows are a sound coarse cover of the fine block set
+    val sb = ixb.superBlocks.get.select("term", "lo", "hi")
+      .as[(String, Int, Int)].collect().groupBy(_._1)
+    val fine = ixb.postings.select("term", "firstDocId", "lastDocId")
+      .as[(String, Int, Int)].collect().groupBy(_._1)
+    assert(sb.keySet == fine.keySet)
+    fine.foreach { case (t, blocks) =>
+      val cover = sb(t).map(r => (r._2, r._3))
+      blocks.foreach { case (_, lo, hi) =>
+        assert(cover.exists(c => c._1 <= lo && hi <= c._2 ||
+          // a block may span buckets; its own bucket row covers its start
+          (c._1 <= lo && lo <= c._2)), s"block [$lo,$hi] of $t uncovered")
+      }
+    }
+    // two-level results identical whether the stage or the agg serves the
+    // coarse pass (a non-default span forces the aggregation fallback)
+    spark.conf.set("spark.graft.meta.directRows", "0")
+    try {
+      val viaStage = Engine.load(spark, tmp)
+        .search(Engine.SearchQuery(Seq("hot", "rare"), nResults = 5)).entries
+      spark.conf.set("spark.graft.meta.superSpan", "1024") // != build span
+      val viaAgg = Engine.load(spark, tmp)
+        .search(Engine.SearchQuery(Seq("hot", "rare"), nResults = 5)).entries
+      assert(viaStage.map(e => (e.docId, e.score)) ==
+        viaAgg.map(e => (e.docId, e.score)))
+    } finally {
+      spark.conf.unset("spark.graft.meta.directRows")
+      spark.conf.unset("spark.graft.meta.superSpan")
+    }
+  }
+
   test("two-level conjunction with disjoint coverage short-circuits empty") {
     spark.conf.set("spark.graft.meta.directRows", "0")
     try {
