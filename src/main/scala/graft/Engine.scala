@@ -148,12 +148,8 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
     * re-probe. The full (trigram -> df) dictionary is NEVER collected —
     * over arbitrary UTF-16 content it is unbounded (any char triple);
     * a query needs only its own needle's ≤|needle| trigram dfs. */
-  private val triDfCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, java.lang.Long](1024, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
-        size() > 65536
-    })
+  private val triDfCache: java.util.Map[String, java.lang.Long] =
+    graft.query.MetaStore.lruMap(65536)
 
   /** Rows fetched by the LAST trigram df probe (0 on a warm cache) —
     * diagnostics for the no-full-dictionary-collect invariant. */
@@ -161,16 +157,24 @@ final class Engine private (val ix: Searcher.LoadedIndex) {
 
   private def triDfOf(tris: Seq[String]): Map[String, Long] = {
     val distinct = tris.distinct
-    val missing = distinct.filterNot(triDfCache.containsKey)
+    // ONE atomic read per trigram; the result is built from local values,
+    // never re-read from the cache (eviction between two reads nulls)
+    val cached: Map[String, Long] =
+      distinct.flatMap(t => Option(triDfCache.get(t)).map(t -> _.longValue())).toMap
+    val missing = distinct.filterNot(cached.contains)
     lastTriProbeCount = missing.size
-    if (missing.nonEmpty) {
-      val probed = ix.trigrams
-        .map(b => graft.index.TrigramIndex.probeTriDfs(b, missing))
-        .getOrElse(Map.empty[String, Long])
-      missing.foreach(t =>
-        triDfCache.put(t, java.lang.Long.valueOf(probed.getOrElse(t, 0L))))
-    }
-    distinct.map(t => t -> triDfCache.get(t).longValue()).toMap
+    val probed: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else {
+        val p = ix.trigrams
+          .map(b => graft.index.TrigramIndex.probeTriDfs(b, missing))
+          .getOrElse(Map.empty[String, Long])
+        val full = missing.map(t => t -> p.getOrElse(t, 0L)).toMap
+        full.foreach { case (t, df) =>
+          triDfCache.put(t, java.lang.Long.valueOf(df)) }
+        full
+      }
+    cached ++ probed
   }
 
   /** Exact matches of `needle` via the trigram stage when present

@@ -84,10 +84,14 @@ object FuzzyIndex {
     }
   }
 
-  /** Build distance of a persisted stage (from its `_maxdist` marker). */
+  /** Build distance of a persisted stage (from its `_maxdist` marker).
+    * An unreadable marker fails DOWN to 0 — that disables the stage (the
+    * probe-distance guard never passes) and callers take the exact
+    * dictionary-scan fallback; assuming a distance the table may not
+    * cover would silently drop candidates. */
   def stageMaxDist(indexDir: String): Int = {
     val p = java.nio.file.Paths.get(indexDir, "fuzzy", "_maxdist")
     try java.nio.file.Files.readString(p).trim.toInt
-    catch { case _: Throwable => DefaultMaxDist }
+    catch { case _: Throwable => 0 }
   }
 }

@@ -440,9 +440,14 @@ object Multimodal {
       off += 12 + len.toInt
     }
     if (!sawEnd || colorType < 0 || idat.size() == 0) return None
-    // zlib-inflate the concatenated IDAT payload
+    // zlib-inflate the concatenated IDAT payload. Dimensions are bounded
+    // in LONG arithmetic before allocation: a crafted IHDR (w = 2^30)
+    // must return None, not overflow Int into a negative allocation or
+    // attempt a multi-GB buffer (the documented corrupt-input contract).
+    val rawLen = (w.toLong * channels + 1L) * h
+    if (rawLen > (1L << 28)) return None // 256 MB raw cap
     val stride = w * channels
-    val raw = new Array[Byte]((stride + 1) * h)
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     try {

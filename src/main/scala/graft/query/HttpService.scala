@@ -84,15 +84,20 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
   private def terms(p: Map[String, String], key: String): Seq[String] =
     p.getOrElse(key, "").split("[ +]+").iterator.filter(_.nonEmpty).toSeq
 
-  /** `analyze=text` runs the raw query through the TEXT analyzer chain
-    * (possessive → stopwords → Porter) — the terms a `textAnalyzer`-built
-    * index expects; raw terms pass through untouched otherwise. */
-  private def queryTerms(p: Map[String, String]): Seq[String] = {
-    val raw = terms(p, "q")
+  /** `analyze=text` runs the raw query (and its `not` terms) through the
+    * TEXT analyzer chain (possessive → stopwords → Porter) — the terms a
+    * `textAnalyzer`-built index expects; raw terms pass through untouched
+    * otherwise. Limitation (documented): a PHRASE whose interior words
+    * include stopwords cannot match under `analyze=text` — the index
+    * keeps Lucene position gaps for removed stopwords, and the query side
+    * carries no gap information; stopword-free phrases match exactly. */
+  private def analyzed(p: Map[String, String], key: String): Seq[String] = {
+    val raw = terms(p, key)
     if (p.get("analyze").contains("text"))
       graft.core.Tokenizer.tokenizeText(raw.mkString(" ")).map(_.term).toSeq
     else raw
   }
+  private def queryTerms(p: Map[String, String]): Seq[String] = analyzed(p, "q")
 
   private def intOf(p: Map[String, String], key: String, dflt: Int): Int =
     p.get(key).map { v =>
@@ -111,7 +116,7 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
     val hits = svc.search(q,
       k = intOf(p, "k", 10),
       phrase = p.get("phrase").contains("1"),
-      excludeTerms = terms(p, "not"),
+      excludeTerms = analyzed(p, "not"),
       slop = intOf(p, "slop", 0))
     hitsJson(hits)
   }
@@ -135,7 +140,7 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
       val k = if (q.isEmpty) 0 else intOf(p, "k", 10)
       val pageSize = math.max(1, intOf(p, "page", 10))
       val phrase = p.get("phrase").contains("1")
-      val ex0 = terms(p, "not")
+      val ex0 = analyzed(p, "not")
       val slop = intOf(p, "slop", 0)
       ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
       ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer

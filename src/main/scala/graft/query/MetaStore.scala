@@ -39,6 +39,16 @@ object MetaStore {
     * meta row; callers needing fewer fields ignore the rest. */
   type FineRow = (String, Int, Int, Int, Int, Int)
 
+  /** Bounded access-order LRU map (synchronized). Readers must treat
+    * `get` as the single atomic read — an entry seen by `containsKey`
+    * can be evicted before a second read, so never read twice. */
+  def lruMap[K, V](cap: Int): java.util.Map[K, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[K, V](64, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+          size() > cap
+      })
+
   /** Diagnostics of the most recent [[fineMetaBy]] call on this thread. */
   final case class FetchDiag(estBlocks: Long, twoLevel: Boolean,
                              cacheHitTerms: Int, coarseRows: Long,
@@ -112,38 +122,48 @@ object MetaStore {
     BlockMax.unionCoverage(ivs.map(asMeta))
 
   /** Per-term coarse coverage (merged ascending intervals) via the loaded
-    * index's cache; returns the map plus rows fetched for diagnostics. */
-  private def coarseCoverage(ix: Searcher.LoadedIndex, terms: Seq[String])
+    * index's cache; returns the map plus rows fetched for diagnostics.
+    * The result is built from LOCAL values (one atomic cache read per
+    * term) — a concurrent eviction or invalidation can never surface as a
+    * null interval; `stamp` guards puts against racing an invalidation. */
+  private def coarseCoverage(ix: Searcher.LoadedIndex, terms: Seq[String],
+                             stamp: String)
       : (Map[String, Array[(Int, Int)]], Long) = {
     val spark = ix.spark
     import spark.implicits._
     val span = math.max(confLong(ix, "spark.graft.meta.superSpan", 1L << 14), 1L)
-    val missing = terms.filterNot(ix.coarseCovCache.containsKey)
+    val cached: Map[String, Array[(Int, Int)]] =
+      terms.flatMap(t => Option(ix.coarseCovCache.get(t)).map(t -> _)).toMap
+    val missing = terms.filterNot(cached.contains)
     var fetchedRows = 0L
-    if (missing.nonEmpty) {
-      // precomputed stage when present AND the span matches its build
-      // default — a cold term reads O(df/16384) coarse rows directly
-      // instead of aggregating its O(df/128) block rows
-      val rows = ix.superBlocks match {
-        case Some(sb) if span == graft.index.IndexBuilder.SuperSpan =>
-          sb.filter(col("term").isin(missing: _*))
-            .select("term", "lo", "hi").as[(String, Int, Int)].collect()
-        case _ =>
-          ix.postings.filter(col("term").isin(missing: _*))
-            .groupBy(col("term"), expr(s"firstDocId div $span").as("bkt"))
-            .agg(min("firstDocId").as("lo"), max("lastDocId").as("hi"))
-            .select("term", "lo", "hi").as[(String, Int, Int)].collect()
+    val fetched: Map[String, Array[(Int, Int)]] =
+      if (missing.isEmpty) Map.empty
+      else {
+        // precomputed stage when present AND the span matches its build
+        // default — a cold term reads O(df/16384) coarse rows directly
+        // instead of aggregating its O(df/128) block rows
+        val rows = ix.superBlocks match {
+          case Some(sb) if span == graft.index.IndexBuilder.SuperSpan =>
+            sb.filter(col("term").isin(missing: _*))
+              .select("term", "lo", "hi").as[(String, Int, Int)].collect()
+          case _ =>
+            ix.postings.filter(col("term").isin(missing: _*))
+              .groupBy(col("term"), expr(s"firstDocId div $span").as("bkt"))
+              .agg(min("firstDocId").as("lo"), max("lastDocId").as("hi"))
+              .select("term", "lo", "hi").as[(String, Int, Int)].collect()
+        }
+        fetchedRows = rows.length.toLong
+        val byTerm = rows.groupBy(_._1)
+        missing.map { t =>
+          t -> byTerm.get(t)
+            .map(rs => mergeIntervals(rs.map(r => (r._2, r._3))))
+            .getOrElse(Array.empty[(Int, Int)])
+        }.toMap
       }
-      fetchedRows = rows.length.toLong
-      val byTerm = rows.groupBy(_._1)
-      missing.foreach { t =>
-        val iv = byTerm.get(t)
-          .map(rs => mergeIntervals(rs.map(r => (r._2, r._3))))
-          .getOrElse(Array.empty[(Int, Int)])
-        ix.coarseCovCache.put(t, iv)
-      }
-    }
-    (terms.iterator.map(t => t -> ix.coarseCovCache.get(t)).toMap, fetchedRows)
+    // an invalidation racing this fetch wins: stale rows are not cached
+    if (ix.metaCacheStampIs(stamp))
+      fetched.foreach { case (t, iv) => ix.coarseCovCache.put(t, iv) }
+    (cached ++ fetched, fetchedRows)
   }
 
   /** Fine meta rows for `terms` from `blocksAll` (the term-filtered
@@ -157,30 +177,37 @@ object MetaStore {
       : Array[FineRow] = {
     val spark = ix.spark
     import spark.implicits._
-    ix.ensureMetaCachesFresh() // streaming appends invalidate cached meta
+    // streaming appends invalidate cached meta; the returned stamp guards
+    // this call's puts against racing a later invalidation
+    val stamp = ix.ensureMetaCachesFresh()
     val distinct = terms.distinct
     val directCap = confLong(ix, "spark.graft.meta.directRows", 16384L)
     val est = distinct.iterator.map(t => dfs.getOrElse(t, 0L) / 128L + 1L).sum
     if (est <= directCap) {
-      // direct path: serve cached terms driver-side, fetch the rest once
-      val hit = distinct.filter(ix.fineMetaCache.containsKey)
-      val cached = hit.flatMap(t => ix.fineMetaCache.get(t))
-      val missing = distinct.filterNot(hit.toSet)
+      // direct path: serve cached terms driver-side (ONE atomic read per
+      // term — a concurrent eviction between two reads would null),
+      // fetch the rest once
+      val cached: Seq[(String, Array[FineRow])] =
+        distinct.flatMap(t => Option(ix.fineMetaCache.get(t)).map(t -> _))
+      val hit = cached.iterator.map(_._1).toSet
+      val missing = distinct.filterNot(hit)
       val fetched: Array[FineRow] =
         if (missing.isEmpty) Array.empty
         else blocksAll.filter(col("term").isin(missing: _*))
           .select("term", "firstDocId", "lastDocId", "n", "maxTf", "minLenByte")
           .as[FineRow].collect()
       val perTermCap = confLong(ix, "spark.graft.meta.cacheRowsPerTerm", 2048L)
-      val byTerm = fetched.groupBy(_._1)
-      missing.foreach { t =>
-        val rs = byTerm.getOrElse(t, Array.empty[FineRow])
-        if (rs.length <= perTermCap) ix.fineMetaCache.put(t, rs)
+      if (ix.metaCacheStampIs(stamp)) { // never cache across an invalidation
+        val byTerm = fetched.groupBy(_._1)
+        missing.foreach { t =>
+          val rs = byTerm.getOrElse(t, Array.empty[FineRow])
+          if (rs.length <= perTermCap) ix.fineMetaCache.put(t, rs)
+        }
       }
       diagTL.set(FetchDiag(est, twoLevel = false, hit.size, 0L, fetched.length.toLong))
-      cached.toArray ++ fetched
+      cached.iterator.flatMap(_._2).toArray ++ fetched
     } else {
-      val (covMap, coarseRows) = coarseCoverage(ix, distinct)
+      val (covMap, coarseRows) = coarseCoverage(ix, distinct, stamp)
       val cov = mergeIntervals(covOf(covMap))
       if (cov.isEmpty) {
         diagTL.set(FetchDiag(est, twoLevel = true, 0, coarseRows, 0L))
@@ -194,6 +221,23 @@ object MetaStore {
         rows
       }
     }
+  }
+
+  /** (term, firstDocId, lastDocId) rows of `terms` whose blocks overlap
+    * `candidates` — the exclusion-term fetch shared by search /
+    * matchingDocs / searchAll: a hot excluded term ships only the meta
+    * slice that can matter, never O(df/128), and the interval cap honors
+    * the same `maxFetchIntervals` conf as the fine fetch. */
+  def boundedRangeMeta(ix: Searcher.LoadedIndex, terms: Seq[String],
+                       candidates: Array[(Int, Int)]): Array[(String, Int, Int)] = {
+    val spark = ix.spark
+    import spark.implicits._
+    if (terms.isEmpty || candidates.isEmpty) return Array.empty
+    val maxIv = confLong(ix, "spark.graft.meta.maxFetchIntervals", 512L).toInt
+    ix.postings.filter(col("term").isin(terms: _*))
+      .select("term", "firstDocId", "lastDocId")
+      .filter(overlapPred(coarsenTo(candidates, math.max(1, maxIv))))
+      .as[(String, Int, Int)].collect()
   }
 
   /** [[fineMetaBy]] with the standard shape algebra: `shapes` is a union

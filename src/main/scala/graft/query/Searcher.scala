@@ -37,32 +37,26 @@ object Searcher {
   final case class LoadedIndex(spark: SparkSession, indexDir: String, nDocs: Long,
                                avgLen: Double, lossyCache: Array[Double],
                                asOfSeg: Option[Long] = None) {
-    /** Driver-side per-term block-meta caches ([[MetaStore]]); lifetime =
-      * this loaded snapshot — a re-load after append/compaction starts
-      * fresh, so no invalidation protocol is needed. LRU-bounded. */
+    /** Driver-side per-term block-meta caches ([[MetaStore]]); LRU-bounded,
+      * invalidated by [[ensureMetaCachesFresh]] when the live segment set
+      * changes. Read each entry with ONE `get` — containsKey-then-get
+      * races concurrent eviction. */
     private[query] val fineMetaCache: java.util.Map[String, Array[MetaStore.FineRow]] =
-      java.util.Collections.synchronizedMap(
-        new java.util.LinkedHashMap[String, Array[MetaStore.FineRow]](64, 0.75f, true) {
-          override def removeEldestEntry(
-              e: java.util.Map.Entry[String, Array[MetaStore.FineRow]]): Boolean =
-            size() > 512
-        })
+      MetaStore.lruMap(512)
     private[query] val coarseCovCache: java.util.Map[String, Array[(Int, Int)]] =
-      java.util.Collections.synchronizedMap(
-        new java.util.LinkedHashMap[String, Array[(Int, Int)]](64, 0.75f, true) {
-          override def removeEldestEntry(
-              e: java.util.Map.Entry[String, Array[(Int, Int)]]): Boolean =
-            size() > 4096
-        })
+      MetaStore.lruMap(4096)
     /** [[postings]] re-reads the manifest-committed LIVE segment set per
       * call, so a long-lived LoadedIndex over a streaming index SEES new
       * appends — the meta caches must not pin a term's old block set.
       * [[MetaStore]] calls this before every cache use: when the committed
       * segment set changed, both caches drop (a directory listing, no
-      * Spark job — segRead already pays the same listing per query). */
+      * Spark job — segRead already pays the same listing per query).
+      * Returns the current stamp; writers re-check it with
+      * [[metaCacheStampIs]] before caching, so a fetch that STARTED before
+      * an append can never re-populate the cleared cache with stale meta. */
     private val metaCacheStamp =
       new java.util.concurrent.atomic.AtomicReference[String](null)
-    private[query] def ensureMetaCachesFresh(): Unit = {
+    private[query] def ensureMetaCachesFresh(): String = {
       val stamp =
         if (!hasSegments) ""
         else liveSegments.mkString(",")
@@ -70,7 +64,10 @@ object Searcher {
         fineMetaCache.clear()
         coarseCovCache.clear()
       }
+      stamp
     }
+    private[query] def metaCacheStampIs(stamp: String): Boolean =
+      metaCacheStamp.get() == stamp
     private def hasSegments: Boolean = {
       val d = java.nio.file.Paths.get(indexDir, "termstats")
       java.nio.file.Files.exists(d) && {
@@ -188,15 +185,19 @@ object Searcher {
     }
     /** SymSpell deletion-neighborhood stage ([[graft.index.FuzzyIndex]]):
       * batch indexes only — a streamed append would stale the table, so a
-      * segmented index always takes the exact dictionary-scan fallback. */
-    lazy val fuzzy: Option[(DataFrame, Int)] =
+      * segmented index always takes the exact dictionary-scan fallback.
+      * A `def` (like [[postings]]): `hasSegments` is re-checked per call,
+      * so a batch index that LATER receives streaming appends stops
+      * serving the now-stale batch stage immediately. */
+    def fuzzy: Option[(DataFrame, Int)] =
       if (hasSegments || !graft.index.Manifest.isCommitted(indexDir, "fuzzy")) None
       else Some((spark.read.parquet(s"$indexDir/fuzzy"),
         graft.index.FuzzyIndex.stageMaxDist(indexDir)))
     /** Persisted coarse super-block metadata (term, lo, hi) for
       * [[MetaStore]]'s two-level fetch — batch indexes only (streamed
-      * segments fall back to the per-query aggregation over postings). */
-    lazy val superBlocks: Option[DataFrame] =
+      * segments fall back to the per-query aggregation over postings);
+      * a `def` for the same append-staleness reason as [[fuzzy]]. */
+    def superBlocks: Option[DataFrame] =
       if (hasSegments ||
           !graft.index.Manifest.isCommitted(indexDir, "superblocks")) None
       else Some(spark.read.parquet(s"$indexDir/superblocks"))
@@ -372,11 +373,8 @@ object Searcher {
       if (exTerms.isEmpty) None
       else {
         val exBlocks = ix.postings.filter($"term".isin(exTerms: _*))
-        // meta bounded by the POSITIVE candidates' coverage: a hot excluded
-        // term ships only the meta slice that can matter, never O(df/128)
-        val exMetaRaw = exBlocks.select("term", "firstDocId", "lastDocId")
-          .filter(MetaStore.overlapPred(MetaStore.coarsenTo(candidates, 512)))
-          .as[(String, Int, Int)].collect()
+        // meta bounded by the POSITIVE candidates' coverage
+        val exMetaRaw = MetaStore.boundedRangeMeta(ix, exTerms, candidates)
         val exKeys = exMetaRaw.groupBy(_._1).iterator.flatMap { case (t, rs) =>
           val m = rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
           BlockMax.overlapping(m, candidates).iterator.map(i => (t, m(i).first))
@@ -1048,10 +1046,7 @@ object Searcher {
     // exclusion meta bounded by the positive candidates' coverage
     val exMeta =
       if (ex.isEmpty) Map.empty[String, Array[BlockMax.BlockMeta]]
-      else ix.postings.filter($"term".isin(ex: _*))
-        .select("term", "firstDocId", "lastDocId")
-        .filter(MetaStore.overlapPred(MetaStore.coarsenTo(candidates, 512)))
-        .as[(String, Int, Int)].collect()
+      else MetaStore.boundedRangeMeta(ix, ex, candidates)
         .groupBy(_._1).map { case (t, rs) =>
           t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
         }
@@ -1265,15 +1260,12 @@ object Searcher {
       else {
         val exBlocksDf = ix.postings.filter($"term".isin(allEx: _*))
         // meta bounded by the union of the live queries' candidate coverage
-        val exCov = MetaStore.coarsenTo(
-          MetaStore.unionIv(plans.map(_.candidates)), 512)
-        val exMeta: Map[String, Array[BlockMax.BlockMeta]] = exBlocksDf
-          .select("term", "firstDocId", "lastDocId")
-          .filter(MetaStore.overlapPred(exCov))
-          .as[(String, Int, Int)].collect()
-          .groupBy(_._1).map { case (t, rs) =>
-            t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
-          }
+        val exMeta: Map[String, Array[BlockMax.BlockMeta]] =
+          MetaStore.boundedRangeMeta(ix, allEx,
+              MetaStore.unionIv(plans.map(_.candidates)))
+            .groupBy(_._1).map { case (t, rs) =>
+              t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
+            }
         // only exclusion blocks overlapping that query's candidate coverage
         val exKeys: Set[(String, Int)] = plans.iterator.flatMap { p =>
           excludes.getOrElse(p.qid, Nil).distinct.iterator.flatMap { t =>
