@@ -201,6 +201,26 @@ object Oracle {
     candidates.toArray.sorted
   }
 
+  /** [[phraseMatch]] with EXPLICIT per-slot position shifts — the
+    * query-side position increments Lucene's `match_phrase` keeps when an
+    * analyzer removes tokens (stopword gaps): slot i must appear at
+    * `start + shifts(i)`. `shifts = 0..k-1` is plain adjacency; the base
+    * is irrelevant (only differences matter). */
+  def phraseMatchAt(positionLists: Seq[Array[Int]], shifts: Seq[Int]): Boolean = {
+    require(positionLists.size == shifts.size, "one shift per slot")
+    if (positionLists.isEmpty) return false
+    if (positionLists.size == 1) return positionLists.head.nonEmpty
+    var candidates: Set[Int] =
+      positionLists.head.iterator.map(_ - shifts.head).toSet
+    var i = 1
+    while (i < positionLists.size && candidates.nonEmpty) {
+      val shifted = positionLists(i).iterator.map(_ - shifts(i)).toSet
+      candidates = candidates.intersect(shifted)
+      i += 1
+    }
+    candidates.nonEmpty
+  }
+
   /** Ordered proximity (Lucene span-near / `"a b"~N` slop analog; absent in
     * the reference, which only has exact adjacency): the query's slots must
     * occur in ORDER at strictly increasing positions p₁<…<p_k with total

@@ -86,17 +86,21 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
 
   /** `analyze=text` runs the raw query (and its `not` terms) through the
     * TEXT analyzer chain (possessive → stopwords → Porter) — the terms a
-    * `textAnalyzer`-built index expects; raw terms pass through untouched
-    * otherwise. Limitation (documented): a PHRASE whose interior words
-    * include stopwords cannot match under `analyze=text` — the index
-    * keeps Lucene position gaps for removed stopwords, and the query side
-    * carries no gap information; stopword-free phrases match exactly. */
-  private def analyzed(p: Map[String, String], key: String): Seq[String] = {
+    * `textAnalyzer`-built index expects. For PHRASE queries the analyzed
+    * tokens' ORIGINAL positions ride along as per-slot shifts, so a
+    * phrase whose interior words include stopwords matches across the
+    * index's position gaps exactly like Lucene `match_phrase` (query-side
+    * position increments). Raw terms pass through untouched otherwise. */
+  private def analyzedWithShifts(p: Map[String, String],
+                                 key: String): (Seq[String], Option[Seq[Int]]) = {
     val raw = terms(p, key)
-    if (p.get("analyze").contains("text"))
-      graft.core.Tokenizer.tokenizeText(raw.mkString(" ")).map(_.term).toSeq
-    else raw
+    if (p.get("analyze").contains("text")) {
+      val toks = graft.core.Tokenizer.tokenizeText(raw.mkString(" "))
+      (toks.map(_.term).toSeq, Some(toks.map(_.position).toSeq))
+    } else (raw, None)
   }
+  private def analyzed(p: Map[String, String], key: String): Seq[String] =
+    analyzedWithShifts(p, key)._1
   private def queryTerms(p: Map[String, String]): Seq[String] = analyzed(p, "q")
 
   private def intOf(p: Map[String, String], key: String, dflt: Int): Int =
@@ -111,13 +115,16 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
   private def doSearch(p: Map[String, String]): String = {
     if (terms(p, "q").isEmpty)
       throw new IllegalArgumentException("missing query ?q=")
-    val q = queryTerms(p)
+    val (q, shifts) = analyzedWithShifts(p, "q")
     if (q.isEmpty) return """{"hits":[]}""" // analyzer ate the whole query
+    val phrase = p.get("phrase").contains("1")
+    val slop = intOf(p, "slop", 0)
     val hits = svc.search(q,
       k = intOf(p, "k", 10),
-      phrase = p.get("phrase").contains("1"),
+      phrase = phrase,
       excludeTerms = analyzed(p, "not"),
-      slop = intOf(p, "slop", 0))
+      slop = slop,
+      phraseShifts = if (phrase && slop == 0) shifts else None)
     hitsJson(hits)
   }
 
@@ -136,12 +143,13 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
       val p = params(ex)
       if (terms(p, "q").isEmpty)
         throw new IllegalArgumentException("missing query ?q=")
-      val q = queryTerms(p)
+      val (q, shifts0) = analyzedWithShifts(p, "q")
       val k = if (q.isEmpty) 0 else intOf(p, "k", 10)
       val pageSize = math.max(1, intOf(p, "page", 10))
       val phrase = p.get("phrase").contains("1")
       val ex0 = analyzed(p, "not")
       val slop = intOf(p, "slop", 0)
+      val shifts = if (phrase && slop == 0) shifts0 else None
       ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
       ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
       var sent = 0
@@ -150,7 +158,8 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
       while (more && sent < k) {
         val want = math.min(pageSize, k - sent)
         val page = svc.search(q, want, phrase,
-          excludeTerms = ex0, slop = slop, after = cursor)
+          excludeTerms = ex0, slop = slop, after = cursor,
+          phraseShifts = shifts)
         page.foreach { h =>
           sent += 1
           os.write(

@@ -139,9 +139,11 @@ final class LocalService(val ix: Searcher.LoadedIndex,
                           excludeTerms: Seq[String] = Nil,
                           slop: Int = 0,
                           after: Option[(Double, Int)] = None,
-                          boosts: Map[String, Double] = Map.empty): Seq[Oracle.Hit] =
+                          boosts: Map[String, Double] = Map.empty,
+                          phraseShifts: Option[Seq[Int]] = None): Seq[Oracle.Hit] =
     Searcher.search(ix, queryTerms, k, phrase, conjunctive = conjunctive,
-        excludeTerms = excludeTerms, slop = slop, after = after, boosts = boosts)
+        excludeTerms = excludeTerms, slop = slop, after = after, boosts = boosts,
+        phraseShifts = phraseShifts)
       .collect().sortBy(_.rank).map(h => Oracle.Hit(h.docId, h.score)).toSeq
 
   /** In-flight fetches, keyed by term (suffix "#p" = with positions):
@@ -216,8 +218,12 @@ final class LocalService(val ix: Searcher.LoadedIndex,
   def search(queryTerms: Seq[String], k: Int, phrase: Boolean = false,
              excludeTerms: Seq[String] = Nil, slop: Int = 0,
              after: Option[(Double, Int)] = None,
-             boosts: Map[String, Double] = Map.empty): Seq[Oracle.Hit] = {
+             boosts: Map[String, Double] = Map.empty,
+             phraseShifts: Option[Seq[Int]] = None): Seq[Oracle.Hit] = {
     require(boosts.valuesIterator.forall(_ > 0.0), "boosts must be positive")
+    require(phraseShifts.forall(sh => phrase && slop == 0 &&
+        sh.size == queryTerms.size),
+      "phraseShifts require an exact phrase and one shift per slot")
     if (queryTerms.isEmpty || k <= 0) return Nil
     val uniq = queryTerms.distinct
     // NOT terms (Lucene MUST_NOT; same semantics as Searcher.search's
@@ -233,19 +239,20 @@ final class LocalService(val ix: Searcher.LoadedIndex,
         dfs.valuesIterator.exists(_ > maxFetchPostings) ||
         exPresent.exists(t => dfCache.get(t).longValue() > maxFetchPostings))
       return distributed(queryTerms, k, phrase, excludeTerms = exPresent,
-        slop = slop, after = after, boosts = boosts)
+        slop = slop, after = after, boosts = boosts, phraseShifts = phraseShifts)
 
     val lists = resolveLists(uniq, phrase)
     if (lists == null)
       return distributed(queryTerms, k, phrase, excludeTerms = exPresent,
-        slop = slop, after = after, boosts = boosts)
+        slop = slop, after = after, boosts = boosts, phraseShifts = phraseShifts)
     val exLists: IndexedSeq[TermList] =
       if (exPresent.isEmpty) IndexedSeq.empty
       else {
         val r = resolveLists(exPresent, phrase = false)
         if (r == null)
           return distributed(queryTerms, k, phrase, excludeTerms = exPresent,
-            slop = slop, after = after, boosts = boosts)
+            slop = slop, after = after, boosts = boosts,
+            phraseShifts = phraseShifts)
         r.toIndexedSeq
       }
 
@@ -280,7 +287,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     val w = LocalService.scanParallelism
     if (minN < math.max(scanThreshold, w) || w < 2)
       scanRange(slots, idfs, lenBytes, k, phrase, 0, Int.MaxValue, exAll, slop,
-        aScore, aDoc)
+        aScore, aDoc, phraseShifts)
     else {
       val small = slots.minBy(_.n)
       val bounds = (1 until w).map(i => small.docIds((small.n.toLong * i / w).toInt))
@@ -289,7 +296,7 @@ final class LocalService(val ix: Searcher.LoadedIndex,
         LocalService.scanPool.submit(new java.util.concurrent.Callable[Seq[Oracle.Hit]] {
           def call(): Seq[Oracle.Hit] =
             scanRange(slots, idfs, lenBytes, k, phrase, lo, hi, exAll, slop,
-              aScore, aDoc)
+              aScore, aDoc, phraseShifts)
         })
       }
       tasks.flatMap(_.get()).sortBy(h => (-h.score, h.docId)).take(k)
@@ -395,7 +402,9 @@ final class LocalService(val ix: Searcher.LoadedIndex,
                         exSlots: IndexedSeq[TermList] = IndexedSeq.empty,
                         slop: Int = 0,
                         afterScore: Double = Double.PositiveInfinity,
-                        afterDocId: Int = -1): Seq[Oracle.Hit] = {
+                        afterDocId: Int = -1,
+                        phraseShifts: Option[Seq[Int]] = None): Seq[Oracle.Hit] = {
+    val shiftsArr: Array[Int] = phraseShifts.map(_.toArray).orNull
     val nL = slots.size
     val cursors = new Array[Int](nL)
     // exclusion membership: one binary search per EXCLUSION LIST per aligned
@@ -452,7 +461,9 @@ final class LocalService(val ix: Searcher.LoadedIndex,
           val ok = !excluded(maxDoc) && (!phrase || {
             var j = 0
             while (j < nL) { posBuf(j) = slots(j).positions(cursors(j)); j += 1 }
-            if (slop == 0) LocalService.phraseAdjacent(posBuf, posCursors)
+            if (shiftsArr != null)
+              LocalService.phraseAtShifts(posBuf, posCursors, shiftsArr)
+            else if (slop == 0) LocalService.phraseAdjacent(posBuf, posCursors)
             else graft.core.Oracle.proximityMatch(
               scala.collection.immutable.ArraySeq.unsafeWrapArray(posBuf), slop)
           })
@@ -1073,6 +1084,44 @@ object LocalService {
     * `query_processing.h:335-362`), but a merge-scan over the sorted
     * position arrays — the hot phrase path evaluates this once per
     * candidate doc, where a Set-based intersection would allocate. */
+  /** [[phraseAdjacent]] generalized to EXPLICIT per-slot shifts (the
+    * analyzed query's position gaps — Lucene match_phrase semantics):
+    * slot j must hold `p - shifts(0) + shifts(j)` for some p in slot 0.
+    * Same allocation-free merge-scan; `shifts = 0..k-1` degenerates to
+    * plain adjacency. */
+  private[query] def phraseAtShifts(lists: Array[Array[Int]],
+                                    cursors: Array[Int],
+                                    shifts: Array[Int]): Boolean = {
+    if (lists.isEmpty) return false
+    var e = 0
+    while (e < lists.length) {
+      if (lists(e).length == 0) return false
+      cursors(e) = 0
+      e += 1
+    }
+    if (lists.length == 1) return true
+    val first = lists(0)
+    var ci = 0
+    while (ci < first.length) {
+      val p = first(ci)
+      var j = 1
+      var ok = true
+      while (j < lists.length && ok) {
+        val target = p - shifts(0) + shifts(j)
+        val arr = lists(j)
+        var c = cursors(j)
+        while (c < arr.length && arr(c) < target) c += 1
+        cursors(j) = c
+        if (c >= arr.length) return false // later p only raises the target
+        ok = arr(c) == target
+        j += 1
+      }
+      if (ok) return true
+      ci += 1
+    }
+    false
+  }
+
   private[query] def phraseAdjacent(lists: Array[Array[Int]],
                                     cursors: Array[Int]): Boolean = {
     if (lists.isEmpty) return false

@@ -282,9 +282,16 @@ object Searcher {
              excludeTerms: Seq[String] = Nil,
              slop: Int = 0,
              after: Option[(Double, Int)] = None,
-             boosts: Map[String, Double] = Map.empty): Dataset[Hit] = {
+             boosts: Map[String, Double] = Map.empty,
+             phraseShifts: Option[Seq[Int]] = None): Dataset[Hit] = {
     require(conjunctive || !phrase, "phrase queries are conjunctive by definition")
     require(slop >= 0, "slop must be non-negative")
+    // explicit per-slot shifts (analyzed-query position gaps, Lucene
+    // match_phrase semantics): exact-phrase only, one shift per slot
+    require(phraseShifts.forall(sh => phrase && slop == 0 &&
+        sh.size == queryTerms.size && sh.sliding(2).forall {
+          case Seq(a, b) => a < b; case _ => true }),
+      "phraseShifts require an exact phrase and strictly increasing shifts")
     // boosts scale each slot's idf weight; non-positive boosts would break
     // the BMW ceiling rule (ub would no longer upper-bound the slot score)
     require(boosts.valuesIterator.forall(_ > 0.0), "boosts must be positive")
@@ -524,9 +531,13 @@ object Searcher {
         // (predecessor) side, direction picked by the posting-size rule.
         // Bloom filters encode ADJACENCY (the successor/predecessor pair
         // sets), so they only apply at slop 0 — a proximity match need not
-        // contain any adjacent pair.
+        // contain any adjacent pair — and only when explicit shifts (if
+        // any) are consecutive: a stopword gap breaks pair adjacency.
+        val gappedShifts = phraseShifts.exists(sh =>
+          !sh.indices.forall(i => sh(i) == sh.head + i))
         val checks: Seq[(String, String, Boolean)] =
-          if (bloomFactor == BloomNeverUse || queryTerms.size < 2 || slop > 0) Seq.empty
+          if (bloomFactor == BloomNeverUse || queryTerms.size < 2 ||
+              slop > 0 || gappedShifts) Seq.empty
           else if (queryTerms.size == 2) {
             val (a, b) = (queryTerms.head, queryTerms(1))
             val (da, db) = (dfs(a), dfs(b))
@@ -560,6 +571,7 @@ object Searcher {
           case None => withPos0
         }
         val bcQTerms = spark.sparkContext.broadcast(queryTerms)
+        val bcShifts = spark.sparkContext.broadcast(phraseShifts)
         withPos.groupByKey(_._2)
           .flatMapGroups { (docId, rows) =>
             val byTerm = rows.toArray.groupBy(_._1)
@@ -569,8 +581,11 @@ object Searcher {
               // same list at different adjusted shifts — `query_processing.h`
               // leapfrogs per-slot, not per-unique-term)
               val posLists = qts.map(t => byTerm(t).head._4)
-              val posOk = if (slop == 0) graft.core.Oracle.phraseMatch(posLists)
-                          else graft.core.Oracle.proximityMatch(posLists, slop)
+              val posOk = bcShifts.value match {
+                case Some(sh) => graft.core.Oracle.phraseMatchAt(posLists, sh)
+                case None if slop == 0 => graft.core.Oracle.phraseMatch(posLists)
+                case None => graft.core.Oracle.proximityMatch(posLists, slop)
+              }
               if (posOk)
                 byTerm.valuesIterator.map(_.head).map(r => (r._1, r._2, r._3, r._5))
               else Iterator.empty

@@ -210,6 +210,23 @@ class OracleSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseMatchAt: explicit shifts (stopword gaps), base-invariant") {
+    import graft.core.Oracle.phraseMatchAt
+    // doc positions: a@2, b@4 — query shifts (0,2) matches, adjacency not
+    assert(phraseMatchAt(Seq(Array(2), Array(4)), Seq(0, 2)))
+    assert(!phraseMatchAt(Seq(Array(2), Array(4)), Seq(0, 1)))
+    // the shift BASE is irrelevant: only differences matter
+    assert(phraseMatchAt(Seq(Array(2), Array(4)), Seq(5, 7)))
+    // three slots with mixed gaps
+    assert(phraseMatchAt(Seq(Array(1, 9), Array(3, 11), Array(4, 12)),
+      Seq(0, 2, 3)))
+    assert(!phraseMatchAt(Seq(Array(1), Array(3), Array(5)), Seq(0, 2, 3)))
+    // degenerate shapes
+    assert(!phraseMatchAt(Nil, Nil))
+    assert(phraseMatchAt(Seq(Array(7)), Seq(0)))
+    assert(!phraseMatchAt(Seq(Array[Int](), Array(1)), Seq(0, 1)))
+  }
+
   test("text analyzer: possessive strip, stopwords, position gaps, norm") {
     val toks = Tokenizer.tokenizeText("The customer's queries are falling")
     // "the"(0) and "are"(3) removed but consume positions

@@ -125,6 +125,38 @@ class FuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
         got.zip(want).foreach { case (g, w) =>
           assert(math.abs(g.score - w.score) < 1e-12) }
       }
+      // gap-aware phrase (Lucene match_phrase): "queries are falling"
+      // analyzes to queri@0, fall@2 — the stopword consumes a position on
+      // BOTH sides, so the phrase matches across the index's gap
+      val toks = graft.core.Tokenizer.tokenizeText("queries are falling")
+      val pTerms = toks.map(_.term).toSeq
+      val pShifts = toks.map(_.position).toSeq
+      assert(pTerms == Seq("queri", "fall") && pShifts == Seq(0, 2))
+      val gapHits = Searcher.search(eng.ix, pTerms, 10, phrase = true,
+        phraseShifts = Some(pShifts)).collect()
+      assert(gapHits.map(_.docId).toSeq == Seq(0), s"gap phrase: ${gapHits.toSeq}")
+      // plain adjacency must NOT match across the gap
+      assert(Searcher.search(eng.ix, pTerms, 10, phrase = true)
+        .collect().isEmpty)
+      // serving path: identical through the leapfrog kernel
+      val svc = new graft.query.LocalService(eng.ix)
+      assert(svc.search(pTerms, 10, phrase = true,
+        phraseShifts = Some(pShifts)).map(_.docId) == Seq(0))
+      assert(svc.search(pTerms, 10, phrase = true).isEmpty)
+
+      // end-to-end over the wire: analyze=text carries the gap shifts
+      val http = new graft.query.HttpService(svc, port = 0, nThreads = 2)
+      try {
+        def get(path: String): String = {
+          val u = java.net.URI.create(
+            s"http://127.0.0.1:${http.boundPort}$path").toURL
+          new String(u.openStream().readAllBytes(), "UTF-8")
+        }
+        val b = get("/search?q=queries+are+falling&analyze=text&phrase=1&k=5")
+        assert(b.contains("\"doc\":0"), s"wire gap phrase: $b")
+        assert(get("/search?q=queri+fall&phrase=1&k=5") == """{"hits":[]}""")
+      } finally http.stop()
+
       // stopword-only query analyzes to nothing
       assert(Engine.analyzeText("the a with").isEmpty)
       // doc length = surviving token count, not max position + 1
