@@ -454,7 +454,10 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // output space remains, so zero progress always means a stream we
+        // cannot continue: truncated (needsInput) or preset-dictionary
+        // (FDICT — needsDictionary). Either way: corrupt → None, never spin.
+        if (n == 0) return None
         got += n
       }
       if (got < raw.length) return None

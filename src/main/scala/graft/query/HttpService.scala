@@ -139,6 +139,11 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
     * `/stream?q=a+b&k=50[&page=10][&phrase=1][&not=c][&slop=2]`. */
   private def doStream(ex: HttpExchange): Unit = {
     val os = ex.getResponseBody
+    // Once the 200/chunked headers are on the wire a 400 is impossible —
+    // sendResponseHeaders would throw IllegalStateException out of the
+    // handler instead of closing the stream. Track it so a future require
+    // added inside the paging loop degrades to a clean close, not a crash.
+    var headersSent = false
     try {
       val p = params(ex)
       if (terms(p, "q").isEmpty)
@@ -152,6 +157,7 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
       val shifts = if (phrase && slop == 0) shifts0 else None
       ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
       ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+      headersSent = true
       var sent = 0
       var cursor: Option[(Double, Int)] = None
       var more = true
@@ -173,10 +179,11 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
       os.write(s"""{"done":true,"n":$sent}""".getBytes(StandardCharsets.UTF_8))
       os.write('\n')
     } catch {
-      case e: IllegalArgumentException =>
+      case e: IllegalArgumentException if !headersSent =>
         val b = jsonErr(e.getMessage).getBytes(StandardCharsets.UTF_8)
         ex.sendResponseHeaders(400, b.length)
         os.write(b)
+      case _: IllegalArgumentException => // mid-stream: just close the body
       case _: java.io.IOException => // client hung up mid-stream: stop paging
     } finally os.close()
   }

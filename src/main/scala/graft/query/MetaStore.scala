@@ -125,9 +125,9 @@ object MetaStore {
     * index's cache; returns the map plus rows fetched for diagnostics.
     * The result is built from LOCAL values (one atomic cache read per
     * term) — a concurrent eviction or invalidation can never surface as a
-    * null interval; `stamp` guards puts against racing an invalidation. */
+    * null interval; `epoch` guards puts against racing an invalidation. */
   private def coarseCoverage(ix: Searcher.LoadedIndex, terms: Seq[String],
-                             stamp: String)
+                             epoch: Long)
       : (Map[String, Array[(Int, Int)]], Long) = {
     val spark = ix.spark
     import spark.implicits._
@@ -161,7 +161,7 @@ object MetaStore {
         }.toMap
       }
     // an invalidation racing this fetch wins: stale rows are not cached
-    if (ix.metaCacheStampIs(stamp))
+    if (ix.metaCacheEpochIs(epoch))
       fetched.foreach { case (t, iv) => ix.coarseCovCache.put(t, iv) }
     (cached ++ fetched, fetchedRows)
   }
@@ -177,9 +177,9 @@ object MetaStore {
       : Array[FineRow] = {
     val spark = ix.spark
     import spark.implicits._
-    // streaming appends invalidate cached meta; the returned stamp guards
+    // streaming appends invalidate cached meta; the returned epoch guards
     // this call's puts against racing a later invalidation
-    val stamp = ix.ensureMetaCachesFresh()
+    val epoch = ix.ensureMetaCachesFresh()
     val distinct = terms.distinct
     val directCap = confLong(ix, "spark.graft.meta.directRows", 16384L)
     val est = distinct.iterator.map(t => dfs.getOrElse(t, 0L) / 128L + 1L).sum
@@ -197,7 +197,7 @@ object MetaStore {
           .select("term", "firstDocId", "lastDocId", "n", "maxTf", "minLenByte")
           .as[FineRow].collect()
       val perTermCap = confLong(ix, "spark.graft.meta.cacheRowsPerTerm", 2048L)
-      if (ix.metaCacheStampIs(stamp)) { // never cache across an invalidation
+      if (ix.metaCacheEpochIs(epoch)) { // never cache across an invalidation
         val byTerm = fetched.groupBy(_._1)
         missing.foreach { t =>
           val rs = byTerm.getOrElse(t, Array.empty[FineRow])
@@ -207,7 +207,7 @@ object MetaStore {
       diagTL.set(FetchDiag(est, twoLevel = false, hit.size, 0L, fetched.length.toLong))
       cached.iterator.flatMap(_._2).toArray ++ fetched
     } else {
-      val (covMap, coarseRows) = coarseCoverage(ix, distinct, stamp)
+      val (covMap, coarseRows) = coarseCoverage(ix, distinct, epoch)
       val cov = mergeIntervals(covOf(covMap))
       if (cov.isEmpty) {
         diagTL.set(FetchDiag(est, twoLevel = true, 0, coarseRows, 0L))

@@ -51,23 +51,40 @@ object Searcher {
       * [[MetaStore]] calls this before every cache use: when the committed
       * segment set changed, both caches drop (a directory listing, no
       * Spark job — segRead already pays the same listing per query).
-      * Returns the current stamp; writers re-check it with
-      * [[metaCacheStampIs]] before caching, so a fetch that STARTED before
-      * an append can never re-populate the cleared cache with stale meta. */
+      * Returns a monotonic invalidation epoch captured BEFORE the segment
+      * listing; writers re-check it with [[metaCacheEpochIs]] before
+      * caching. The epoch bumps on every clear, so a fetch whose view may
+      * predate ANY later invalidation can never re-populate the cleared
+      * cache — a stale thread's listing can race the install of a newer
+      * stamp string, but it cannot rewind the epoch, so its puts are
+      * rejected (one uncached query after a change, never stale meta). */
     private val metaCacheStamp =
       new java.util.concurrent.atomic.AtomicReference[String](null)
-    private[query] def ensureMetaCachesFresh(): String = {
+    private val metaCacheEpoch =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+    private[query] def ensureMetaCachesFresh(): Long = {
+      val epoch = metaCacheEpoch.get() // BEFORE the listing, deliberately
       val stamp =
         if (!hasSegments) ""
         else liveSegments.mkString(",")
-      if (metaCacheStamp.getAndSet(stamp) != stamp) {
-        fineMetaCache.clear()
-        coarseCovCache.clear()
+      if (metaCacheStamp.get() != stamp) synchronized {
+        val cur = metaCacheStamp.get()
+        if (cur != stamp) {
+          metaCacheStamp.set(stamp)
+          // first install (cur == null): the caches are still empty, so no
+          // invalidation happened — don't bump, or the very first query's
+          // puts would be rejected and the warm path would start cold twice
+          if (cur != null) {
+            fineMetaCache.clear()
+            coarseCovCache.clear()
+            metaCacheEpoch.incrementAndGet()
+          }
+        }
       }
-      stamp
+      epoch
     }
-    private[query] def metaCacheStampIs(stamp: String): Boolean =
-      metaCacheStamp.get() == stamp
+    private[query] def metaCacheEpochIs(epoch: Long): Boolean =
+      metaCacheEpoch.get() == epoch
     private def hasSegments: Boolean = {
       val d = java.nio.file.Paths.get(indexDir, "termstats")
       java.nio.file.Files.exists(d) && {
