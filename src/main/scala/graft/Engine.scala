@@ -45,16 +45,23 @@ object Engine {
     * must then be analyzed the same way ([[Engine.analyzeText]]). The
     * bloom store is skipped under it: its adjacency pairs are built on the
     * raw token stream, and a mismatched bloom prunes LOSSILY. */
+  /** `textFold = true` (TEXT analyzer only) additionally runs the
+    * `html_strip` char filter and `asciifolding`
+    * ([[graft.core.Tokenizer.stripHtml]]/[[graft.core.Tokenizer.foldAscii]],
+    * the reference chain's remaining steps) — query terms must then be
+    * analyzed with [[analyzeText]]`(q, fold = true)`. Token offsets index
+    * the STRIPPED content. */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
             partitions: Int = 32, withBloom: Boolean = true,
             codeAnalyzer: Boolean = false, withTrigrams: Boolean = false,
-            withFuzzy: Boolean = false, textAnalyzer: Boolean = false): Engine = {
+            withFuzzy: Boolean = false, textAnalyzer: Boolean = false,
+            textFold: Boolean = false): Engine = {
     val withSha =
       if (corpus.columns.contains("sha256")) corpus
       else corpus.withColumn("sha256",
         org.apache.spark.sql.functions.sha2(org.apache.spark.sql.functions.col("content"), 256))
     IndexBuilder.build(spark, withSha, indexDir, partitions, codeAnalyzer,
-      textAnalyzer)
+      textAnalyzer, textFold)
     if (withBloom && !textAnalyzer) Bloom.buildStage(spark, indexDir, codeAnalyzer)
     if (withTrigrams) graft.index.TrigramIndex.buildStage(spark, indexDir)
     if (withFuzzy) graft.index.FuzzyIndex.buildStage(spark, indexDir)
@@ -63,8 +70,10 @@ object Engine {
 
   /** Analyze a raw query string under the TEXT analyzer — the terms to
     * search a `textAnalyzer = true` index with. */
-  def analyzeText(query: String): Seq[String] =
-    graft.core.Tokenizer.tokenizeText(query).map(_.term).toSeq
+  def analyzeText(query: String, fold: Boolean = false): Seq[String] =
+    graft.core.Tokenizer.tokenizeText(
+      if (fold) graft.core.Tokenizer.stripHtml(query) else query, fold)
+      .map(_.term).toSeq
 
   /** Open an existing index (snapshot manifest must be committed). */
   def load(spark: SparkSession, indexDir: String): Engine = {

@@ -125,6 +125,57 @@ object SparkEntry {
         .cache()
     })
 
+  /** Folding fixture: the synthetic corpus is pure ASCII, so the graded
+    * folding contract (`html_strip` + `asciifolding`,
+    * `tokenize_wiki_linedoc.py:27-47`) injects deterministic HTML markup,
+    * named entities, and accented words by doc_id — identically in both
+    * engines (`FoldAugSql`). */
+  private def foldAugmented(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        lit(" <b>Caf&eacute;s</b> r&eacute;sum&eacute; naïve")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0,
+        lit(" <p class=\"x\">cliché façade</p> thé")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        lit(" straße cœur unf&ouml;ldable")).otherwise(lit("")))
+      .as("text"))
+
+  private val foldTfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val foldLenCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** (doc_id, term, tf) under the FOLDED text chain: html-strip char
+    * filter → possessive strip → stopwords → asciifolding → Porter. */
+  private def foldTfTable(s: SparkSession, dir: String): DataFrame =
+    foldTfCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      foldAugmented(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          Tokenizer.tokenizeText(Tokenizer.stripHtml(t), fold = true)
+            .iterator.map(tok => (id, tok.term))
+        }
+        .toDF("doc_id", "term")
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).cast("long").as("tf"))
+        .cache()
+    })
+
+  /** (doc_id, len) surviving-token norm under the folded chain. */
+  private def foldLenTable(s: SparkSession, dir: String): DataFrame =
+    foldLenCache.getOrElseUpdate((s, dir), {
+      import s.implicits._
+      foldAugmented(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          (id, Tokenizer.tokenizeText(Tokenizer.stripHtml(t), fold = true).length.toLong)
+        }
+        .toDF("doc_id", "len")
+        .cache()
+    })
+
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Array[Array[Long]], DataFrame)]
 
@@ -706,6 +757,28 @@ object SparkEntry {
     "a5_bm25_stemmed_topk" -> ((s, dir) =>
       bm25TopK(s, dir, StemmedQueryTerms, 10,
         tfSrc = Some(textTfTable(s, dir)), lenSrc = Some(textLenTable(s, dir)))),
+
+    // FOLDED chain (html_strip char filter + asciifolding,
+    // `tokenize_wiki_linedoc.py:27-47`) over the accented/HTML fixture:
+    // the analyzed stream with ORIGINAL positions (markup and entities
+    // never consume a position; "café" and "cafe" index identically)
+    "text_folded" -> { (s, dir) =>
+      import s.implicits._
+      foldAugmented(s, dir).select(col("doc_id").cast("long"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, t) =>
+          Tokenizer.tokenizeText(Tokenizer.stripHtml(t), fold = true)
+            .iterator.map(tok => (id, tok.position.toLong, tok.term))
+        }
+        .toDF("doc_id", "pos", "term")
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "pos")
+    },
+    // A5 over the FOLDED index tables: the raw HTML query folds to the
+    // same ASCII terms the fixture's accented docs indexed under
+    "a5_bm25_folded_topk" -> ((s, dir) =>
+      bm25TopK(s, dir, FoldedQueryTerms, 10,
+        tfSrc = Some(foldTfTable(s, dir)), lenSrc = Some(foldLenTable(s, dir)))),
 
     // A4: doc lengths + global stats
     "a4_doclen" -> ((s, dir) => lenTable(s, dir).orderBy("doc_id")),
@@ -2429,6 +2502,58 @@ object SparkEntry {
   private[graft] val StemmedQuery = "queries table"
   private[graft] val StemmedQueryTerms: Seq[String] =
     Tokenizer.tokenizeText(StemmedQuery).map(_.term).toSeq
+
+  // ---- FOLDED-chain oracle (html_strip → possessive → stopwords →
+  // asciifolding → Porter; every step literal-generated from the SAME
+  // tables the Scala analyzer runs: Tokenizer.sqlStripHtmlExpr /
+  // sqlFoldExpr / Porter.sqlStemQuery) ----
+  private val FoldAugSql =
+    """SELECT doc_id, text ||
+      | CASE WHEN doc_id % 3 = 0 THEN ' <b>Caf&eacute;s</b> r&eacute;sum&eacute; naïve' ELSE '' END ||
+      | CASE WHEN doc_id % 4 = 0 THEN ' <p class="x">cliché façade</p> thé' ELSE '' END ||
+      | CASE WHEN doc_id % 5 = 0 THEN ' straße cœur unf&ouml;ldable' ELSE '' END AS text
+      |FROM documents""".stripMargin
+  /** The fold-table alphabet, admitted into the token char class so
+    * accented words survive tokenization (the engine's extended
+    * `wordChar` under `fold = true`). */
+  private val FoldAlphabet = Tokenizer.FoldPairs.map(_._1).mkString
+  /** Raw folded-chain token array: html-strip twin → lower → split. */
+  private def foldTokArrSql(c: String) =
+    s"list_filter(regexp_split_to_array(lower(${Tokenizer.sqlStripHtmlExpr(c)}), " +
+      s"'[^a-z0-9_''$FoldAlphabet]+'), x -> x <> '')"
+  /** (doc_id, pos, tok) kept + FOLDED tokens with original positions;
+    * the stopword test runs on the UNFOLDED token (ES order: stop before
+    * folding — "thé" indexes as "the", it is not dropped). */
+  private def foldKeptSql(where: String = ""): String =
+    s"""SELECT doc_id, pos, ${Tokenizer.sqlFoldExpr("tok0")} AS tok FROM (
+       | SELECT doc_id, i::BIGINT pos,
+       |   replace(regexp_replace(t[i+1], '''s$$', ''), '''', '') AS tok0
+       | FROM (SELECT doc_id, ${foldTokArrSql("text")} t FROM ($FoldAugSql) fa$where),
+       |      unnest(range(len(t))) u(i))
+       |WHERE tok0 <> '' AND tok0 NOT IN ($StopSql)""".stripMargin
+  /** Fully analyzed folded stream: Porter over the DISTINCT folded
+    * vocabulary, joined back (stem the dictionary, not the stream). */
+  private def foldStemmedSql(where: String = ""): String = {
+    val stems = graft.core.Porter.sqlStemQuery(
+      s"SELECT tok AS orig, tok FROM (SELECT DISTINCT tok FROM (${foldKeptSql(where)}))",
+      "tok", Seq("orig"))
+    s"""SELECT k.doc_id, k.pos, s.tok
+       |FROM (${foldKeptSql(where)}) k JOIN ($stems) s ON k.tok = s.orig""".stripMargin
+  }
+  private val FoldTF =
+    s"(SELECT doc_id, tok AS term, count(*)::BIGINT tf FROM (${foldStemmedSql()}) GROUP BY doc_id, tok)"
+  private val FoldLEN =
+    s"""(SELECT d.doc_id, coalesce(k.len, 0)::BIGINT len FROM documents d
+       | LEFT JOIN (SELECT doc_id, count(*)::BIGINT len
+       |            FROM (${foldKeptSql()}) GROUP BY doc_id) k
+       | ON d.doc_id = k.doc_id)""".stripMargin
+
+  /** The graded folded query: raw HTML + entities, analyzed by the SAME
+    * strip+fold chain both paths share. */
+  private[graft] val FoldedQuery = "<i>Caf&eacute;s</i> r&eacute;sum&eacute;"
+  private[graft] val FoldedQueryTerms: Seq[String] =
+    Tokenizer.tokenizeText(Tokenizer.stripHtml(FoldedQuery), fold = true)
+      .map(_.term).toSeq
   /** Lucene longToInt4∘byte4ToInt lossy length, integer-exact. */
   private def lossySql(c: String) =
     s"(CASE WHEN $c < 8 THEN $c ELSE ((((($c >> (length(format('{:b}', $c)) - 4)) & 7) | 8)) << (length(format('{:b}', $c)) - 4)) END)"
@@ -2670,6 +2795,14 @@ object SparkEntry {
 
     "a5_bm25_stemmed_topk" ->
       bm25Sql(StemmedQueryTerms, 10, tfSql = TextTF, lenSql = TextLEN,
+        materialize = true),
+
+    "text_folded" ->
+      s"""SELECT doc_id, pos, tok AS term FROM (${foldStemmedSql(" WHERE doc_id < 50")})
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "a5_bm25_folded_topk" ->
+      bm25Sql(FoldedQueryTerms, 10, tfSql = FoldTF, lenSql = FoldLEN,
         materialize = true),
 
     "a3_termstats" ->

@@ -64,6 +64,22 @@ object FuzzyIndex {
       .filter(levenshtein(col("term"), lit(term), maxDist) >= 0)
   }
 
+  /** [[probe]] over the union of per-SEGMENT delete tables (rows carry a
+    * `seg` column; df is the term's df within that segment). A term can
+    * match several deletes within one segment (distinct per (seg, term))
+    * and appear in several segments (sum over segments = its global df,
+    * matching the segmented index's summed termstats) — so the output
+    * contract is identical to probing one table built from the merged
+    * dictionary. The delete neighborhood is a function of the term alone,
+    * so every segment containing the term is found by the same IN-list. */
+  def probeSegmented(table: DataFrame, term: String, maxDist: Int): DataFrame = {
+    val dels = deletes(term, maxDist).toSeq
+    table.filter(col("del").isin(dels: _*))
+      .filter(levenshtein(col("term"), lit(term), maxDist) >= 0)
+      .select("seg", "term", "df").distinct()
+      .groupBy("term").agg(sum("df").as("df"))
+  }
+
   /** Persisted index stage `fuzzy/` from the committed termstats, sorted
     * by `del` for probe-time row-group pruning. Batch-index stage: the
     * loader exposes it only when the index has no streaming segments
@@ -84,6 +100,26 @@ object FuzzyIndex {
     }
   }
 
+  /** Per-SEGMENT delete table `fuzzy/seg=<id>` from the segment's own
+    * termstats — the streamed-index analog of [[buildStage]], carried
+    * through compaction like `trigrams/`. The marker rides inside the
+    * segment directory (underscore-prefixed files are invisible to the
+    * parquet reader). Idempotence comes from the caller's segment
+    * manifest, not a stage manifest. */
+  def buildSegmentStage(spark: SparkSession, indexDir: String, segId: Long,
+                        maxDist: Int = DefaultMaxDist): Unit = {
+    val dict = spark.read.parquet(s"$indexDir/termstats/seg=$segId")
+      .select("term", "df")
+    deleteTable(dict, maxDist)
+      .repartitionByRange(col("del"))
+      .sortWithinPartitions("del")
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$indexDir/fuzzy/seg=$segId")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(indexDir, "fuzzy", s"seg=$segId", "_maxdist"),
+      maxDist.toString)
+  }
+
   /** Build distance of a persisted stage (from its `_maxdist` marker).
     * An unreadable marker fails DOWN to 0 — that disables the stage (the
     * probe-distance guard never passes) and callers take the exact
@@ -91,6 +127,15 @@ object FuzzyIndex {
     * cover would silently drop candidates. */
   def stageMaxDist(indexDir: String): Int = {
     val p = java.nio.file.Paths.get(indexDir, "fuzzy", "_maxdist")
+    try java.nio.file.Files.readString(p).trim.toInt
+    catch { case _: Throwable => 0 }
+  }
+
+  /** Build distance of one segment's table; same fail-DOWN-to-0 contract
+    * as [[stageMaxDist]] — a segment without a readable marker disables
+    * the segmented probe path entirely (all-or-nothing gate). */
+  def segMaxDist(indexDir: String, segId: Long): Int = {
+    val p = java.nio.file.Paths.get(indexDir, "fuzzy", s"seg=$segId", "_maxdist")
     try java.nio.file.Files.readString(p).trim.toInt
     catch { case _: Throwable => 0 }
   }

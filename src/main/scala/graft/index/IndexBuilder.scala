@@ -106,11 +106,14 @@ object IndexBuilder {
     * as a flatMap — embarrassingly parallel, no shuffle. */
   def flatPostings(docs: Dataset[DocRow],
                    codeAnalyzer: Boolean = false,
-                   textAnalyzer: Boolean = false): Dataset[FlatPosting] = {
+                   textAnalyzer: Boolean = false,
+                   textFold: Boolean = false): Dataset[FlatPosting] = {
     import docs.sparkSession.implicits._
     docs.flatMap { d =>
       val grouped =
-        if (textAnalyzer) Tokenizer.groupedText(d.content)
+        if (textAnalyzer && textFold)
+          Tokenizer.groupedText(Tokenizer.stripHtml(d.content), fold = true)
+        else if (textAnalyzer) Tokenizer.groupedText(d.content)
         else if (codeAnalyzer) Tokenizer.groupedCode(d.content)
         else Tokenizer.grouped(d.content)
       // doc length (BM25 norm): default/code analyzer = ORIGINAL token
@@ -314,12 +317,15 @@ object IndexBuilder {
     * stages, SURVEY.md §3.3). */
   def build(spark: SparkSession, corpus: DataFrame, indexDir: String,
             partitions: Int = 32, codeAnalyzer: Boolean = false,
-            textAnalyzer: Boolean = false): Unit = {
+            textAnalyzer: Boolean = false, textFold: Boolean = false): Unit = {
     import spark.implicits._
     require(!(codeAnalyzer && textAnalyzer), "pick one analyzer")
+    require(!textFold || textAnalyzer, "textFold extends the TEXT analyzer")
     // analyzer-consistent term stream for length + hot-term sampling
     def analyzedTerms(content: String): Array[String] =
-      if (textAnalyzer) Tokenizer.tokenizeText(content).map(_.term)
+      if (textAnalyzer && textFold)
+        Tokenizer.tokenizeText(Tokenizer.stripHtml(content), fold = true).map(_.term)
+      else if (textAnalyzer) Tokenizer.tokenizeText(content).map(_.term)
       else Tokenizer.terms(content)
     val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
     def timed[T](name: String)(f: => T): T = {
@@ -381,43 +387,51 @@ object IndexBuilder {
       if (profile) println(s"BUILD_STAGE postings.parts $blockParts (est $totalPostings postings)")
       timed("postings.enc") {
         buildBlocksWithSpans(spark,
-          flatPostings(docstore, codeAnalyzer, textAnalyzer), hot, blockParts)
+          flatPostings(docstore, codeAnalyzer, textAnalyzer, textFold), hot, blockParts)
           .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings")
       }
       timed("postings.commit") { Manifest.commit(spark, indexDir, "postings") }
     }}
     docsRelease() // last consumer of the cached sorted corpus
 
-    timed("termstats") { if (!Manifest.isCommitted(indexDir, "termstats")) {
-      // pure metadata aggregation over three small columns of the committed
-      // block store — no tokenize, no payload read (column pruning)
-      timed("termstats.agg") {
-        spark.read.parquet(s"$indexDir/postings")
-          .groupBy("term")
-          .agg(sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
-          .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats")
-      }
-      timed("termstats.commit") { Manifest.commit(spark, indexDir, "termstats") }
-    }}
-
     timed("superblocks") { if (!Manifest.isCommitted(indexDir, "superblocks")) {
       // persisted COARSE block metadata ([[graft.query.MetaStore]]'s
       // two-level fetch): one (term, lo, hi) row per docId super-bucket of
-      // ~128 blocks. Another metadata-only aggregation at build time, so a
-      // cold hot-term plan reads O(df/16384) precomputed rows instead of
-      // aggregating O(df/128) block rows per query. Written term-sorted
-      // for row-group pruning on the probe's `term IN (...)`.
+      // ~128 blocks, so a cold hot-term plan reads O(df/16384) precomputed
+      // rows instead of aggregating O(df/128) block rows per query.
+      // Written term-sorted for row-group pruning on the probe's
+      // `term IN (...)`. The same pass carries per-bucket df/cf PARTIALS
+      // (pruned by the probe's column selection, ~2 ints/row on disk):
+      // termstats then aggregates this ~16x-smaller stage instead of
+      // re-scanning the full block metadata — ONE metadata scan serves
+      // both stats stages, one fewer fixed-cost job on the build's
+      // critical path (the N→4N scaling criterion is knife-edged on
+      // exactly these serial tails).
       timed("superblocks.agg") {
-        spark.read.parquet(s"$indexDir/postings")
-          .groupBy($"term", expr(s"firstDocId div $SuperSpan").as("bkt"))
-          .agg(min($"firstDocId").as("lo"), max($"lastDocId").as("hi"))
-          .select("term", "lo", "hi")
-          .repartitionByRange(math.max(1, partitions / 4), $"term")
-          .sortWithinPartitions("term")
+        superBlockRows(spark.read.parquet(s"$indexDir/postings"),
+            math.max(1, partitions / 4))
           .write.mode("overwrite").option("compression", "zstd")
           .parquet(s"$indexDir/superblocks")
       }
       timed("superblocks.commit") { Manifest.commit(spark, indexDir, "superblocks") }
+    }}
+
+    timed("termstats") { if (!Manifest.isCommitted(indexDir, "termstats")) {
+      // per-term df/cf, summed from the superblock partials when the stage
+      // carries them (current layout) — input is ~vocab-sized, not
+      // block-count-sized; a pre-partial-column superblocks stage (resumed
+      // older build) falls back to the full block-metadata aggregation
+      val sb = spark.read.parquet(s"$indexDir/superblocks")
+      val src =
+        if (sb.columns.contains("df")) sb.select($"term", $"df", $"cf")
+        else spark.read.parquet(s"$indexDir/postings")
+          .select($"term", $"n".cast("long").as("df"), $"sumTf".cast("long").as("cf"))
+      timed("termstats.agg") {
+        src.groupBy("term")
+          .agg(sum($"df").cast("long").as("df"), sum($"cf").cast("long").as("cf"))
+          .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats")
+      }
+      timed("termstats.commit") { Manifest.commit(spark, indexDir, "termstats") }
     }}
     Manifest.commitSnapshot(spark, indexDir, nDocs)
   }
@@ -426,4 +440,23 @@ object IndexBuilder {
     * blocks. Must match `spark.graft.meta.superSpan`'s default; a session
     * overriding that conf falls back to the per-query aggregation. */
   val SuperSpan: Long = 1L << 14
+
+  /** Coarse super-block rows (term, lo, hi, df, cf) of a block store —
+    * one row per (term, docId super-bucket), written term-sorted so the
+    * coarse probe's `term IN (...)` prunes row groups. df/cf are
+    * per-bucket PARTIALS: termstats sums them from this ~16x-smaller
+    * stage instead of re-scanning the block metadata. Shared by the batch
+    * build and the per-segment streaming stages (absolute docIds make
+    * segment rows just more intervals for the reader to merge). */
+  def superBlockRows(blocks: DataFrame, outParts: Int = 8): DataFrame = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks
+      .groupBy($"term", expr(s"firstDocId div $SuperSpan").as("bkt"))
+      .agg(min($"firstDocId").as("lo"), max($"lastDocId").as("hi"),
+        sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
+      .select("term", "lo", "hi", "df", "cf")
+      .repartitionByRange(outParts, $"term")
+      .sortWithinPartitions("term")
+  }
 }

@@ -223,21 +223,69 @@ object MetaStore {
     }
   }
 
+  /** Diagnostics of the most recent [[boundedRangeMeta]] call on this
+    * thread: coarse rows fetched, merged overlap interval count, and fine
+    * exclusion rows collected. */
+  final case class ExclDiag(estBlocks: Long, twoLevel: Boolean,
+                            coarseRows: Long, overlapIv: Int, fineRows: Long)
+  private val exclDiagTL = new ThreadLocal[ExclDiag] {
+    override def initialValue(): ExclDiag =
+      ExclDiag(0L, twoLevel = false, 0L, 0, 0L)
+  }
+  def lastExclDiag: ExclDiag = exclDiagTL.get()
+
   /** (term, firstDocId, lastDocId) rows of `terms` whose blocks overlap
     * `candidates` — the exclusion-term fetch shared by search /
-    * matchingDocs / searchAll: a hot excluded term ships only the meta
-    * slice that can matter, never O(df/128), and the interval cap honors
-    * the same `maxFetchIntervals` conf as the fine fetch. */
+    * matchingDocs / searchAll, under the same two-level discipline as
+    * [[fineMetaBy]]: past the direct cap, each excluded term's COARSE
+    * coverage (cached per term in the shared LRU) is intersected with the
+    * positive candidates first, and fine rows are fetched only inside
+    * that overlap — a hot excluded term against a hot positive side ships
+    * rows proportional to the ranges where exclusion can actually bite,
+    * not O(df/128). Soundness: a term's coarse coverage contains every
+    * one of its blocks, so any exclusion block overlapping `candidates`
+    * also overlaps coverage ∩ candidates and survives the fetch predicate
+    * (coarsening only widens). The interval cap honors the same
+    * `maxFetchIntervals` conf as the fine fetch. */
   def boundedRangeMeta(ix: Searcher.LoadedIndex, terms: Seq[String],
-                       candidates: Array[(Int, Int)]): Array[(String, Int, Int)] = {
+                       candidates: Array[(Int, Int)],
+                       dfs: Map[String, Long] = Map.empty)
+      : Array[(String, Int, Int)] = {
     val spark = ix.spark
     import spark.implicits._
     if (terms.isEmpty || candidates.isEmpty) return Array.empty
     val maxIv = confLong(ix, "spark.graft.meta.maxFetchIntervals", 512L).toInt
-    ix.postings.filter(col("term").isin(terms: _*))
-      .select("term", "firstDocId", "lastDocId")
-      .filter(overlapPred(coarsenTo(candidates, math.max(1, maxIv))))
-      .as[(String, Int, Int)].collect()
+    val cand = mergeIntervals(candidates)
+    val distinct = terms.distinct
+    val directCap = confLong(ix, "spark.graft.meta.directRows", 16384L)
+    // df-estimated exclusion meta volume; unknown dfs estimate as the cap
+    // (unknown ⇒ assume hot ⇒ take the bounded two-level path)
+    val est = distinct.iterator
+      .map(t => dfs.get(t).map(_ / 128L + 1L).getOrElse(directCap)).sum
+    def fetch(bound: Array[(Int, Int)]): Array[(String, Int, Int)] =
+      ix.postings.filter(col("term").isin(distinct: _*))
+        .select("term", "firstDocId", "lastDocId")
+        .filter(overlapPred(coarsenTo(bound, math.max(1, maxIv))))
+        .as[(String, Int, Int)].collect()
+    if (est <= directCap) {
+      val rows = fetch(cand)
+      exclDiagTL.set(ExclDiag(est, twoLevel = false, 0L, cand.length, rows.length.toLong))
+      rows
+    } else {
+      val epoch = ix.ensureMetaCachesFresh()
+      val (covMap, coarseRows) = coarseCoverage(ix, distinct, epoch)
+      val overlap = mergeIntervals(distinct.toArray.flatMap(t =>
+        intersectIv(covMap.getOrElse(t, Array.empty[(Int, Int)]), cand)))
+      if (overlap.isEmpty) {
+        exclDiagTL.set(ExclDiag(est, twoLevel = true, coarseRows, 0, 0L))
+        Array.empty
+      } else {
+        val rows = fetch(overlap)
+        exclDiagTL.set(ExclDiag(est, twoLevel = true, coarseRows,
+          overlap.length, rows.length.toLong))
+        rows
+      }
+    }
   }
 
   /** [[fineMetaBy]] with the standard shape algebra: `shapes` is a union

@@ -201,23 +201,49 @@ object Searcher {
       }
     }
     /** SymSpell deletion-neighborhood stage ([[graft.index.FuzzyIndex]]):
-      * batch indexes only — a streamed append would stale the table, so a
-      * segmented index always takes the exact dictionary-scan fallback.
-      * A `def` (like [[postings]]): `hasSegments` is re-checked per call,
-      * so a batch index that LATER receives streaming appends stops
-      * serving the now-stale batch stage immediately. */
-    def fuzzy: Option[(DataFrame, Int)] =
-      if (hasSegments || !graft.index.Manifest.isCommitted(indexDir, "fuzzy")) None
-      else Some((spark.read.parquet(s"$indexDir/fuzzy"),
-        graft.index.FuzzyIndex.stageMaxDist(indexDir)))
+      * (rows, builtDist, segmented). A batch index serves its `fuzzy/`
+      * stage; a SEGMENTED index serves the union of per-segment tables —
+      * the probe then aggregates per-(seg, term) rows
+      * ([[graft.index.FuzzyIndex.probeSegmented]]) — but only when EVERY
+      * live segment carries a table (all-or-nothing: a partially-covered
+      * index takes the exact dictionary-scan fallback; builtDist is the
+      * MINIMUM over segments, the distance every table covers).
+      * A `def` (like [[postings]]): the segment set is re-checked per
+      * call, so an append lacking a fuzzy table stops serving the
+      * segmented stage immediately. */
+    def fuzzy: Option[(DataFrame, Int, Boolean)] =
+      if (!hasSegments) {
+        if (!graft.index.Manifest.isCommitted(indexDir, "fuzzy")) None
+        else Some((spark.read.parquet(s"$indexDir/fuzzy"),
+          graft.index.FuzzyIndex.stageMaxDist(indexDir), false))
+      } else {
+        val live = liveSegments
+        val dists = live.map(s => graft.index.FuzzyIndex.segMaxDist(indexDir, s))
+        if (live.isEmpty || dists.exists(_ <= 0)) None
+        else Some((spark.read.option("basePath", s"$indexDir/fuzzy")
+          .parquet(live.map(s => s"$indexDir/fuzzy/seg=$s"): _*),
+          dists.min, true))
+      }
     /** Persisted coarse super-block metadata (term, lo, hi) for
-      * [[MetaStore]]'s two-level fetch — batch indexes only (streamed
-      * segments fall back to the per-query aggregation over postings);
-      * a `def` for the same append-staleness reason as [[fuzzy]]. */
+      * [[MetaStore]]'s two-level fetch. A batch index serves its
+      * `superblocks/` stage; a SEGMENTED index serves the union of
+      * per-segment stages when every live segment carries one (rows from
+      * different segments are just more intervals — [[MetaStore]] merges
+      * them); otherwise the per-query aggregation over postings remains
+      * the fallback. A `def` for the same append-staleness reason as
+      * [[fuzzy]]. */
     def superBlocks: Option[DataFrame] =
-      if (hasSegments ||
-          !graft.index.Manifest.isCommitted(indexDir, "superblocks")) None
-      else Some(spark.read.parquet(s"$indexDir/superblocks"))
+      if (!hasSegments) {
+        if (!graft.index.Manifest.isCommitted(indexDir, "superblocks")) None
+        else Some(spark.read.parquet(s"$indexDir/superblocks"))
+      } else {
+        val live = liveSegments
+        val p = java.nio.file.Paths.get(indexDir, "superblocks")
+        if (live.isEmpty ||
+            !live.forall(s => java.nio.file.Files.exists(p.resolve(s"seg=$s")))) None
+        else Some(spark.read.option("basePath", s"$indexDir/superblocks")
+          .parquet(live.map(s => s"$indexDir/superblocks/seg=$s"): _*))
+      }
   }
 
   /** Load an index for querying. `asOfSeg` opens a SNAPSHOT read of a
@@ -329,7 +355,7 @@ object Searcher {
     // declared `types.h:70` but never implemented by the reference —
     // completed here): absent terms contribute nothing.
     val dfs: Map[String, Long] = ix.termstats
-      .filter($"term".isin(terms0: _*))
+      .filter($"term".isin((terms0 ++ exTerms).distinct: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
     if (conjunctive && terms0.exists(t => !dfs.contains(t)))
       return spark.emptyDataset[Hit]
@@ -398,7 +424,7 @@ object Searcher {
       else {
         val exBlocks = ix.postings.filter($"term".isin(exTerms: _*))
         // meta bounded by the POSITIVE candidates' coverage
-        val exMetaRaw = MetaStore.boundedRangeMeta(ix, exTerms, candidates)
+        val exMetaRaw = MetaStore.boundedRangeMeta(ix, exTerms, candidates, dfs)
         val exKeys = exMetaRaw.groupBy(_._1).iterator.flatMap { case (t, rs) =>
           val m = rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
           BlockMax.overlapping(m, candidates).iterator.map(i => (t, m(i).first))
@@ -709,9 +735,11 @@ object Searcher {
     val cands = ix.fuzzy match {
       // SymSpell stage: one bounded `del IN (...)` probe instead of a
       // dictionary scan — identical output (superset candidates, exact
-      // threshold-Levenshtein verify, same cap rule)
-      case Some((table, builtDist)) if maxDist <= builtDist =>
-        graft.index.FuzzyIndex.probe(table, term, maxDist)
+      // threshold-Levenshtein verify, same cap rule); a segmented index
+      // probes the per-segment tables and sums per-segment dfs
+      case Some((table, builtDist, segmented)) if maxDist <= builtDist =>
+        if (segmented) graft.index.FuzzyIndex.probeSegmented(table, term, maxDist)
+        else graft.index.FuzzyIndex.probe(table, term, maxDist)
       case _ =>
         ix.termstats
           .filter(abs(length($"term") - lit(term.length)) <= maxDist)
@@ -983,8 +1011,9 @@ object Searcher {
     import spark.implicits._
     if (term.isEmpty || maxSuggestions <= 0) return Nil
     val cands = ix.fuzzy match {
-      case Some((table, builtDist)) if maxDist <= builtDist =>
-        graft.index.FuzzyIndex.probe(table, term, maxDist)
+      case Some((table, builtDist, segmented)) if maxDist <= builtDist =>
+        if (segmented) graft.index.FuzzyIndex.probeSegmented(table, term, maxDist)
+        else graft.index.FuzzyIndex.probe(table, term, maxDist)
       case _ =>
         ix.termstats
           .filter(abs(length($"term") - lit(term.length)) <= maxDist)
@@ -1078,7 +1107,7 @@ object Searcher {
     // exclusion meta bounded by the positive candidates' coverage
     val exMeta =
       if (ex.isEmpty) Map.empty[String, Array[BlockMax.BlockMeta]]
-      else MetaStore.boundedRangeMeta(ix, ex, candidates)
+      else MetaStore.boundedRangeMeta(ix, ex, candidates, dfsAll)
         .groupBy(_._1).map { case (t, rs) =>
           t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
         }
@@ -1197,8 +1226,11 @@ object Searcher {
       Seq.empty[(Int, Int, Int, Double)].toDF("queryId", "rank", "docId", "score")
     val allTerms = queries.flatMap(_._2).distinct
     if (allTerms.isEmpty || k <= 0) return empty
+    // one stats fetch covers positive AND exclusion terms (the latter so
+    // the exclusion meta fetch can df-estimate its direct-path escape)
     val dfs: Map[String, Long] = ix.termstats
-      .filter($"term".isin(allTerms: _*))
+      .filter($"term".isin(
+        (allTerms ++ excludes.valuesIterator.flatten).distinct: _*))
       .select("term", "df").as[(String, Long)].collect().toMap
     val idfs = dfs.map { case (t, d) => t -> Bm25.idf(ix.nDocs, d) }
     // P2 guard: a conjunctive query is live only if EVERY term exists; a
@@ -1294,7 +1326,7 @@ object Searcher {
         // meta bounded by the union of the live queries' candidate coverage
         val exMeta: Map[String, Array[BlockMax.BlockMeta]] =
           MetaStore.boundedRangeMeta(ix, allEx,
-              MetaStore.unionIv(plans.map(_.candidates)))
+              MetaStore.unionIv(plans.map(_.candidates)), dfs)
             .groupBy(_._1).map { case (t, rs) =>
               t -> rs.sortBy(_._2).map(r => BlockMax.BlockMeta(r._2, r._3, 0, 0.0))
             }

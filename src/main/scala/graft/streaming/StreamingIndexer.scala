@@ -33,7 +33,8 @@ object StreamingIndexer {
   def appendSegment(spark: SparkSession, batch: DataFrame, indexDir: String,
                     segId: Long, partitions: Int = 8,
                     withBloom: Boolean = true,
-                    withTrigrams: Boolean = false): Unit = {
+                    withTrigrams: Boolean = false,
+                    withFuzzy: Boolean = false): Unit = {
     import spark.implicits._
     if (Manifest.isCommitted(indexDir, s"segment_$segId")) return
     if (batch.isEmpty) return
@@ -61,11 +62,28 @@ object StreamingIndexer {
     IndexBuilder.buildBlocks(spark, flat, segDocs, partitions)
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/postings/seg=$segId")
 
-    // per-segment term stats from block metadata only (df = Σn, cf = ΣsumTf)
-    spark.read.parquet(s"$indexDir/postings/seg=$segId")
+    // per-segment coarse super-block rows first (absolute docIds: the
+    // reader merges rows across segments — [[Searcher.superBlocks]] serves
+    // MetaStore's two-level fetch on streamed indexes once every live
+    // segment carries the stage), then term stats summed from the
+    // ~16x-smaller coarse stage — the same one-metadata-scan chain as the
+    // batch build
+    IndexBuilder.superBlockRows(
+        spark.read.parquet(s"$indexDir/postings/seg=$segId"),
+        math.max(1, partitions / 4))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$indexDir/superblocks/seg=$segId")
+    spark.read.parquet(s"$indexDir/superblocks/seg=$segId")
       .groupBy("term")
-      .agg(sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
+      .agg(sum($"df").cast("long").as("df"), sum($"cf").cast("long").as("cf"))
       .write.mode("overwrite").option("compression", "zstd").parquet(s"$indexDir/termstats/seg=$segId")
+
+    // per-segment SymSpell delete table (fuzzy probes over streamed
+    // indexes, [[graft.index.FuzzyIndex.probeSegmented]]); opt-in like
+    // trigrams — the explode is ~|segment vocab|·(1+L+L²/2) rows, a real
+    // ingest cost a latency-first deployment may defer to compaction
+    if (withFuzzy)
+      graft.index.FuzzyIndex.buildSegmentStage(spark, indexDir, segId)
 
     // per-segment bloom store (map-only over the segment's docs, same shape
     // as the batch build's Bloom.buildStage)
@@ -211,9 +229,14 @@ object StreamingIndexer {
     IndexBuilder.buildBlocks(spark, flatTyped, total, partitions)
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$indexDir/postings/seg=$newSeg")
-    spark.read.parquet(s"$indexDir/postings/seg=$newSeg")
+    IndexBuilder.superBlockRows(
+        spark.read.parquet(s"$indexDir/postings/seg=$newSeg"),
+        math.max(1, partitions / 4))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$indexDir/superblocks/seg=$newSeg")
+    spark.read.parquet(s"$indexDir/superblocks/seg=$newSeg")
       .groupBy("term")
-      .agg(sum($"n").cast("long").as("df"), sum($"sumTf").cast("long").as("cf"))
+      .agg(sum($"df").cast("long").as("df"), sum($"cf").cast("long").as("cf"))
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$indexDir/termstats/seg=$newSeg")
     srcStore.drop("seg")
@@ -254,6 +277,18 @@ object StreamingIndexer {
       triRows.write.mode("overwrite").option("compression", "zstd")
         .parquet(s"$indexDir/trigrams/seg=$newSeg")
     }
+    // fuzzy delete tables are NOT merge-invariant (per-segment dfs would
+    // double-count and tombstone reclaim re-baselines df): rebuild from
+    // the new segment's termstats whenever any source segment carried a
+    // table, at the widest distance any source covered — exact regardless
+    // of mixed source coverage, and it upgrades a partially-covered index
+    // to fully-covered at the settle point
+    locally {
+      val srcDists = segs.map(s => graft.index.FuzzyIndex.segMaxDist(indexDir, s))
+        .filter(_ > 0)
+      if (srcDists.nonEmpty)
+        graft.index.FuzzyIndex.buildSegmentStage(spark, indexDir, newSeg, srcDists.max)
+    }
 
     // atomic publish: new segment manifest in, source manifests out,
     // then physical cleanup of the retired directories. docs/docsAfter
@@ -279,7 +314,8 @@ object StreamingIndexer {
         srcStoreAll.select("docId"))
     segs.foreach { s =>
       // "doclen" covers legacy segments written before lengths moved inline
-      Seq("postings", "doclen", "termstats", "docstore", "bloom", "trigrams").foreach { st =>
+      Seq("postings", "doclen", "termstats", "docstore", "bloom", "trigrams",
+          "superblocks", "fuzzy").foreach { st =>
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(s"$indexDir/$st/seg=$s"))
       }

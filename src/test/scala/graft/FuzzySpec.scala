@@ -94,6 +94,66 @@ class FuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       Searcher.expandFuzzy(engB.ix, "par", 2, 16))
   }
 
+  test("streamed segments carry SymSpell: probe parity, compact rebuilds") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("part", "park", "pair", "par", "parse", "spar",
+      "return", "retorn", "retain")
+    def df(lo: Int, hi: Int) = (lo until hi).map { i =>
+      ("r0", f"p$i%04d", "c0", "txt",
+        (words.take(3 + i % 7) :+ s"unique$i").mkString(" "))
+    }.toDF("repo", "path", "commit", "lang", "content")
+    val dirS = java.nio.file.Files.createTempDirectory("graft_fz_s").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_fz_sb").toString
+    try {
+      graft.streaming.StreamingIndexer.appendSegment(spark, df(0, 150), dirS,
+        segId = 0, partitions = 2, withBloom = false, withFuzzy = true)
+      graft.streaming.StreamingIndexer.appendSegment(spark, df(150, 300), dirS,
+        segId = 1, partitions = 2, withBloom = false, withFuzzy = true)
+      // same corpus, batch, dictionary-scan fallback (no fuzzy stage)
+      Engine.build(spark, df(0, 300), dirB, partitions = 2, withBloom = false)
+      val ixS = Searcher.load(spark, dirS)
+      val ixB = Searcher.load(spark, dirB)
+      // the segmented probe path is live (all-or-nothing gate passes)
+      assert(ixS.fuzzy.exists(_._3), "expected the segmented SymSpell stage")
+      assert(ixB.fuzzy.isEmpty)
+      for (q <- Seq("par", "retur", "parse", "zzz", "p"); d <- Seq(1, 2)) {
+        assert(Searcher.expandFuzzy(ixS, q, d, 16) ==
+          Searcher.expandFuzzy(ixB, q, d, 16), s"expandFuzzy($q,$d)")
+        assert(Searcher.suggest(ixS, q, d, 3) ==
+          Searcher.suggest(ixB, q, d, 3), s"suggest($q,$d)")
+      }
+      // a segment WITHOUT a table disables the gate (fallback stays exact)
+      graft.streaming.StreamingIndexer.appendSegment(spark,
+        df(300, 320), dirS, segId = 2, partitions = 2, withBloom = false)
+      val ixPartial = Searcher.load(spark, dirS)
+      assert(ixPartial.fuzzy.isEmpty, "partial coverage must gate off")
+      assert(Searcher.expandFuzzy(ixPartial, "par", 2, 16).nonEmpty)
+      // compact rebuilds the table for the merged segment (settle point
+      // upgrade: partial -> fully covered), with scan parity and no
+      // stale per-segment fuzzy dirs left behind
+      graft.streaming.StreamingIndexer.compact(spark, dirS, partitions = 2)
+      val ixC = Searcher.load(spark, dirS)
+      assert(ixC.fuzzy.exists(_._3), "compact must rebuild the fuzzy stage")
+      val fzDirs = new java.io.File(dirS, "fuzzy").listFiles()
+        .count(_.getName.startsWith("seg="))
+      assert(fzDirs == 1, s"stale fuzzy segment dirs after compact: $fzDirs")
+      // scan parity on the compacted index: gate the stage off by marker
+      val marker = java.nio.file.Paths.get(dirS, "fuzzy",
+        s"seg=${graft.streaming.StreamingIndexer.committedSegments(dirS).max}",
+        "_maxdist")
+      val saved = java.nio.file.Files.readString(marker)
+      java.nio.file.Files.delete(marker)
+      val ixScan = Searcher.load(spark, dirS)
+      assert(ixScan.fuzzy.isEmpty)
+      java.nio.file.Files.writeString(marker, saved)
+      for (q <- Seq("par", "retur", "parse", "uniqu"); d <- Seq(1, 2))
+        assert(Searcher.expandFuzzy(ixC, q, d, 16) ==
+          Searcher.expandFuzzy(ixScan, q, d, 16), s"compacted($q,$d)")
+    } finally Seq(dirS, dirB).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
   test("text-analyzer index: stemmed search differential vs oracle") {
     val s = spark
     import s.implicits._
@@ -165,5 +225,52 @@ class FuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(lens(5) == graft.core.Tokenizer.tokenizeText(bodies(5)).length)
       assert(lens(0) == 5) // customer queri fall behind tabl
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dirT))
+  }
+
+  test("folded index: html_strip + asciifolding differential vs ascii twin") {
+    val s = spark
+    import s.implicits._
+    // unit kernels first: the fold table and the char filter
+    import graft.core.Tokenizer
+    assert(Tokenizer.foldAscii("café straße cœur þing") == "cafe strasse coeur thing")
+    assert(Tokenizer.stripHtml("a <b>x</b> &eacute;t&eacute; &amp;lt; 1<2") ==
+      "a  x  été &lt; 1<2") // unclosed < literal; &amp;lt; decodes ONCE
+    // accented docs with markup vs their hand-folded ascii twins: the
+    // folded engine over A must score EXACTLY like the plain text engine
+    // over B (same surviving tokens, same positions, same norms)
+    val aBodies = Seq(
+      "the <b>Caf&eacute;'s</b> naïve résumé",
+      "cafés and façade <p>cliché</p>",
+      "straße cœur value",
+      "plain ascii tokens only")
+    val bBodies = Seq(
+      "the cafe's naive resume",
+      "cafes and facade cliche",
+      "strasse coeur value",
+      "plain ascii tokens only")
+    val dirA = java.nio.file.Files.createTempDirectory("graft_fold_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_fold_b").toString
+    def corpus(bodies: Seq[String]) = bodies.zipWithIndex.map { case (b, i) =>
+      ("r0", f"p$i%04d", "c0", "txt", b)
+    }.toDF("repo", "path", "commit", "lang", "content")
+    try {
+      val engA = Engine.build(spark, corpus(aBodies), dirA, partitions = 2,
+        textAnalyzer = true, textFold = true)
+      val engB = Engine.build(spark, corpus(bBodies), dirB, partitions = 2,
+        textAnalyzer = true)
+      for (q <- Seq("cafe", "cafes resume", "strasse", "coeur", "facade cliche",
+                    "plain token")) {
+        val terms = Engine.analyzeText(q, fold = true)
+        assert(terms == Engine.analyzeText(q), s"ascii query analyzes equal: $q")
+        val a = Searcher.search(engA.ix, terms, 10).collect().map(h => (h.docId, h.score)).toSeq
+        val b = Searcher.search(engB.ix, terms, 10).collect().map(h => (h.docId, h.score)).toSeq
+        assert(a == b, s"query '$q': folded=$a asciiTwin=$b")
+        assert(q != "cafe" || a.nonEmpty) // the accented doc IS found via ascii
+      }
+      // an accented, html-wrapped QUERY folds to the same terms
+      assert(Engine.analyzeText("<i>Caf&eacute;s</i> r&eacute;sum&eacute;", fold = true) ==
+        Engine.analyzeText("cafes resume"))
+    } finally Seq(dirA, dirB).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 }

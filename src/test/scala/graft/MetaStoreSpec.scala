@@ -146,4 +146,96 @@ class MetaStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
         MetaStore.lastFetchDiag.fineRows == 0)
     } finally spark.conf.unset("spark.graft.meta.directRows")
   }
+
+  test("two-level exclusion meta: fine rows scale with coverage overlap") {
+    val s = spark
+    import s.implicits._
+    // "pos" hot over docs 0..2063, "exl" hot over docs 2048..4095 — the
+    // true overlap is the 16-doc strip [2048, 2063]
+    val corpus = (0 until 4096).map { i =>
+      val pos = if (i < 2064) " pos" else ""
+      val exl = if (i >= 2048) " exl" else ""
+      ("r0", f"p$i%05d", "c0", "txt", s"base$pos$exl filler$i")
+    }.toDF("repo", "path", "commit", "lang", "content")
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_ex").toString
+    spark.conf.set("spark.graft.meta.directRows", "0")
+    spark.conf.set("spark.graft.meta.superSpan", "128")
+    try {
+      Engine.build(spark, corpus, dir, partitions = 4, withBloom = false)
+      val ix = Searcher.load(spark, dir)
+      val hits = Searcher.search(ix, Seq("pos"), 2100,
+        excludeTerms = Seq("exl")).collect()
+      assert(hits.nonEmpty && hits.forall(_.docId < 2048),
+        "NOT must drop every doc carrying exl")
+      assert(hits.map(_.docId).toSet == (0 until 2048).toSet)
+      val d = MetaStore.lastExclDiag
+      assert(d.twoLevel, s"expected the two-level exclusion fetch: $d")
+      // exl owns ~16 blocks (2048 docs / 128); only the ~1 block touching
+      // the 16-doc overlap strip may ship
+      assert(d.fineRows > 0 && d.fineRows <= 3,
+        s"exclusion meta not overlap-bounded: $d")
+      assert(d.coarseRows > 0)
+      // disjoint coverages: no fine fetch at all, NOT degenerates to a no-op
+      val hits2 = Searcher.search(ix, Seq("filler17"), 5,
+        excludeTerms = Seq("exl")).collect()
+      assert(hits2.map(_.docId).toSeq == Seq(17))
+      val d2 = MetaStore.lastExclDiag
+      assert(d2.twoLevel && d2.fineRows == 0,
+        s"disjoint exclusion should skip the fine fetch: $d2")
+    } finally {
+      spark.conf.unset("spark.graft.meta.directRows")
+      spark.conf.unset("spark.graft.meta.superSpan")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("streamed segments carry superblocks: coarse fetch served, results exact") {
+    val s = spark
+    import s.implicits._
+    def df(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val rare = if (i >= 1024 && i < 1040) " rare" else ""
+      ("r0", f"p$i%05d", "c0", "txt", s"hot$rare filler$i")
+    }.toDF("repo", "path", "commit", "lang", "content")
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_seg").toString
+    try {
+      graft.streaming.StreamingIndexer.appendSegment(spark, df(0, 2048), dir,
+        segId = 0, partitions = 4, withBloom = false)
+      graft.streaming.StreamingIndexer.appendSegment(spark, df(2048, 4096), dir,
+        segId = 1, partitions = 4, withBloom = false)
+      val ix = Searcher.load(spark, dir)
+      assert(ix.superBlocks.isDefined,
+        "streamed appends must serve the per-segment superblocks stage")
+      // stage rows soundly cover the union of both segments' fine blocks
+      val sb = ix.superBlocks.get.select("term", "lo", "hi")
+        .as[(String, Int, Int)].collect().groupBy(_._1)
+      val fine = ix.postings.select("term", "firstDocId", "lastDocId")
+        .as[(String, Int, Int)].collect().groupBy(_._1)
+      assert(sb.keySet == fine.keySet)
+      fine.foreach { case (t, blocks) =>
+        val cover = sb(t).map(r => (r._2, r._3))
+        blocks.foreach { case (_, lo, _) =>
+          assert(cover.exists(c => c._1 <= lo && lo <= c._2),
+            s"block start $lo of $t uncovered by segment superblocks")
+        }
+      }
+      // two-level plan over the streamed index reads the stage (coarse
+      // rows present, fine rows overlap-bounded) and matches the direct plan
+      val base = Searcher.search(ix, Seq("hot", "rare"), 5).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      spark.conf.set("spark.graft.meta.directRows", "0")
+      val ix2 = Searcher.load(spark, dir)
+      val got = Searcher.search(ix2, Seq("hot", "rare"), 5).collect()
+        .map(h => (h.docId, h.score)).toSeq
+      val diag = MetaStore.lastFetchDiag
+      assert(diag.twoLevel && diag.coarseRows > 0)
+      assert(got == base)
+      // a segment missing the stage gates the union off (fallback agg)
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$dir/superblocks/seg=1"))
+      assert(Searcher.load(spark, dir).superBlocks.isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.meta.directRows")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
