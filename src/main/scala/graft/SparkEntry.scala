@@ -2304,6 +2304,33 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    // REAL JPEG decode: complete baseline files (Annex-K Huffman tables,
+    // byte-stuffed entropy-coded scan, 4:4:4 YCbCr) synthesized per id and
+    // decoded by Multimodal.decodeJpeg — Huffman walk, DC prediction,
+    // dezigzag, dequant, fixed-point IDCT, and integer YCbCr→RGB all gate
+    // this row. The oracle recomputes every pixel from the generator's
+    // coefficient formulas through the SAME shared integer IDCT table and
+    // color constants, so a table, shift, or predictor bug is a hash
+    // mismatch
+    "mm_decode_jpeg" -> { (s, dir) =>
+      import s.implicits._
+      docs(s, dir).select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val img = Multimodal.decodeJpeg(Multimodal.syntheticJpeg(id)).get
+          var sr = 0L; var sg = 0L; var sb = 0L
+          img.pixels.foreach { p =>
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          }
+          val n = img.width.toLong * img.height
+          (id, img.width.toLong, img.height.toLong,
+            sr * 1000000L / n, sg * 1000000L / n, sb * 1000000L / n,
+            Multimodal.thumbnailGray(img, 4, 4).mkString(","))
+        }
+        .toDF("media_id", "width", "height", "mean_r_micro", "mean_g_micro",
+          "mean_b_micro", "thumb_gray4")
+        .orderBy("media_id")
+    },
+
     // REAL audio decode: 16-bit PCM WAV files decoded to samples
     // (RIFF chunk walk + sign-extended little-endian s16), graded on
     // sample count, energy (exact integer sum of squares) and peak
@@ -4112,6 +4139,46 @@ object SparkEntry {
          | array_to_string(list_transform(range(0, 16), i ->
          |   (299 * (${at(r)}) + 587 * (${at(g)}) + 114 * (${at(b)})) // 1000), ',') thumb_gray4
          |FROM d ORDER BY media_id""".stripMargin
+    },
+
+    // decoded-JPEG oracle: one 8×8 MCU whose only nonzero coefficients are
+    // the generator's dc/a1/a2/a5 formulas; each pixel restated through the
+    // SAME shared fixed-point IDCT table (Multimodal.JpegCos — embedded as
+    // literals below, machine-generated) and libjpeg color constants, with
+    // arithmetic >> (floor) on both sides
+    "mm_decode_jpeg" -> {
+      val c0 = graft.ops.Multimodal.JpegCos(0)(0)
+      def btLit(u: Int) =
+        "[" + (0 until 8).map(x => graft.ops.Multimodal.JpegCos(x)(u)).mkString(", ") + "]"
+      def cl(e: String) = s"greatest(0, least(255, $e))"
+      // component value at (x, y): 4-term IDCT closed form + level shift
+      def valc(c: Int, xe: String, ye: String) = {
+        val dcq = s"(((doc_id * ${3 + c} + $c) % 128 - 64) * 8)"
+        val a1q = s"(((doc_id + ${5 * c}) % 15 - 7) * 16)"
+        val a2q = s"(((5 * doc_id + ${3 * c}) % 13 - 6) * 16)"
+        val a5q = s"(((3 * doc_id + ${7 * c}) % 11 - 5) * 16)"
+        val acc = s"($c0 * $c0 * $dcq + $c0 * (bt1[($xe) + 1] * $a1q + " +
+          s"bt2[($xe) + 1] * $a5q + bt1[($ye) + 1] * $a2q))"
+        cl(s"((($acc + 33554432) >> 26) + 128)")
+      }
+      def rgb(xe: String, ye: String): (String, String, String) = {
+        val yv = valc(0, xe, ye); val cb = valc(1, xe, ye); val cr = valc(2, xe, ye)
+        (cl(s"$yv + ((91881 * ($cr - 128) + 32768) >> 16)"),
+          cl(s"$yv - ((22554 * ($cb - 128) + 46802 * ($cr - 128) + 32768) >> 16)"),
+          cl(s"$yv + ((116130 * ($cb - 128) + 32768) >> 16)"))
+      }
+      def sum2(e: String) =
+        s"list_sum(flatten(list_transform(range(0, 8), x -> list_transform(range(0, 8), y -> $e))))"
+      val (r, g, b) = rgb("x", "y")
+      val (rt, gt, bt) = rgb("(i % 4) * 2", "(i // 4) * 2")
+      s"""WITH bts AS (SELECT ${btLit(1)} bt1, ${btLit(2)} bt2)
+         |SELECT doc_id media_id, 8::BIGINT width, 8::BIGINT height,
+         | (${sum2(r)} * 1000000 // 64)::BIGINT mean_r_micro,
+         | (${sum2(g)} * 1000000 // 64)::BIGINT mean_g_micro,
+         | (${sum2(b)} * 1000000 // 64)::BIGINT mean_b_micro,
+         | array_to_string(list_transform(range(0, 16), i ->
+         |   (299 * ($rt) + 587 * ($gt) + 114 * ($bt)) // 1000), ',') thumb_gray4
+         |FROM documents, bts ORDER BY media_id""".stripMargin
     },
 
     // decoded-WAV oracle: sample i = (id*31 + i*17) % 4001 - 2000 over

@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * batch-wise in `mapPartitions` (the Scala analog of `mapInPandas` batch
   * UDFs — one buffer per batch, vectorizable library calls inside).
   *
-  * The actual media decode is STUBBED (no image/audio libs in this
-  * container): `decodeStub` produces a deterministic fake
-  * (width/height/frames derived from payload bytes), clearly marked. The
-  * Spark-side plumbing — schema, batching, partition sizing, output shape —
-  * is real and tested; swapping the stub for a real JNI/FFI decoder is a
-  * one-function change.
+  * Image decode is REAL for BMP / PNG / baseline JPEG (pure-JVM parsers
+  * below, each gated by an oracle-checked graded row); audio PCM decode is
+  * real for WAV. Only video frame extraction and non-baseline/compressed
+  * audio remain behind `decodeStub` (no ffmpeg in this container), clearly
+  * marked. The Spark-side plumbing — schema, batching, partition sizing,
+  * output shape — is real and tested; swapping the stub for a JNI/FFI
+  * decoder is a one-function change.
   */
 object Multimodal {
 
@@ -341,15 +342,16 @@ object Multimodal {
   // -------- REAL codec decode (pure JVM, no media libraries) --------
   //
   // The decode gap closes where the formats allow it: uncompressed 24-bit
-  // BMP, 16-bit PCM WAV, and (via the JDK's zlib) non-interlaced 8-bit PNG
-  // are fully decodable without media libraries. The graded queries
-  // synthesize complete FILES (headers + pixel / sample data, including
-  // BMP's 4-byte row padding and PNG's per-row filters + chunk CRCs),
-  // decode them with the real parsers below, and the DuckDB oracle
-  // recomputes the expected content from the generator formulas — so a
-  // padding, row-order, filter, or endianness bug in the decoder is a
-  // correctness failure, not a stub detail. Only JPEG's entropy-coded
-  // pixel data stays out of scope (decodeStub, honestly labeled).
+  // BMP, 16-bit PCM WAV, (via the JDK's zlib) non-interlaced 8-bit PNG,
+  // and baseline sequential JPEG (ITU-T T.81 — Huffman entropy decode +
+  // dequant + fixed-point IDCT, below) are fully decodable without media
+  // libraries. The graded queries synthesize complete FILES (headers +
+  // pixel / sample / entropy-coded data, including BMP's 4-byte row
+  // padding, PNG's per-row filters + chunk CRCs, and JPEG's
+  // byte-stuffed Huffman scan), decode them with the real parsers below,
+  // and the DuckDB oracle recomputes the expected content from the
+  // generator formulas — so a padding, row-order, filter, Huffman, or
+  // IDCT bug in the decoder is a correctness failure, not a stub detail.
 
   /** Decoded image: row-major, top-down; pixel = 0xRRGGBB. */
   final case class Image(width: Int, height: Int, pixels: Array[Int])
@@ -623,6 +625,444 @@ object Multimodal {
       i += 1
     }
     Some(Pcm(rate, channels, samples))
+  }
+
+  // -------- baseline JPEG (ITU-T T.81, public spec; pure JVM) --------
+  //
+  // Sequential baseline DCT, 8-bit, Huffman-coded, single scan: full
+  // marker walk (APPn/COM/DQT/DHT/SOF0/DRI/SOS), byte-unstuffed bit
+  // reading with RST handling, canonical Huffman decode (T.81 F.16
+  // mincode/maxcode/valptr), DC prediction + receive/extend, dezigzag,
+  // dequant, and a FIXED-POINT IDCT over the shared [[JpegCos]] table —
+  // T.81 permits any conforming IDCT approximation; fixing the integer
+  // table makes decode output exactly replayable by the DuckDB oracle
+  // (the mm_decode_jpeg twin embeds the SAME table + shifts). Scope:
+  // 4:4:4 YCbCr or grayscale, no progressive, no subsampling — other
+  // shapes return None rather than guessing, same contract as PNG/BMP.
+
+  /** Zigzag order: index k → natural position (row·8 + col). */
+  private[ops] val JpegZigzag: Array[Int] = {
+    val out = new Array[Int](64)
+    var k = 0
+    var d = 0
+    while (d < 15) { // anti-diagonals; even d runs up-right, odd down-left
+      val cells = (math.max(0, d - 7) to math.min(7, d)).map(r => (r, d - r))
+      val run = if (d % 2 == 0) cells.reverse else cells
+      run.foreach { case (r, c) => out(k) = r * 8 + c; k += 1 }
+      d += 1
+    }
+    out
+  }
+
+  /** Fixed-point IDCT basis: JpegCos(x)(u) = round(Cu·cos((2x+1)uπ/16)·4096),
+    * Cu = 1/√2 for u = 0 else 1. s(y,x) = (Σ_u Σ_v cos(x)(u)·cos(y)(v)·
+    * Fq(v,u) + 2^25) >> 26, then +128, clamped — the 1/4 of the IDCT and
+    * the two 2^12 table scales fold into one arithmetic shift (floor
+    * semantics on BOTH sides: Scala `>>` and DuckDB `>>`). */
+  val JpegCos: Array[Array[Int]] = Array.tabulate(8, 8) { (x, u) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    math.round(cu * math.cos((2 * x + 1) * u * math.Pi / 16.0) * 4096.0).toInt
+  }
+
+  /** Integer JFIF YCbCr→RGB (libjpeg's public fixed-point constants,
+    * 2^16 scale, arithmetic-shift rounding — shared with the oracle). */
+  @inline private[ops] def yccToRgb(yv: Int, cb: Int, cr: Int): Int = {
+    @inline def cl(v: Int) = if (v < 0) 0 else if (v > 255) 255 else v
+    val r = cl(yv + ((91881 * (cr - 128) + 32768) >> 16))
+    val g = cl(yv - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16))
+    val b = cl(yv + ((116130 * (cb - 128) + 32768) >> 16))
+    (r << 16) | (g << 8) | b
+  }
+
+  private final class JpegBitReader(p: Array[Byte], var off: Int) {
+    private var acc = 0L
+    private var nBits = 0
+    /** True if positioned at an RST marker (consumes it). */
+    def atRestart: Boolean = {
+      if (nBits >= 8) return false // buffered data pending
+      if (off + 1 < p.length && (p(off) & 0xff) == 0xff) {
+        val m = p(off + 1) & 0xff
+        if (m >= 0xd0 && m <= 0xd7) { off += 2; acc = 0L; nBits = 0; return true }
+      }
+      false
+    }
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (off >= p.length) throw new java.io.EOFException
+        val b = p(off) & 0xff
+        off += 1
+        if (b == 0xff) {
+          val n = if (off < p.length) p(off) & 0xff else -1
+          if (n == 0x00) off += 1 // stuffed byte
+          else throw new java.io.EOFException // marker: scan data exhausted
+        }
+        acc = b.toLong; nBits = 8
+      }
+      nBits -= 1
+      ((acc >> nBits) & 1L).toInt
+    }
+    def bits(n: Int): Int = { var v = 0; var i = 0; while (i < n) { v = (v << 1) | bit(); i += 1 }; v }
+  }
+
+  /** Canonical Huffman decode tables from a DHT (BITS + HUFFVAL). */
+  private final class JpegHuff(bitsArr: Array[Int], vals: Array[Int]) {
+    // T.81 F.16: mincode/maxcode/valptr per code length
+    private val minCode = new Array[Int](17)
+    private val maxCode = Array.fill(17)(-1)
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bitsArr(l - 1)
+        k += bitsArr(l - 1)
+        maxCode(l) = if (bitsArr(l - 1) > 0) code - 1 else -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(in: JpegBitReader): Int = {
+      var code = 0
+      var l = 0
+      while (l < 16) {
+        code = (code << 1) | in.bit()
+        l += 1
+        if (maxCode(l) >= 0 && code <= maxCode(l) && code >= minCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+      }
+      throw new java.io.EOFException // invalid code
+    }
+  }
+
+  /** Decode a baseline sequential JPEG (see section comment for scope).
+    * Corrupt or out-of-scope input → None, never garbage or a hang. */
+  def decodeJpeg(p: Array[Byte]): Option[Image] = try {
+    def u8(i: Int) = p(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    val quant = new Array[Array[Int]](4) // natural order
+    val huffDc = new Array[JpegHuff](4)
+    val huffAc = new Array[JpegHuff](4)
+    var w = 0; var h = 0
+    var comps: Array[(Int, Int, Int, Int)] = null // (id, hSamp, vSamp, tq)
+    var restartInterval = 0
+    var off = 2
+    var scanOff = -1
+    var scanSel: Array[(Int, Int, Int)] = null // (compIdx, td, ta)
+    while (scanOff < 0) {
+      if (off + 4 > p.length) return None
+      if (u8(off) != 0xff) return None
+      val m = u8(off + 1)
+      val len = be16(off + 2)
+      val seg = off + 4
+      m match {
+        case 0xdb => // DQT: one or more tables, 8-bit precision only
+          var q = seg
+          while (q < off + 2 + len) {
+            val pq = u8(q) >> 4; val tq = u8(q) & 15
+            if (pq != 0 || tq > 3 || q + 65 > p.length) return None
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(JpegZigzag(i)) = u8(q + 1 + i); i += 1 }
+            quant(tq) = t
+            q += 65
+          }
+        case 0xc4 => // DHT: one or more tables
+          var q = seg
+          while (q < off + 2 + len) {
+            val tc = u8(q) >> 4; val th = u8(q) & 15
+            if (tc > 1 || th > 3) return None
+            val bitsArr = Array.tabulate(16)(i => u8(q + 1 + i))
+            val n = bitsArr.sum
+            if (q + 17 + n > p.length) return None
+            val vals = Array.tabulate(n)(i => u8(q + 17 + i))
+            val t = new JpegHuff(bitsArr, vals)
+            if (tc == 0) huffDc(th) = t else huffAc(th) = t
+            q += 17 + n
+          }
+        case 0xc0 => // SOF0 baseline
+          if (u8(seg) != 8) return None // bit depth
+          h = be16(seg + 1); w = be16(seg + 3)
+          val nc = u8(seg + 5)
+          if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+          if (nc != 1 && nc != 3) return None
+          comps = Array.tabulate(nc) { i =>
+            val b = seg + 6 + 3 * i
+            (u8(b), u8(b + 1) >> 4, u8(b + 1) & 15, u8(b + 2))
+          }
+          if (comps.exists(c => c._2 != 1 || c._3 != 1)) return None // 4:4:4 only
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+             0xcd | 0xce | 0xcf =>
+          return None // non-baseline SOF
+        case 0xdd => restartInterval = be16(seg)
+        case 0xda => // SOS
+          if (comps == null) return None
+          val ns = u8(seg)
+          if (ns != comps.length) return None
+          scanSel = Array.tabulate(ns) { i =>
+            val cid = u8(seg + 1 + 2 * i)
+            val ci = comps.indexWhere(_._1 == cid)
+            if (ci < 0) return None
+            (ci, u8(seg + 2 + 2 * i) >> 4, u8(seg + 2 + 2 * i) & 15)
+          }
+          scanOff = off + 2 + len
+        case 0xd9 => return None // EOI before any scan
+        case _ => // APPn / COM / others: skip
+      }
+      if (m != 0xda) off += 2 + len
+    }
+    val nc = comps.length
+    val mcuX = (w + 7) / 8
+    val mcuY = (h + 7) / 8
+    // per-component full-resolution sample planes (4:4:4 — one block each)
+    val planes = Array.fill(nc)(new Array[Int](mcuX * 8 * mcuY * 8))
+    val pred = new Array[Int](nc)
+    val in = new JpegBitReader(p, scanOff)
+    val coef = new Array[Int](64)
+    var mcu = 0
+    val nMcu = mcuX * mcuY
+    while (mcu < nMcu) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        if (!in.atRestart) return None
+        java.util.Arrays.fill(pred, 0)
+      }
+      var c = 0
+      while (c < nc) {
+        val (ci, td, ta) = scanSel(c)
+        val qt = quant(comps(ci)._4)
+        if (qt == null || huffDc(td) == null || huffAc(ta) == null) return None
+        java.util.Arrays.fill(coef, 0)
+        // DC
+        val s = huffDc(td).decode(in)
+        val diff = if (s == 0) 0 else extend(in.bits(s), s)
+        pred(ci) += diff
+        coef(0) = pred(ci) * qt(0)
+        // AC
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val rs = huffAc(ta).decode(in)
+          val r = rs >> 4; val sz = rs & 15
+          if (sz == 0) {
+            if (r == 15) k += 16 else eob = true // ZRL vs EOB
+          } else {
+            k += r
+            if (k > 63) return None
+            coef(JpegZigzag(k)) = extend(in.bits(sz), sz) * qt(JpegZigzag(k))
+            k += 1
+          }
+        }
+        // fixed-point IDCT into the component plane
+        val plane = planes(ci)
+        val bx = (mcu % mcuX) * 8
+        val by = (mcu / mcuX) * 8
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            var acc = 0L
+            var v = 0
+            while (v < 64) {
+              val f = coef(v)
+              if (f != 0)
+                acc += JpegCos(x)(v & 7).toLong * JpegCos(y)(v >> 3) * f
+              v += 1
+            }
+            val sVal = ((acc + (1L << 25)) >> 26).toInt + 128
+            plane((by + y) * mcuX * 8 + bx + x) =
+              if (sVal < 0) 0 else if (sVal > 255) 255 else sVal
+            x += 1
+          }
+          y += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    val px = new Array[Int](w * h)
+    val stride = mcuX * 8
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = y * stride + x
+        px(y * w + x) =
+          if (nc == 1) { val g = planes(0)(i); (g << 16) | (g << 8) | g }
+          else yccToRgb(planes(0)(i), planes(1)(i), planes(2)(i))
+        x += 1
+      }
+      y += 1
+    }
+    Some(Image(w, h, px))
+  } catch { case _: java.io.EOFException | _: ArrayIndexOutOfBoundsException => None }
+
+  /** T.81 receive/extend: an `s`-bit amplitude with a 0 top bit encodes a
+    * negative value. */
+  @inline private def extend(v: Int, s: Int): Int =
+    if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  // Annex K.3 typical Huffman tables (public spec tables): (BITS, HUFFVAL)
+  private val KDcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val KDcLumaVals = (0 to 11).toArray
+  private val KDcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val KDcChromaVals = (0 to 11).toArray
+  private val KAcLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val KAcLumaVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+  private val KAcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val KAcChromaVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  private final class JpegBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 convention). */
+    def flush(): Array[Byte] = {
+      if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+      out.toByteArray
+    }
+  }
+
+  /** Canonical (code, len) pairs for an Annex-K (BITS, HUFFVAL) pair. */
+  private def huffCodes(bitsArr: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bitsArr(l - 1)) { m(vals(k)) = (code, l); code += 1; k += 1; i += 1 }
+      code <<= 1
+      l += 1
+    }
+    m.toMap
+  }
+
+  /** Synthetic-JPEG quant table in natural order: DC 8, AC 16 (written in
+    * zigzag order in the DQT, table id 0, used by all components). */
+  private[ops] val JpegSynQuant: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+
+  /** Per-(id, component) synthetic coefficients (zigzag positions
+    * 0, 1, 2, 5; all others zero) — the formulas the oracle restates:
+    * dc = (id·(3+c) + c) % 128 − 64, a1 = (id + 5c) % 15 − 7,
+    * a2 = (5·id + 3c) % 13 − 6, a5 = (3·id + 7c) % 11 − 5. */
+  private[ops] def jpegSynCoefs(id: Long, c: Int): (Int, Int, Int, Int) = (
+    ((id * (3 + c) + c) % 128 - 64).toInt,
+    ((id + 5 * c) % 15 - 7).toInt,
+    ((5 * id + 3 * c) % 13 - 6).toInt,
+    ((3 * id + 7 * c) % 11 - 5).toInt)
+
+  /** Complete synthetic baseline JPEG for `id`: one 8×8 MCU, 4:4:4 YCbCr,
+    * Annex-K typical Huffman tables, quant [[JpegSynQuant]], per-component
+    * coefficients [[jpegSynCoefs]]. The scan is REALLY entropy-coded
+    * (categories, run-lengths, EOB, byte stuffing), so the decoder's
+    * Huffman walk, DC prediction, dezigzag, dequant, and IDCT all gate
+    * the graded row. */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff)
+      body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    // DQT table 0 (zigzag order = natural here for a flat-AC table)
+    seg(0xdb, 0 +: Array.tabulate(64)(i => JpegSynQuant(JpegZigzag(i))))
+    // SOF0: 8-bit, 8x8, 3 components 1x1, all quant table 0
+    seg(0xc0, Array(8, 0, 8, 0, 8, 3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    // DHT: DC0, AC0 (luma), DC1, AC1 (chroma)
+    seg(0xc4, (0x00 +: (KDcLumaBits ++ KDcLumaVals)) ++
+      (0x10 +: (KAcLumaBits ++ KAcLumaVals)) ++
+      (0x01 +: (KDcChromaBits ++ KDcChromaVals)) ++
+      (0x11 +: (KAcChromaBits ++ KAcChromaVals)))
+    // SOS: Y uses tables 0/0, Cb and Cr 1/1
+    seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0))
+    val dcL = huffCodes(KDcLumaBits, KDcLumaVals)
+    val acL = huffCodes(KAcLumaBits, KAcLumaVals)
+    val dcC = huffCodes(KDcChromaBits, KDcChromaVals)
+    val acC = huffCodes(KAcChromaBits, KAcChromaVals)
+    val bw = new JpegBitWriter
+    def size(v: Int): Int = { var s = 0; var a = math.abs(v); while (a > 0) { s += 1; a >>= 1 }; s }
+    def amp(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
+    var c = 0
+    while (c < 3) {
+      val (dc, a1, a2, a5) = jpegSynCoefs(id, c)
+      val (dcT, acT) = if (c == 0) (dcL, acL) else (dcC, acC)
+      // DC (first and only MCU: prediction base 0, diff = dc)
+      val sD = size(dc)
+      val (cd, ld) = dcT(sD)
+      bw.put(cd, ld)
+      if (sD > 0) bw.put(amp(dc, sD), sD)
+      // AC run-length walk over zigzag 1..63
+      val zz = new Array[Int](64)
+      zz(1) = a1; zz(2) = a2; zz(5) = a5
+      var run = 0
+      var k = 1
+      var lastNonZero = 0
+      var i = 63
+      while (i >= 1 && lastNonZero == 0) { if (zz(i) != 0) lastNonZero = i; i -= 1 }
+      while (k <= lastNonZero) {
+        if (zz(k) == 0) run += 1
+        else {
+          while (run > 15) { val (cz, lz) = acT(0xf0); bw.put(cz, lz); run -= 16 }
+          val sA = size(zz(k))
+          val (ca, la) = acT((run << 4) | sA)
+          bw.put(ca, la)
+          bw.put(amp(zz(k), sA), sA)
+          run = 0
+        }
+        k += 1
+      }
+      if (lastNonZero < 63) { val (ce, le) = acT(0x00); bw.put(ce, le) } // EOB
+      c += 1
+    }
+    out.write(bw.flush())
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
   }
 
   /** Integer nearest-neighbor resize to `tw`×`th` grayscale

@@ -887,6 +887,115 @@ class MediaDecodeSpec extends AnyFunSuite {
     assert(decodePng(deep).isEmpty)
   }
 
+  test("JPEG roundtrip: entropy decode + IDCT land on the closed-form pixels") {
+    // the oracle restated in Scala: 4-term fixed-point IDCT + libjpeg
+    // color constants, arithmetic shifts (floor) throughout
+    val bt = JpegCos
+    def cl(v: Int) = math.max(0, math.min(255, v))
+    def valc(id: Long, c: Int, x: Int, y: Int): Int = {
+      val dcq = ((id * (3 + c) + c) % 128 - 64) * 8
+      val a1q = ((id + 5 * c) % 15 - 7) * 16
+      val a2q = ((5 * id + 3 * c) % 13 - 6) * 16
+      val a5q = ((3 * id + 7 * c) % 11 - 5) * 16
+      val acc = bt(0)(0).toLong * bt(0)(0) * dcq +
+        bt(0)(0) * (bt(x)(1).toLong * a1q + bt(x)(2).toLong * a5q + bt(y)(1).toLong * a2q)
+      cl((((acc + (1L << 25)) >> 26) + 128).toInt)
+    }
+    (0L until 256L).foreach { id =>
+      val img = decodeJpeg(syntheticJpeg(id)).get
+      assert(img.width == 8 && img.height == 8)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val yv = valc(id, 0, x, y); val cb = valc(id, 1, x, y); val cr = valc(id, 2, x, y)
+        val r = cl(yv + ((91881 * (cr - 128) + 32768) >> 16))
+        val g = cl(yv - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16))
+        val b = cl(yv + ((116130 * (cb - 128) + 32768) >> 16))
+        val p = img.pixels(y * 8 + x)
+        assert(p == ((r << 16) | (g << 8) | b),
+          s"id=$id ($x,$y): got ${p.toHexString} want ${((r << 16) | (g << 8) | b).toHexString}")
+      }
+    }
+  }
+
+  test("JPEG multi-MCU grayscale: DC prediction chains across blocks") {
+    // hand-built 8x16 (two vertical MCUs), DC-only blocks: each decodes to
+    // a flat block value clamp(((2896^2 * dc*q + 2^25) >> 26) + 128); the
+    // second block's DC arrives as a PREDICTED diff
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = (0 to 11).toArray
+    val codes = { // canonical (code,len) per value
+      val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        for (_ <- 0 until dcBits(l - 1)) { m(dcVals(k)) = (code, l); code += 1; k += 1 }
+        code <<= 1
+      }
+      m
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff); body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xdb, 0 +: Array.fill(64)(8)) // flat q=8
+    seg(0xc0, Array(8, 0, 16, 0, 8, 1, 1, 0x11, 0)) // h=16 w=8 gray
+    seg(0xc4, 0x00 +: (dcBits ++ dcVals))
+    // DC-only blocks still need an AC EOB code; define AC table 0 with the
+    // same (BITS, VALS) layout so value 0x00 (EOB) is a valid short code
+    seg(0xc4, 0x10 +: (dcBits ++ dcVals))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    var acc = 0; var n = 0
+    val bytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(code: Int, len: Int): Unit = (len - 1 to 0 by -1).foreach { i =>
+      acc = (acc << 1) | ((code >> i) & 1); n += 1
+      if (n == 8) { bytes += acc; if (acc == 0xff) bytes += 0; acc = 0; n = 0 }
+    }
+    def size(v: Int) = { var s = 0; var a = math.abs(v); while (a > 0) { s += 1; a >>= 1 }; s }
+    def putCoef(diff: Int): Unit = {
+      val s = size(diff)
+      val (c, l) = codes(s); put(c, l)
+      if (s > 0) put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    val dc1 = 25; val dc2 = -12
+    val (e1, l1) = codes(0) // EOB in the cloned AC table
+    putCoef(dc1); put(e1, l1)
+    putCoef(dc2 - dc1); put(e1, l1)
+    if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+    bytes.foreach(out.write)
+    out.write(0xff); out.write(0xd9)
+    val img = decodeJpeg(out.toByteArray).get
+    assert(img.width == 8 && img.height == 16)
+    def flat(dc: Int) = {
+      val accv = JpegCos(0)(0).toLong * JpegCos(0)(0) * dc * 8
+      math.max(0, math.min(255, (((accv + (1L << 25)) >> 26) + 128).toInt))
+    }
+    val g1 = flat(dc1); val g2 = flat(dc2)
+    (0 until 8).foreach(y => (0 until 8).foreach { x =>
+      assert(img.pixels(y * 8 + x) == ((g1 << 16) | (g1 << 8) | g1), s"b1 ($x,$y)")
+      assert(img.pixels((y + 8) * 8 + x) == ((g2 << 16) | (g2 << 8) | g2), s"b2 ($x,$y)")
+    })
+  }
+
+  test("JPEG rejects truncation and out-of-scope shapes instead of guessing") {
+    val ok = syntheticJpeg(7L)
+    Seq(1, 2, 10, 40, ok.length / 2, ok.length - 3).foreach { cut =>
+      assert(decodeJpeg(java.util.Arrays.copyOf(ok, cut)).isEmpty, s"cut=$cut")
+    }
+    // progressive (SOF2) rejected
+    val prog = ok.clone()
+    val sof = { var i = 2; while (!((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0)) i += 1; i }
+    prog(sof + 1) = 0xc2.toByte
+    assert(decodeJpeg(prog).isEmpty)
+    // 2x1 subsampling rejected (scope: 4:4:4 only)
+    val sub = ok.clone()
+    sub(sof + 2 + 5 + 2) = 0x21.toByte // first component sampling byte
+    assert(decodeJpeg(sub).isEmpty)
+    assert(decodeJpeg("not a jpeg".getBytes).isEmpty)
+    // sniffHeader agrees on the real file
+    assert(sniffHeader(ok) == SniffResult("jpeg", 8, 8))
+  }
+
   test("PNG rejects corruption instead of guessing") {
     val ok = syntheticPng(9L)
     // flip one IDAT payload byte: chunk CRC must catch it
