@@ -452,10 +452,33 @@ object Bench {
         Seq("if", "return", "int"), Seq("data", "result", "tmp"),
         Seq("if", "val", "def", "for"), Seq("query", "term", "doc", "block"))
         .zipWithIndex.map { case (q, i) => graft.query.QueryLog.LogQuery(i, q, phrase = false) }
+    // TEXT-analyzer queries (`text:` log lines — stemmed retrieval and
+    // gap-aware phrases) serve from a SEPARATE text-chain index over a
+    // deterministic 20k-doc slice, match-rate-checked against the in-JVM
+    // oracle over the SAME slice; the code-analyzer mix is untouched
+    val (textMix, codeMix) = rawMix.partition(_.analyzeText)
     // resolve prefix queries against the built index's dictionary ONCE, so
     // the engine run and the lean oracle below score the same expansion
     // (expansion determinism is itself oracle-gated by `p4_prefix_expand`)
-    val queryMix = graft.query.QueryLog.resolve(ix, rawMix)
+    val queryMix = graft.query.QueryLog.resolve(ix, codeMix)
+    val (svcText, textOracle) = try {
+      val tdf0 = spark.read.parquet(s"$tmpRoot/corpus")
+        .select("repo", "path", "commit", "lang", "sha256", "content")
+        .orderBy("repo", "path").limit(20000)
+      val textRows = tdf0.collect()
+      val tdf = spark.createDataFrame(
+        java.util.Arrays.asList(textRows: _*), tdf0.schema)
+      val textIxDir = s"$tmpRoot/ixText"
+      graft.index.IndexBuilder.build(spark, tdf, textIxDir, partitions = 16,
+        textAnalyzer = true)
+      val svc = new graft.query.LocalService(Searcher.load(spark, textIxDir))
+      val orc = new Oracle.Index(
+        textRows.toIndexedSeq.zipWithIndex.map { case (r, i) =>
+          Oracle.Doc(i, r.getString(5)) }, textAnalyzer = true)
+      (Some(svc), Some(orc))
+    } catch { case _: Throwable => (None, None) }
+    val textLive = if (svcText.isDefined) textMix else Nil
+    val serveAll = queryMix ++ textLive
     import spark.implicits._
     val (batch, searchSec) = timed {
       graft.query.QueryLog.run(ix, queryMix, 10).as[(Int, Int, Int, Double)].collect()
@@ -465,23 +488,27 @@ object Bench {
     // resident serving path (LocalService): warm the hot-term cache once,
     // then measure steady-state qps — the reference-engine-parity number
     // (its working set is memory-resident too)
+    var familiesJson = "{}"
     val (servedQps, servedQps16, servedP50Ms, servedP99Ms, cacheHits, cacheMisses, cacheEvicts) = try {
       val svc = new graft.query.LocalService(ix)
       // prefix queries go through the service's own dictionary-expansion
       // entry point (resident expansion cache), the rest through search
       def serve(q: graft.query.QueryLog.LogQuery): Seq[Oracle.Hit] =
-        (q.prefix, q.fuzzy, q.wildcard, q.bool) match {
+        if (q.analyzeText)
+          svcText.get.search(q.terms, 10, q.phrase, q.exclude, q.slop,
+            phraseShifts = q.phraseShifts)
+        else (q.prefix, q.fuzzy, q.wildcard, q.bool) match {
           case (Some(p), _, _, _)      => svc.searchPrefix(p, 10)
           case (_, Some((t, d)), _, _) => svc.searchFuzzy(t, 10, d)
           case (_, _, Some(w), _)      => svc.searchWildcard(w, 10)
           case (_, _, _, Some(b))      => svc.searchBool(b, 10)
           case _                       => svc.search(q.terms, 10, q.phrase, q.exclude, q.slop, boosts = q.boosts)
         }
-      queryMix.foreach(serve) // cache misses
+      serveAll.foreach(serve) // cache misses
       val reps = 50
       val (_, sec) = timed {
         var r = 0
-        while (r < reps) { queryMix.foreach(serve); r += 1 }
+        while (r < reps) { serveAll.foreach(serve); r += 1 }
       }
       // 16 concurrent sync clients against the shared resident service —
       // the reference's bench shape (16 clients, async server;
@@ -491,6 +518,23 @@ object Bench {
       // same query mix.
       val nClients = 16
       val lats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      // per-family latencies (verdict: a served-qps swing must be
+      // attributable to a query family in one read of the artifact)
+      val famLats = new java.util.concurrent.ConcurrentHashMap[String,
+        java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+      def famOf(q: graft.query.QueryLog.LogQuery): String =
+        if (q.analyzeText) { if (q.phrase) "text_phrase" else "text_stemmed" }
+        else if (q.prefix.nonEmpty) "prefix"
+        else if (q.fuzzy.nonEmpty) "fuzzy"
+        else if (q.wildcard.nonEmpty) "wildcard"
+        else if (q.regex.nonEmpty) "regex"
+        else if (q.bool.nonEmpty) "bool"
+        else if (q.phrase && q.slop > 0) "slop"
+        else if (q.phrase) "phrase"
+        else if (q.exclude.nonEmpty) "not"
+        else if (q.boosts.nonEmpty) "boost"
+        else "term"
+      val fams = serveAll.map(famOf)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(nClients)
       val (_, sec16) = try timed {
         val futs = (0 until nClients).map { _ =>
@@ -498,10 +542,16 @@ object Bench {
             def run(): Unit = {
               var r = 0
               while (r < reps) {
-                queryMix.foreach { q =>
+                var qi = 0
+                while (qi < serveAll.size) {
+                  val q = serveAll(qi)
                   val t0 = System.nanoTime()
                   serve(q)
-                  lats.add(System.nanoTime() - t0)
+                  val dt = System.nanoTime() - t0
+                  lats.add(dt)
+                  famLats.computeIfAbsent(fams(qi),
+                    _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]()).add(dt)
+                  qi += 1
                 }
                 r += 1
               }
@@ -533,6 +583,20 @@ object Bench {
               (if (q.slop != 0) s"&slop=${q.slop}" else "")
             java.net.URI.create(base).toURL
           }
+          // text-chain queries go over the wire RAW with analyze=text —
+          // the server runs the full analyzer (incl. gap phraseShifts),
+          // so analyzeText + phrase gaps are covered end-to-end on the
+          // HTTP path too. They hit the TEXT service behind a second
+          // server below, so wire qps stays attributable per family.
+          val httpText = svcText.map(new graft.query.HttpService(_, port = 0,
+            nThreads = nClients))
+          def urlText(srv: graft.query.HttpService,
+                      q: graft.query.QueryLog.LogQuery): java.net.URL = {
+            val enc = java.net.URLEncoder.encode(q.rawText, "UTF-8")
+            java.net.URI.create(
+              s"http://127.0.0.1:${srv.boundPort}/search?q=$enc&analyze=text&k=10" +
+                (if (q.phrase) "&phrase=1" else "")).toURL
+          }
           def hit(u: java.net.URL): Unit = {
             val c = u.openConnection().asInstanceOf[java.net.HttpURLConnection]
             c.setReadTimeout(30000)
@@ -540,7 +604,8 @@ object Bench {
             try { val buf = new Array[Byte](8192); while (in.read(buf) >= 0) () }
             finally in.close()
           }
-          val urls = wire.map(url)
+          val urls = wire.map(url) ++
+            httpText.toSeq.flatMap(srv => textLive.map(q => urlText(srv, q)))
           urls.foreach(hit) // connection/JIT warm
           val httpReps = 10
           val hlats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
@@ -567,11 +632,21 @@ object Bench {
           def hpct(p: Double): Double =
             if (hs.isEmpty) -1.0
             else hs(math.min(hs.length - 1, (p * hs.length).toInt)) / 1e6
-          s"""{"n_wire_queries":${wire.size},"http_qps_16":${nClients.toLong * wire.size * httpReps / hsec},"http_p50_ms":${hpct(0.50)},"http_p99_ms":${hpct(0.99)}}"""
+          httpText.foreach(_.stop())
+          s"""{"n_wire_queries":${urls.size},"http_qps_16":${nClients.toLong * urls.size * httpReps / hsec},"http_p50_ms":${hpct(0.50)},"http_p99_ms":${hpct(0.99)}}"""
         } finally httpSrv.stop()
       } catch { case _: Throwable =>
         """{"n_wire_queries":-1,"http_qps_16":-1,"http_p50_ms":-1,"http_p99_ms":-1}""" }
-      (queryMix.size * reps / sec, nClients.toLong * queryMix.size * reps / sec16,
+      familiesJson = {
+        import scala.jdk.CollectionConverters._
+        famLats.asScala.toSeq.sortBy(_._1).map { case (fam, q) =>
+          val a = q.asScala.toArray.sorted
+          def fp(p: Double) =
+            if (a.isEmpty) -1.0 else a(math.min(a.length - 1, (p * a.length).toInt)) / 1e6
+          s""""$fam":{"n":${a.length},"p50_ms":${fp(0.50)},"p99_ms":${fp(0.99)}}"""
+        }.mkString("{", ",", "}")
+      }
+      (serveAll.size * reps / sec, nClients.toLong * serveAll.size * reps / sec16,
         pct(0.50), pct(0.99), h, m, e)
     } catch { case _: Throwable => (-1.0, -1.0, -1.0, -1.0, -1L, -1L, -1L) }
     // cache_hit_rate: term-granular over the whole replay (warmup + both
@@ -580,7 +655,7 @@ object Bench {
     val cacheHitRate =
       if (cacheHits < 0 || cacheHits + cacheMisses == 0) -1.0
       else cacheHits.toDouble / (cacheHits + cacheMisses)
-    searchJson = s"""{"n_queries":${queryMix.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms,"cache_hits":$cacheHits,"cache_misses":$cacheMisses,"cache_evictions":$cacheEvicts,"cache_hit_rate":$cacheHitRate,"http":$httpJson}"""
+    searchJson = s"""{"n_queries":${serveAll.size},"n_text_queries":${textLive.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms,"cache_hits":$cacheHits,"cache_misses":$cacheMisses,"cache_evictions":$cacheEvicts,"cache_hit_rate":$cacheHitRate,"families":$familiesJson,"http":$httpJson}"""
     writeBenchFile("BENCH_partial.json", artifact("search_done"))
 
     // --- streaming ingest: the incremental path's throughput. A corpus
@@ -620,7 +695,31 @@ object Bench {
     matchRateV = try {
       val (rate, mismatches) = matchRateDetail(queryMix, batch, benchDocs)
       mismatches.foreach(m => System.err.println(s"[bench] match mismatch: $m"))
-      rate
+      // text-chain queries: engine (text LocalService) vs the in-JVM
+      // oracle over the SAME 20k-doc slice — rank-identical top-10,
+      // score tol 0.001, gap phraseShifts included
+      val textChecked = (svcText, textOracle) match {
+        case (Some(svc), Some(orc)) if textLive.nonEmpty =>
+          val ok = textLive.count { q =>
+            val eng = svc.search(q.terms, 10, q.phrase, q.exclude, q.slop,
+              phraseShifts = q.phraseShifts)
+            val want = Oracle.search(orc, q.terms, 10, q.phrase, q.exclude,
+              q.slop, phraseShifts = q.phraseShifts)
+            val m = eng.size == want.size &&
+              eng.zip(want).forall { case (a, b) =>
+                a.docId == b.docId && math.abs(a.score - b.score) <= 0.001 }
+            if (!m) System.err.println(
+              s"[bench] text match mismatch: ${q.rawText} eng=${eng.take(3)} want=${want.take(3)}")
+            m
+          }
+          Some(ok)
+        case _ => None
+      }
+      textChecked match {
+        case Some(ok) =>
+          (rate * queryMix.size + ok) / (queryMix.size + textLive.size)
+        case None => rate
+      }
     } catch { case _: Throwable => -1.0 }
 
     val line = artifact(null)

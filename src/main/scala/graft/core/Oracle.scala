@@ -85,7 +85,8 @@ object Oracle {
     * candidate set, and excluded terms never contribute to the score. */
   def search(ix: Index, queryTerms: Seq[String], k: Int, phrase: Boolean = false,
              excludeTerms: Seq[String] = Nil, slop: Int = 0,
-             boosts: Map[String, Double] = Map.empty): Seq[Hit] = {
+             boosts: Map[String, Double] = Map.empty,
+             phraseShifts: Option[Seq[Int]] = None): Seq[Hit] = {
     if (queryTerms.isEmpty || k <= 0) return Nil
     val lists = queryTerms.map(t => ix.postings.getOrElse(t, return Nil))
     // query-time term boost (Lucene `term^B`; absent in the reference, whose
@@ -121,7 +122,11 @@ object Oracle {
           val matches = !excluded.contains(docId) &&
             (!phrase || {
               val posLists = lists.indices.map(j => lists(j)(cursors(j))._3)
-              if (slop == 0) phraseMatch(posLists) else proximityMatch(posLists, slop)
+              if (slop != 0) proximityMatch(posLists, slop)
+              else phraseShifts match {
+                case Some(sh) => phraseMatchAt(posLists, sh) // stopword gaps
+                case None     => phraseMatch(posLists)
+              }
             })
           if (matches) {
             val lenByte = LenByte.encode(ix.docLen(docId).toLong)

@@ -50,7 +50,10 @@ object QueryLog {
                             wildcard: Option[String] = None,
                             regex: Option[String] = None,
                             bool: Option[BoolQuery.Node] = None,
-                            boosts: Map[String, Double] = Map.empty) {
+                            boosts: Map[String, Double] = Map.empty,
+                            analyzeText: Boolean = false,
+                            phraseShifts: Option[Seq[Int]] = None,
+                            rawText: String = "") {
     /** Evaluates disjunctively (multi-term rewrite of a single probe). */
     def disjunctive: Boolean =
       prefix.nonEmpty || fuzzy.nonEmpty || wildcard.nonEmpty || regex.nonEmpty
@@ -60,6 +63,27 @@ object QueryLog {
   def parseLine(line: String, id: Int): Option[LogQuery] = {
     val t = line.trim
     if (t.isEmpty || t.startsWith("#")) None
+    else if (t.startsWith("text:")) {
+      // TEXT-analyzer query (targets a textAnalyzer index): the raw string
+      // runs through the full chain (possessive -> stopwords -> Porter);
+      // a quoted body is a gap-aware phrase — the analyzed tokens carry
+      // their ORIGINAL positions as phraseShifts (Lucene match_phrase
+      // position increments across removed stopwords)
+      val rest = t.drop(5).trim
+      if (rest.length >= 2 && rest.startsWith("\"") && rest.endsWith("\"")) {
+        val body = rest.substring(1, rest.length - 1)
+        val toks = Tokenizer.tokenizeText(body)
+        if (toks.isEmpty) None
+        else Some(LogQuery(id, toks.map(_.term).toSeq, phrase = true,
+          analyzeText = true, phraseShifts = Some(toks.map(_.position).toSeq),
+          rawText = body))
+      } else {
+        val terms = Tokenizer.tokenizeText(rest).map(_.term).toSeq
+        if (terms.isEmpty) None
+        else Some(LogQuery(id, terms, phrase = false, analyzeText = true,
+          rawText = rest))
+      }
+    }
     else if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
       Some(LogQuery(id, Tokenizer.terms(t.substring(1, t.length - 1)).toSeq, phrase = true))
     else if (t.startsWith("\"") && t.matches("\".*\"~[0-9]+")) {
