@@ -289,7 +289,13 @@ object Bench {
     // entirely inside one phase and never sample calm host conditions
     val minLoops = math.max(3, sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_LOOPS", "4").toInt)
     val maxLoops = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOOPS", "10").toInt
-    val maxIndexSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_SEC", "1500").toInt
+    // time budget for the convergence extension, scaled with the corpus
+    // (≈625 core-μs/doc — 1500 s at the former 2.4M default): a fixed
+    // budget silently cuts the descending-minima extension exactly when a
+    // bigger corpus is still converging (observed at 3.6M: 4 loops ≈
+    // 1524 s > 1500, minima still falling 10%+ per loop)
+    val maxIndexSec = sys.env.get("SPARK_GRAFT_BENCH_MAX_SEC").map(_.toInt)
+      .getOrElse(math.max(1500L, 1500L * benchDocs / 2400000L).toInt)
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     val timesN = scala.collection.mutable.ArrayBuffer.empty[Double]
