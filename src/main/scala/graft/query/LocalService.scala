@@ -17,6 +17,17 @@ import graft.index.PostingCodec
   * BM25, same tie rule); the distributed path remains the scale story for
   * cold terms / 100 TB indexes, this is the serving story for a hot query
   * mix. Cache is LRU-bounded by total cached postings.
+  *
+  * '''Snapshot semantics''' (the Lucene point-in-time searcher contract):
+  * every resident structure — decoded postings, dfs, expansion/suggest
+  * caches, norms, and the corpus stats N/avgdl that weight every score —
+  * is pinned at CONSTRUCTION time. A streamed append or compaction is
+  * therefore visible only to a NEW service: call [[reopened]] and swap
+  * the instance (a volatile reference in the serving tier), exactly the
+  * ES refresh / Lucene SearcherManager-reopen cycle. Serving from a stale
+  * instance stays internally CONSISTENT on warm paths; only
+  * delete-tombstones support in-place reload ([[reloadTombstones]] —
+  * deletes don't change any resident statistic, they only mask docs).
   */
 final class LocalService(val ix: Searcher.LoadedIndex,
                          maxCachedPostings: Long = 50000000L,
@@ -565,6 +576,16 @@ final class LocalService(val ix: Searcher.LoadedIndex,
   /** Re-read the tombstone generations (call after a delete/compaction —
     * the resident set is a snapshot, like every segment-file reader). */
   def reloadTombstones(): Unit = deletedState = loadTombstones()
+
+  /** A FRESH service over the index's CURRENT committed state — the
+    * searcher-reopen analog (see the class doc's snapshot contract). The
+    * new instance re-reads the segment manifests, corpus stats, and every
+    * stage (incl. per-segment fuzzy/superblocks), sharing no resident
+    * state with this one; callers swap atomically and let the old
+    * instance drain. */
+  def reopened(): LocalService =
+    new LocalService(Searcher.load(ix.spark, ix.indexDir, ix.asOfSeg),
+      maxCachedPostings, maxFetchPostings, scanThreshold, maxResidentNorms)
 
   private def isDeleted(docId: Int): Boolean = {
     val arr = deletedDocs

@@ -546,4 +546,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stored = loaded.docstore.select("docId", "repo").as[(Int, String)].collect().toMap
     assert(hits.nonEmpty && hits.forall(h => stored(h.docId) == "keep/a"))
   }
+
+  test("LocalService snapshot contract: warm paths stable, reopened() sees appends") {
+    val s = spark
+    import s.implicits._
+    def df(lo: Int, hi: Int) = (lo until hi).map { i =>
+      val extra = if (i >= 60) " sentinelterm" else ""
+      ("r0", f"p$i%04d", "c0", "txt", s"alpha common$i$extra")
+    }.toDF("repo", "path", "commit", "lang", "content")
+    val dir = java.nio.file.Files.createTempDirectory("graft_reopen").toString
+    try {
+      StreamingIndexer.appendSegment(spark, df(0, 60), dir, segId = 0, partitions = 2)
+      val svc1 = new graft.query.LocalService(Searcher.load(spark, dir))
+      val before = svc1.search(Seq("alpha"), 5)
+      assert(before.nonEmpty)
+      assert(svc1.search(Seq("sentinelterm"), 5).isEmpty)
+      // append docs carrying the sentinel; svc1's WARM paths stay the
+      // point-in-time snapshot (stable scores — N/avgdl pinned), the
+      // reopened service sees the new segment and the new stats
+      StreamingIndexer.appendSegment(spark, df(60, 80), dir, segId = 1, partitions = 2)
+      val warmAgain = svc1.search(Seq("alpha"), 5)
+      assert(warmAgain.map(h => (h.docId, h.score)) ==
+        before.map(h => (h.docId, h.score)), "warm snapshot must not drift")
+      val svc2 = svc1.reopened()
+      assert(svc2.ix.nDocs == 80 && svc1.ix.nDocs == 60)
+      val sent = svc2.search(Seq("sentinelterm"), 25)
+      assert(sent.size == 20 && sent.forall(_.docId >= 60))
+      // the reopened scores match a cold loader over the same state
+      val cold = Searcher.search(Searcher.load(spark, dir), Seq("alpha"), 5)
+        .collect().sortBy(_.rank).map(h => (h.docId, h.score)).toSeq
+      assert(svc2.search(Seq("alpha"), 5).map(h => (h.docId, h.score)) == cold)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }
