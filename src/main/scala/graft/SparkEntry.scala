@@ -4141,8 +4141,10 @@ object SparkEntry {
          |FROM d ORDER BY media_id""".stripMargin
     },
 
-    // decoded-JPEG oracle: one 8×8 MCU whose only nonzero coefficients are
-    // the generator's dc/a1/a2/a5 formulas; each pixel restated through the
+    // decoded-JPEG oracle: 1-4 MCUs (8/16 per axis) whose only nonzero
+    // coefficients are the generator's per-block dc/a1/a2/a5 formulas
+    // (decoded DCs are the ABSOLUTE values — prediction is codec-internal);
+    // each pixel restated through the
     // SAME shared fixed-point IDCT table (Multimodal.JpegCos — embedded as
     // literals below, machine-generated) and libjpeg color constants, with
     // arithmetic >> (floor) on both sides
@@ -4151,14 +4153,17 @@ object SparkEntry {
       def btLit(u: Int) =
         "[" + (0 until 8).map(x => graft.ops.Multimodal.JpegCos(x)(u)).mkString(", ") + "]"
       def cl(e: String) = s"greatest(0, least(255, $e))"
-      // component value at (x, y): 4-term IDCT closed form + level shift
+      // component value at GLOBAL (x, y): row-major block index selects
+      // the block coefficients, the 4-term IDCT closed form runs on the
+      // local (x%8, y%8) offsets + level shift
       def valc(c: Int, xe: String, ye: String) = {
-        val dcq = s"(((doc_id * ${3 + c} + $c) % 128 - 64) * 8)"
-        val a1q = s"(((doc_id + ${5 * c}) % 15 - 7) * 16)"
-        val a2q = s"(((5 * doc_id + ${3 * c}) % 13 - 6) * 16)"
-        val a5q = s"(((3 * doc_id + ${7 * c}) % 11 - 5) * 16)"
-        val acc = s"($c0 * $c0 * $dcq + $c0 * (bt1[($xe) + 1] * $a1q + " +
-          s"bt2[($xe) + 1] * $a5q + bt1[($ye) + 1] * $a2q))"
+        val b = s"(((($ye) // 8) * (w // 8)) + (($xe) // 8))"
+        val dcq = s"(((doc_id * ${3 + c} + 5 * $b + $c) % 128 - 64) * 8)"
+        val a1q = s"(((doc_id + ${5 * c} + 3 * $b) % 15 - 7) * 16)"
+        val a2q = s"(((5 * doc_id + ${3 * c} + $b) % 13 - 6) * 16)"
+        val a5q = s"(((3 * doc_id + ${7 * c} + 11 * $b) % 11 - 5) * 16)"
+        val acc = s"($c0 * $c0 * $dcq + $c0 * (bt1[(($xe) % 8) + 1] * $a1q + " +
+          s"bt2[(($xe) % 8) + 1] * $a5q + bt1[(($ye) % 8) + 1] * $a2q))"
         cl(s"((($acc + 33554432) >> 26) + 128)")
       }
       def rgb(xe: String, ye: String): (String, String, String) = {
@@ -4168,17 +4173,18 @@ object SparkEntry {
           cl(s"$yv + ((116130 * ($cb - 128) + 32768) >> 16)"))
       }
       def sum2(e: String) =
-        s"list_sum(flatten(list_transform(range(0, 8), x -> list_transform(range(0, 8), y -> $e))))"
+        s"list_sum(flatten(list_transform(range(0, w), x -> list_transform(range(0, h), y -> $e))))"
       val (r, g, b) = rgb("x", "y")
-      val (rt, gt, bt) = rgb("(i % 4) * 2", "(i // 4) * 2")
-      s"""WITH bts AS (SELECT ${btLit(1)} bt1, ${btLit(2)} bt2)
-         |SELECT doc_id media_id, 8::BIGINT width, 8::BIGINT height,
-         | (${sum2(r)} * 1000000 // 64)::BIGINT mean_r_micro,
-         | (${sum2(g)} * 1000000 // 64)::BIGINT mean_g_micro,
-         | (${sum2(b)} * 1000000 // 64)::BIGINT mean_b_micro,
+      val (rt, gt, bt) = rgb("(i % 4) * w // 4", "(i // 4) * h // 4")
+      s"""WITH bts AS (SELECT ${btLit(1)} bt1, ${btLit(2)} bt2),
+         | d AS (SELECT doc_id, 8 + 8 * (doc_id % 2) w, 8 + 8 * ((doc_id // 2) % 2) h FROM documents)
+         |SELECT doc_id media_id, w::BIGINT width, h::BIGINT height,
+         | (${sum2(r)} * 1000000 // (w * h))::BIGINT mean_r_micro,
+         | (${sum2(g)} * 1000000 // (w * h))::BIGINT mean_g_micro,
+         | (${sum2(b)} * 1000000 // (w * h))::BIGINT mean_b_micro,
          | array_to_string(list_transform(range(0, 16), i ->
          |   (299 * ($rt) + 587 * ($gt) + 114 * ($bt)) // 1000), ',') thumb_gray4
-         |FROM documents, bts ORDER BY media_id""".stripMargin
+         |FROM d, bts ORDER BY media_id""".stripMargin
     },
 
     // decoded-WAV oracle: sample i = (id*31 + i*17) % 4001 - 2000 over

@@ -985,23 +985,31 @@ object Multimodal {
     * zigzag order in the DQT, table id 0, used by all components). */
   private[ops] val JpegSynQuant: Array[Int] = Array.tabulate(64)(i => if (i == 0) 8 else 16)
 
-  /** Per-(id, component) synthetic coefficients (zigzag positions
-    * 0, 1, 2, 5; all others zero) — the formulas the oracle restates:
-    * dc = (id·(3+c) + c) % 128 − 64, a1 = (id + 5c) % 15 − 7,
-    * a2 = (5·id + 3c) % 13 − 6, a5 = (3·id + 7c) % 11 − 5. */
-  private[ops] def jpegSynCoefs(id: Long, c: Int): (Int, Int, Int, Int) = (
-    ((id * (3 + c) + c) % 128 - 64).toInt,
-    ((id + 5 * c) % 15 - 7).toInt,
-    ((5 * id + 3 * c) % 13 - 6).toInt,
-    ((3 * id + 7 * c) % 11 - 5).toInt)
+  /** Synthetic-JPEG dims for `id`: 1, 2 or 4 MCUs (8/16 per axis), so the
+    * graded row exercises MCU tiling and cross-block DC prediction. */
+  private[ops] def jpegSynDims(id: Long): (Int, Int) =
+    (8 + 8 * (id % 2).toInt, 8 + 8 * ((id / 2) % 2).toInt)
 
-  /** Complete synthetic baseline JPEG for `id`: one 8×8 MCU, 4:4:4 YCbCr,
-    * Annex-K typical Huffman tables, quant [[JpegSynQuant]], per-component
-    * coefficients [[jpegSynCoefs]]. The scan is REALLY entropy-coded
-    * (categories, run-lengths, EOB, byte stuffing), so the decoder's
-    * Huffman walk, DC prediction, dezigzag, dequant, and IDCT all gate
-    * the graded row. */
+  /** Per-(id, component, block) synthetic coefficients (zigzag positions
+    * 0, 1, 2, 5; all others zero; `b` = row-major block index) — the
+    * formulas the oracle restates: dc = (id·(3+c) + 5b + c) % 128 − 64,
+    * a1 = (id + 5c + 3b) % 15 − 7, a2 = (5·id + 3c + b) % 13 − 6,
+    * a5 = (3·id + 7c + 11b) % 11 − 5. */
+  private[ops] def jpegSynCoefs(id: Long, c: Int, b: Int): (Int, Int, Int, Int) = (
+    ((id * (3 + c) + 5 * b + c) % 128 - 64).toInt,
+    ((id + 5 * c + 3 * b) % 15 - 7).toInt,
+    ((5 * id + 3 * c + b) % 13 - 6).toInt,
+    ((3 * id + 7 * c + 11 * b) % 11 - 5).toInt)
+
+  /** Complete synthetic baseline JPEG for `id`: [[jpegSynDims]]-sized
+    * (1-4 MCUs), 4:4:4 YCbCr, Annex-K typical Huffman tables, quant
+    * [[JpegSynQuant]], per-block coefficients [[jpegSynCoefs]]. The scan
+    * is REALLY entropy-coded (categories, run-lengths, EOB, byte
+    * stuffing, per-component DC prediction chained ACROSS MCUs), so the
+    * decoder's Huffman walk, predictors, dezigzag, dequant, and IDCT all
+    * gate the graded row. */
   def syntheticJpeg(id: Long): Array[Byte] = {
+    val (w, h) = jpegSynDims(id)
     val out = new java.io.ByteArrayOutputStream()
     def seg(marker: Int, body: Array[Int]): Unit = {
       out.write(0xff); out.write(marker)
@@ -1012,8 +1020,9 @@ object Multimodal {
     out.write(0xff); out.write(0xd8) // SOI
     // DQT table 0 (zigzag order = natural here for a flat-AC table)
     seg(0xdb, 0 +: Array.tabulate(64)(i => JpegSynQuant(JpegZigzag(i))))
-    // SOF0: 8-bit, 8x8, 3 components 1x1, all quant table 0
-    seg(0xc0, Array(8, 0, 8, 0, 8, 3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
+    // SOF0: 8-bit, 3 components 1x1, all quant table 0
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0))
     // DHT: DC0, AC0 (luma), DC1, AC1 (chroma)
     seg(0xc4, (0x00 +: (KDcLumaBits ++ KDcLumaVals)) ++
       (0x10 +: (KAcLumaBits ++ KAcLumaVals)) ++
@@ -1028,37 +1037,44 @@ object Multimodal {
     val bw = new JpegBitWriter
     def size(v: Int): Int = { var s = 0; var a = math.abs(v); while (a > 0) { s += 1; a >>= 1 }; s }
     def amp(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
-    var c = 0
-    while (c < 3) {
-      val (dc, a1, a2, a5) = jpegSynCoefs(id, c)
-      val (dcT, acT) = if (c == 0) (dcL, acL) else (dcC, acC)
-      // DC (first and only MCU: prediction base 0, diff = dc)
-      val sD = size(dc)
-      val (cd, ld) = dcT(sD)
-      bw.put(cd, ld)
-      if (sD > 0) bw.put(amp(dc, sD), sD)
-      // AC run-length walk over zigzag 1..63
-      val zz = new Array[Int](64)
-      zz(1) = a1; zz(2) = a2; zz(5) = a5
-      var run = 0
-      var k = 1
-      var lastNonZero = 0
-      var i = 63
-      while (i >= 1 && lastNonZero == 0) { if (zz(i) != 0) lastNonZero = i; i -= 1 }
-      while (k <= lastNonZero) {
-        if (zz(k) == 0) run += 1
-        else {
-          while (run > 15) { val (cz, lz) = acT(0xf0); bw.put(cz, lz); run -= 16 }
-          val sA = size(zz(k))
-          val (ca, la) = acT((run << 4) | sA)
-          bw.put(ca, la)
-          bw.put(amp(zz(k), sA), sA)
-          run = 0
+    val pred = new Array[Int](3)
+    var mcu = 0
+    while (mcu < (w / 8) * (h / 8)) {
+      var c = 0
+      while (c < 3) {
+        val (dc, a1, a2, a5) = jpegSynCoefs(id, c, mcu)
+        val (dcT, acT) = if (c == 0) (dcL, acL) else (dcC, acC)
+        // DC: encode the PREDICTED difference (per-component chain)
+        val diff = dc - pred(c)
+        pred(c) = dc
+        val sD = size(diff)
+        val (cd, ld) = dcT(sD)
+        bw.put(cd, ld)
+        if (sD > 0) bw.put(amp(diff, sD), sD)
+        // AC run-length walk over zigzag 1..63
+        val zz = new Array[Int](64)
+        zz(1) = a1; zz(2) = a2; zz(5) = a5
+        var run = 0
+        var k = 1
+        var lastNonZero = 0
+        var i = 63
+        while (i >= 1 && lastNonZero == 0) { if (zz(i) != 0) lastNonZero = i; i -= 1 }
+        while (k <= lastNonZero) {
+          if (zz(k) == 0) run += 1
+          else {
+            while (run > 15) { val (cz, lz) = acT(0xf0); bw.put(cz, lz); run -= 16 }
+            val sA = size(zz(k))
+            val (ca, la) = acT((run << 4) | sA)
+            bw.put(ca, la)
+            bw.put(amp(zz(k), sA), sA)
+            run = 0
+          }
+          k += 1
         }
-        k += 1
+        if (lastNonZero < 63) { val (ce, le) = acT(0x00); bw.put(ce, le) } // EOB
+        c += 1
       }
-      if (lastNonZero < 63) { val (ce, le) = acT(0x00); bw.put(ce, le) } // EOB
-      c += 1
+      mcu += 1
     }
     out.write(bw.flush())
     out.write(0xff); out.write(0xd9) // EOI

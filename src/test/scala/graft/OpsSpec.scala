@@ -892,24 +892,27 @@ class MediaDecodeSpec extends AnyFunSuite {
     // color constants, arithmetic shifts (floor) throughout
     val bt = JpegCos
     def cl(v: Int) = math.max(0, math.min(255, v))
-    def valc(id: Long, c: Int, x: Int, y: Int): Int = {
-      val dcq = ((id * (3 + c) + c) % 128 - 64) * 8
-      val a1q = ((id + 5 * c) % 15 - 7) * 16
-      val a2q = ((5 * id + 3 * c) % 13 - 6) * 16
-      val a5q = ((3 * id + 7 * c) % 11 - 5) * 16
+    def valc(id: Long, w: Int, c: Int, x: Int, y: Int): Int = {
+      val b = (y / 8) * (w / 8) + (x / 8) // row-major block index
+      val lx = x % 8; val ly = y % 8
+      val dcq = ((id * (3 + c) + 5 * b + c) % 128 - 64) * 8
+      val a1q = ((id + 5 * c + 3 * b) % 15 - 7) * 16
+      val a2q = ((5 * id + 3 * c + b) % 13 - 6) * 16
+      val a5q = ((3 * id + 7 * c + 11 * b) % 11 - 5) * 16
       val acc = bt(0)(0).toLong * bt(0)(0) * dcq +
-        bt(0)(0) * (bt(x)(1).toLong * a1q + bt(x)(2).toLong * a5q + bt(y)(1).toLong * a2q)
+        bt(0)(0) * (bt(lx)(1).toLong * a1q + bt(lx)(2).toLong * a5q + bt(ly)(1).toLong * a2q)
       cl((((acc + (1L << 25)) >> 26) + 128).toInt)
     }
     (0L until 256L).foreach { id =>
       val img = decodeJpeg(syntheticJpeg(id)).get
-      assert(img.width == 8 && img.height == 8)
-      for (y <- 0 until 8; x <- 0 until 8) {
-        val yv = valc(id, 0, x, y); val cb = valc(id, 1, x, y); val cr = valc(id, 2, x, y)
+      val (w, h) = (8 + 8 * (id % 2).toInt, 8 + 8 * ((id / 2) % 2).toInt)
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val yv = valc(id, w, 0, x, y); val cb = valc(id, w, 1, x, y); val cr = valc(id, w, 2, x, y)
         val r = cl(yv + ((91881 * (cr - 128) + 32768) >> 16))
         val g = cl(yv - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16))
         val b = cl(yv + ((116130 * (cb - 128) + 32768) >> 16))
-        val p = img.pixels(y * 8 + x)
+        val p = img.pixels(y * img.width + x)
         assert(p == ((r << 16) | (g << 8) | b),
           s"id=$id ($x,$y): got ${p.toHexString} want ${((r << 16) | (g << 8) | b).toHexString}")
       }
@@ -977,6 +980,70 @@ class MediaDecodeSpec extends AnyFunSuite {
     })
   }
 
+  test("JPEG restart markers: byte-realign + DC predictor reset between MCUs") {
+    // same two-MCU grayscale shape as the DC-prediction test, but with
+    // DRI interval 1 and an RST0 marker between the MCUs: the second
+    // block's DC is coded ABSOLUTE (predictor reset), and the scan is
+    // padded to a byte boundary before the marker
+    val dcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+    val dcVals = (0 to 11).toArray
+    val codes = {
+      val m = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        for (_ <- 0 until dcBits(l - 1)) { m(dcVals(k)) = (code, l); code += 1; k += 1 }
+        code <<= 1
+      }
+      m
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(marker: Int, body: Array[Int]): Unit = {
+      out.write(0xff); out.write(marker)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff); body.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xdb, 0 +: Array.fill(64)(8))
+    seg(0xc0, Array(8, 0, 16, 0, 8, 1, 1, 0x11, 0))
+    seg(0xc4, 0x00 +: (dcBits ++ dcVals))
+    seg(0xc4, 0x10 +: (dcBits ++ dcVals))
+    seg(0xdd, Array(0, 1)) // DRI: restart interval 1
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    var acc = 0; var n = 0
+    val bytes = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def put(code: Int, len: Int): Unit = (len - 1 to 0 by -1).foreach { i =>
+      acc = (acc << 1) | ((code >> i) & 1); n += 1
+      if (n == 8) { bytes += acc; if (acc == 0xff) bytes += 0; acc = 0; n = 0 }
+    }
+    def pad(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+    def size(v: Int) = { var s = 0; var a = math.abs(v); while (a > 0) { s += 1; a >>= 1 }; s }
+    def putCoef(v: Int): Unit = {
+      val sz = size(v)
+      val (c, l) = codes(sz); put(c, l)
+      if (sz > 0) put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+    }
+    val (e1, l1) = codes(0) // EOB
+    val dc1 = 25; val dc2 = -12
+    putCoef(dc1); put(e1, l1)
+    pad(); bytes += 0xff; bytes += 0xd0 // RST0 at the interval boundary
+    putCoef(dc2) // ABSOLUTE: predictor was reset by the marker
+    put(e1, l1)
+    pad()
+    bytes.foreach(out.write)
+    out.write(0xff); out.write(0xd9)
+    val img = decodeJpeg(out.toByteArray).get
+    def flat(dc: Int) = {
+      val accv = JpegCos(0)(0).toLong * JpegCos(0)(0) * dc * 8
+      math.max(0, math.min(255, (((accv + (1L << 25)) >> 26) + 128).toInt))
+    }
+    val g1 = flat(dc1); val g2 = flat(dc2)
+    assert(img.pixels(0) == ((g1 << 16) | (g1 << 8) | g1))
+    assert(img.pixels(8 * 8) == ((g2 << 16) | (g2 << 8) | g2),
+      "RST must reset the DC predictor (block 2 decodes its absolute DC)")
+    assert(img.pixels.take(64).distinct.size == 1 &&
+      img.pixels.drop(64).distinct.size == 1)
+  }
+
   test("JPEG rejects truncation and out-of-scope shapes instead of guessing") {
     val ok = syntheticJpeg(7L)
     Seq(1, 2, 10, 40, ok.length / 2, ok.length - 3).foreach { cut =>
@@ -992,8 +1059,8 @@ class MediaDecodeSpec extends AnyFunSuite {
     sub(sof + 2 + 5 + 2) = 0x21.toByte // first component sampling byte
     assert(decodeJpeg(sub).isEmpty)
     assert(decodeJpeg("not a jpeg".getBytes).isEmpty)
-    // sniffHeader agrees on the real file
-    assert(sniffHeader(ok) == SniffResult("jpeg", 8, 8))
+    // sniffHeader agrees on the real file (id 7 -> 16x16)
+    assert(sniffHeader(ok) == SniffResult("jpeg", 16, 16))
   }
 
   test("PNG rejects corruption instead of guessing") {
