@@ -578,6 +578,7 @@ object Bench {
       // wire; fewer reps since each request pays TCP+HTTP framing.
       httpJson = try {
         val httpSrv = new graft.query.HttpService(svc, port = 0, nThreads = nClients)
+        var httpText: Option[graft.query.HttpService] = None
         try {
           val wire = queryMix.filter(q =>
             q.prefix.isEmpty && q.fuzzy.isEmpty && q.wildcard.isEmpty && q.bool.isEmpty)
@@ -594,8 +595,6 @@ object Bench {
           // so analyzeText + phrase gaps are covered end-to-end on the
           // HTTP path too. They hit the TEXT service behind a second
           // server below, so wire qps stays attributable per family.
-          val httpText = svcText.map(new graft.query.HttpService(_, port = 0,
-            nThreads = nClients))
           def urlText(srv: graft.query.HttpService,
                       q: graft.query.QueryLog.LogQuery): java.net.URL = {
             val enc = java.net.URLEncoder.encode(q.rawText, "UTF-8")
@@ -610,6 +609,8 @@ object Bench {
             try { val buf = new Array[Byte](8192); while (in.read(buf) >= 0) () }
             finally in.close()
           }
+          httpText = svcText.map(new graft.query.HttpService(_, port = 0,
+            nThreads = nClients))
           val urls = wire.map(url) ++
             httpText.toSeq.flatMap(srv => textLive.map(q => urlText(srv, q)))
           urls.foreach(hit) // connection/JIT warm
@@ -638,9 +639,8 @@ object Bench {
           def hpct(p: Double): Double =
             if (hs.isEmpty) -1.0
             else hs(math.min(hs.length - 1, (p * hs.length).toInt)) / 1e6
-          httpText.foreach(_.stop())
           s"""{"n_wire_queries":${urls.size},"http_qps_16":${nClients.toLong * urls.size * httpReps / hsec},"http_p50_ms":${hpct(0.50)},"http_p99_ms":${hpct(0.99)}}"""
-        } finally httpSrv.stop()
+        } finally { httpSrv.stop(); httpText.foreach(_.stop()) }
       } catch { case _: Throwable =>
         """{"n_wire_queries":-1,"http_qps_16":-1,"http_p50_ms":-1,"http_p99_ms":-1}""" }
       familiesJson = {
@@ -661,7 +661,10 @@ object Bench {
     val cacheHitRate =
       if (cacheHits < 0 || cacheHits + cacheMisses == 0) -1.0
       else cacheHits.toDouble / (cacheHits + cacheMisses)
-    searchJson = s"""{"n_queries":${serveAll.size},"n_text_queries":${textLive.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms,"cache_hits":$cacheHits,"cache_misses":$cacheMisses,"cache_evictions":$cacheEvicts,"cache_hit_rate":$cacheHitRate,"families":$familiesJson,"http":$httpJson}"""
+    // n_queries = the SERVED mix (code + text); sec/qps time the batch
+    // Spark run over the code mix only (text queries never take the batch
+    // path) — n_batch_queries is their denominator
+    searchJson = s"""{"n_queries":${serveAll.size},"n_batch_queries":${queryMix.size},"n_text_queries":${textLive.size},"sec":$searchSec,"qps":$qps,"served_qps":$servedQps,"served_qps_16":$servedQps16,"served_p50_ms":$servedP50Ms,"served_p99_ms":$servedP99Ms,"cache_hits":$cacheHits,"cache_misses":$cacheMisses,"cache_evictions":$cacheEvicts,"cache_hit_rate":$cacheHitRate,"families":$familiesJson,"http":$httpJson}"""
     writeBenchFile("BENCH_partial.json", artifact("search_done"))
 
     // --- streaming ingest: the incremental path's throughput. A corpus

@@ -753,10 +753,18 @@ object Multimodal {
     var scanOff = -1
     var scanSel: Array[(Int, Int, Int)] = null // (compIdx, td, ta)
     while (scanOff < 0) {
-      if (off + 4 > p.length) return None
+      if (off + 2 > p.length) return None
       if (u8(off) != 0xff) return None
       val m = u8(off + 1)
+      // standalone markers have NO length field: optional 0xFF fill bytes
+      // (B.1.1.2), TEM, and stray RSTn advance without reading a bogus
+      // 2-byte length from payload bytes
+      if (m == 0xff) { off += 1 }                           // fill byte
+      else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { off += 2 } // TEM/RSTn
+      else {
+      if (off + 4 > p.length) return None
       val len = be16(off + 2)
+      if (len < 2) return None
       val seg = off + 4
       m match {
         case 0xdb => // DQT: one or more tables, 8-bit precision only
@@ -813,6 +821,7 @@ object Multimodal {
         case _ => // APPn / COM / others: skip
       }
       if (m != 0xda) off += 2 + len
+      }
     }
     val nc = comps.length
     val mcuX = (w + 7) / 8

@@ -95,7 +95,15 @@ final class HttpService(svc: LocalService, port: Int = 0, nThreads: Int = 16) {
                                  key: String): (Seq[String], Option[Seq[Int]]) = {
     val raw = terms(p, key)
     if (p.get("analyze").contains("text")) {
-      val toks = graft.core.Tokenizer.tokenizeText(raw.mkString(" "))
+      // fold=1 (with analyze=text) runs the FULL folded chain the
+      // textFold index expects: html_strip char filter first (on the raw
+      // param — entities/tags must reach the stripper intact), then
+      // asciifolding inside the analyzer. Without it an accented or
+      // entity-bearing query can never match a folded index.
+      val fold = p.get("fold").contains("1")
+      val joined = raw.mkString(" ")
+      val toks = graft.core.Tokenizer.tokenizeText(
+        if (fold) graft.core.Tokenizer.stripHtml(joined) else joined, fold)
       (toks.map(_.term).toSeq, Some(toks.map(_.position).toSeq))
     } else (raw, None)
   }

@@ -584,7 +584,10 @@ final class LocalService(val ix: Searcher.LoadedIndex,
     * state with this one; callers swap atomically and let the old
     * instance drain. */
   def reopened(): LocalService =
-    new LocalService(Searcher.load(ix.spark, ix.indexDir, ix.asOfSeg),
+    // deliberately drops any asOfSeg pin: reopen means "the current
+    // committed state" (the SearcherManager contract) — a service that
+    // wants to stay time-travel-pinned simply keeps the old instance
+    new LocalService(Searcher.load(ix.spark, ix.indexDir),
       maxCachedPostings, maxFetchPostings, scanThreshold, maxResidentNorms)
 
   private def isDeleted(docId: Int): Boolean = {

@@ -70,7 +70,16 @@ object QueryLog {
       // their ORIGINAL positions as phraseShifts (Lucene match_phrase
       // position increments across removed stopwords)
       val rest = t.drop(5).trim
-      if (rest.length >= 2 && rest.startsWith("\"") && rest.endsWith("\"")) {
+      if (rest.startsWith("\"") && rest.matches("\".*\"~[0-9]+")) {
+        // text phrase with slop: `text:"a b"~N` — ordered proximity over
+        // the ANALYZED terms (the slop path measures spans, not shifts)
+        val close = rest.lastIndexOf('"')
+        val slop = rest.substring(close + 2).toInt
+        val toks = Tokenizer.tokenizeText(rest.substring(1, close))
+        if (toks.isEmpty) None
+        else Some(LogQuery(id, toks.map(_.term).toSeq, phrase = true,
+          slop = slop, analyzeText = true, rawText = rest.substring(1, close)))
+      } else if (rest.length >= 2 && rest.startsWith("\"") && rest.endsWith("\"")) {
         val body = rest.substring(1, rest.length - 1)
         val toks = Tokenizer.tokenizeText(body)
         if (toks.isEmpty) None

@@ -1203,6 +1203,20 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(qs(10).regex.contains("re[a-z]+") && qs(10).terms.isEmpty) // regex syntax
     assert(qs(11).bool.nonEmpty &&
       qs(11).terms.toSet == Set("if", "return", "val", "epsilon")) // boolean syntax
+    // text: syntax — stemmed conjunctive, gap phrase (shifts), and slop
+    locally {
+      val t = Seq(
+        graft.query.QueryLog.parseLine("text:values indexes", 0).get,
+        graft.query.QueryLog.parseLine("text:\"value if count\"", 1).get,
+        graft.query.QueryLog.parseLine("text:\"value if count\"~2", 2).get)
+      assert(t(0).analyzeText && !t(0).phrase && t(0).terms == Seq("valu", "index"))
+      assert(t(1).analyzeText && t(1).phrase && t(1).slop == 0 &&
+        t(1).terms == Seq("valu", "count") && // "if" is a stopword
+        t(1).phraseShifts.contains(Seq(0, 2))) // ...but consumes a position
+      assert(t(2).analyzeText && t(2).phrase && t(2).slop == 2 &&
+        t(2).terms == Seq("valu", "count") && t(2).phraseShifts.isEmpty,
+        s"slop text phrase: ${t(2)}") // slop path measures spans, not shifts
+    }
     val res = graft.query.QueryLog.run(ix, qs, 10)
       .as[(Int, Int, Int, Double)].collect().groupBy(_._1)
     qs.foreach { q =>

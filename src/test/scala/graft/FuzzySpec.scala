@@ -270,6 +270,22 @@ class FuzzySpec extends AnyFunSuite with BeforeAndAfterAll {
       // an accented, html-wrapped QUERY folds to the same terms
       assert(Engine.analyzeText("<i>Caf&eacute;s</i> r&eacute;sum&eacute;", fold = true) ==
         Engine.analyzeText("cafes resume"))
+      // over the wire: analyze=text&fold=1 runs the full folded chain, so
+      // an entity-bearing query matches the folded index (without fold=1
+      // the accented term mis-tokenizes and finds nothing)
+      val svcA = new graft.query.LocalService(engA.ix)
+      val http = new graft.query.HttpService(svcA, port = 0, nThreads = 2)
+      try {
+        def get(path: String): String = {
+          val u = java.net.URI.create(
+            s"http://127.0.0.1:${http.boundPort}$path").toURL
+          new String(u.openStream().readAllBytes(), "UTF-8")
+        }
+        val q = java.net.URLEncoder.encode("Caf&eacute;s", "UTF-8")
+        val folded = get(s"/search?q=$q&analyze=text&fold=1&k=5")
+        assert(folded.contains("\"doc\""), s"fold=1 wire: $folded")
+        assert(get(s"/search?q=$q&analyze=text&k=5") == """{"hits":[]}""")
+      } finally http.stop()
     } finally Seq(dirA, dirB).foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }

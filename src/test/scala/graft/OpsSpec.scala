@@ -1044,6 +1044,19 @@ class MediaDecodeSpec extends AnyFunSuite {
       img.pixels.drop(64).distinct.size == 1)
   }
 
+  test("JPEG tolerates fill bytes and TEM markers between segments") {
+    // T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes; TEM
+    // (FF01) is a standalone marker with no length field. Splice both
+    // after the SOI of a synthetic file — pixels must be identical.
+    val ok = syntheticJpeg(11L)
+    val spliced = (ok.take(2) :+ 0xff.toByte :+ 0xff.toByte :+
+      0xff.toByte :+ 0x01.toByte) ++ ok.drop(2)
+    val a = decodeJpeg(ok).get
+    val b = decodeJpeg(spliced).get
+    assert(b.width == a.width && b.height == a.height)
+    assert(b.pixels.toSeq == a.pixels.toSeq)
+  }
+
   test("JPEG rejects truncation and out-of-scope shapes instead of guessing") {
     val ok = syntheticJpeg(7L)
     Seq(1, 2, 10, 40, ok.length / 2, ok.length - 3).foreach { cut =>

@@ -576,6 +576,11 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val cold = Searcher.search(Searcher.load(spark, dir), Seq("alpha"), 5)
         .collect().sortBy(_.rank).map(h => (h.docId, h.score)).toSeq
       assert(svc2.search(Seq("alpha"), 5).map(h => (h.docId, h.score)) == cold)
+      // reopen means CURRENT committed state: an asOf-pinned service
+      // reopens unpinned (keep the old instance to stay time-traveled)
+      val pinned = new graft.query.LocalService(
+        Searcher.load(spark, dir, asOfSeg = Some(0L)))
+      assert(pinned.ix.nDocs == 60 && pinned.reopened().ix.nDocs == 80)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }
