@@ -600,7 +600,8 @@ object Bench {
             val enc = java.net.URLEncoder.encode(q.rawText, "UTF-8")
             java.net.URI.create(
               s"http://127.0.0.1:${srv.boundPort}/search?q=$enc&analyze=text&k=10" +
-                (if (q.phrase) "&phrase=1" else "")).toURL
+                (if (q.phrase) "&phrase=1" else "") +
+                (if (q.slop != 0) s"&slop=${q.slop}" else "")).toURL
           }
           def hit(u: java.net.URL): Unit = {
             val c = u.openConnection().asInstanceOf[java.net.HttpURLConnection]

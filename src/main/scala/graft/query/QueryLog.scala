@@ -198,7 +198,12 @@ object QueryLog {
     * round trips. Returns (queryId, rank, docId, score). */
   def run(ix: Searcher.LoadedIndex, queries: Seq[LogQuery], k: Int): DataFrame = {
     import ix.spark.implicits._
-    val resolved = resolve(ix, queries)
+    // `text:` queries target a textAnalyzer index and carry gap-aware
+    // phraseShifts the batched phrase path does not model — they are
+    // EXCLUDED here (serve them via LocalService/searchAllPhrase against
+    // the text index, as the bench does), not silently mis-run against a
+    // code-analyzer index
+    val resolved = resolve(ix, queries.filterNot(_.analyzeText))
     val boolQs = resolved.collect { case q if q.bool.nonEmpty => (q.id, q.bool.get) }
     val flat = resolved.filter(_.bool.isEmpty)
     val termQs = flat.filter(q => !q.phrase && q.terms.nonEmpty)
