@@ -415,12 +415,24 @@ object Bench {
             (support(timesN.toSeq) < 2 || support(times4N.toSeq) < 2)) ||
            (loop < maxLoops && elapsed < maxIndexSec &&
             (descending(timesN.toSeq) || descending(times4N.toSeq)))) {
+      // EQUAL-EXPOSURE sampling (the round-2 protocol, re-measured round
+      // 5): a 4N trial is ~3x shorter than an N trial, so one draw per
+      // loop gives the fast level a third of the slow level's wall-clock
+      // exposure to host-noise windows — and the measured spreads show it
+      // (N trials ±2-4% within a session, 4N trials ±35%: 73.8-100 s in
+      // one run whose N trials sat at 235-243). Two 4N draws per loop
+      // evens the exposure; the estimator stays min over ALL trials of
+      // each level (no exclusion, no pairing), and the loop alternates
+      // level order so neither level systematically follows the other's
+      // page/writeback wake.
       if (loop % 2 == 0) {
         runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN, postProbesN)
+        runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N, postProbes4N)
         runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N, postProbes4N)
       } else {
         runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N, postProbes4N)
         runTrial(nCores, s"$tmpRoot/ixN", timesN, probesN, postProbesN)
+        runTrial(n4Cores, s"$tmpRoot/ix4N", times4N, probes4N, postProbes4N)
       }
       loop += 1
       writeBenchFile("BENCH_partial.json", artifact(s"indexing_loop_$loop"))
